@@ -1,0 +1,613 @@
+"""PII span candidate generation + overlap resolution.
+
+This is the feature extractor of the offline "model": a deterministic
+pure function text → [(start, end, label, confidence)], combining
+format regexes (patterns.py) and gazetteer/shape/context token matchers
+(gazetteer.py). serving.py turns the resolved candidates into per-token
+logits and runs the reference's serving semantics (softmax → confidence
+threshold 0.3 → BILOU decode, evaluation/model_evaluation.py:253-281).
+
+Hard negatives (generation.py:756-775) are kept label-free via shape
+guards: '#'-prefixed numbers (Ref), '@'-prefixed handles, 'Acct …
+checksum pending', Luhn-invalid cards, separator-adjacency rejection for
+MAC/IP/GUID segments, hex-neighborhood rejection for digit runs embedded
+in SHA1 strings, and an uppercase blocklist for form labels.
+
+Glue tolerance: outside-span substitution noise (p=.08/char,
+config_and_labels.py:21) can fuse a random letter onto a span edge, so
+gazetteer lookups accept up to 2 trailing junk chars and a capitalized
+suffix after up to 5 leading glued chars.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from ..tokenizer import tokenize_with_offsets
+from . import patterns as P
+from .gazetteer import (
+    CITY_1,
+    CITY_SEQS,
+    COUNTRY_1,
+    STATE_1,
+    COUNTRY_CODES,
+    COUNTRY_NAME_SEQS,
+    FILLERS,
+    FIRSTS,
+    INITIALS_BLOCKLIST,
+    LASTS,
+    ORG_SUFFIX_SEQS,
+    STATE_ABBRS,
+    STATE_NAME_SEQS,
+    STREET_FIRSTS,
+    STREET_SUFFIXES_L,
+)
+
+
+class Candidate(NamedTuple):
+    start: int
+    end: int
+    label: str
+    conf: float
+
+
+# context keyword sets (template-literal vocabulary, SURVEY §2 M1).
+# Outside-span noise substitutes 8% of context characters
+# (config_and_labels.py:21), so keywords are matched fuzzily: exact
+# substring, or any window word within edit-distance 1 of a keyword.
+_CTX_WORDS = {
+    "PHONE": ("phone", "call", "tel", "dial", "callback", "reach", "mine",
+              "number", "contact"),
+    "SSN": ("ssn", "social"),
+    "PERSON": ("contact", "attendees", "user", "username", "customer",
+               "patient", "applicant", "name", "witness", "signed",
+               "welcome", "profile", "employee", "party", "following",
+               "birthday", "thanks", "ticket", "reference", "delivery",
+               "ship", "from", "trust", "scammed", "said", "email", "hi"),
+    "ADDRESS": ("address", "ship", "shipping", "deliver", "delivery",
+                "arriving", "apt", "suite", "floor", "attn"),
+    "AGE": ("age", "old", "me", "i'm", "im", "girlfriend", "boyfriend",
+            "partner", "wife", "brother", "broke", "kissed", "hate",
+            "applied", "year", "terrified"),
+}
+_CTX_EXACT = {
+    lab: re.compile("|".join(re.escape(w) for w in words), re.I)
+    for lab, words in _CTX_WORDS.items()
+}
+_WORD_RE = re.compile(r"[A-Za-z']+")
+
+
+def _edit1(a: str, b: str) -> bool:
+    """True if a ≈ b within one substitution / insertion / deletion."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one deletion: a is b minus one char
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def _ctx(text: str, start: int, end: int, label: str, width: int = 36) -> bool:
+    lo = max(0, start - width)
+    window = (text[lo:start] + " " + text[end : end + width]).lower()
+    if _CTX_EXACT[label].search(window):
+        return True
+    kws = _CTX_WORDS[label]
+    for w in _WORD_RE.findall(window):
+        if len(w) < 3:
+            continue
+        for kw in kws:
+            if len(kw) >= 4 and _edit1(w, kw):
+                return True
+    return False
+
+
+def _luhn(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+_SEP_ADJ = set(":-/+")
+_HEXISH = set("0123456789abcdef")
+
+
+def _sep_adjacent(text: str, start: int, end: int) -> bool:
+    """Digit run glued to separators → fragment of MAC/IP/GUID/intl-phone.
+
+    '.' only counts when it chains to another digit (dotted quads); a
+    sentence-final period after a postcode must not suppress it."""
+    before = text[start - 1] if start > 0 else ""
+    after = text[end] if end < len(text) else ""
+    if before in _SEP_ADJ or after in _SEP_ADJ:
+        return True
+    if before == "." and start >= 2 and text[start - 2].isalnum():
+        return True
+    if after == "." and end + 1 < len(text) and text[end + 1].isdigit():
+        return True
+    return False
+
+
+def _hex_embedded(text: str, start: int, end: int) -> bool:
+    """Either neighbor is solid hex → inside a SHA1/GUID string
+    (case-insensitive: noise case-flips hex letters)."""
+    left = text[max(0, start - 2) : start].lower()
+    right = text[end : end + 2].lower()
+    solid = lambda s: len(s) == 2 and all(c in _HEXISH for c in s)  # noqa: E731
+    return solid(left) or solid(right)
+
+
+_REF_BEFORE = re.compile(
+    r"(?i)(ref|reference|ticket|acct|account)\w{0,3}\s*#?\s*\w{0,3}$"
+)
+_HN_AFTER = re.compile(r"(?i)issing digit|hecksum")
+
+
+def _blocked_number(text: str, start: int, end: int) -> bool:
+    """Hard-negative guards for bare digit runs (generation.py:763-775),
+    tolerant of a noised '#' or separator."""
+    if text[:start].rstrip().endswith("#"):
+        return True  # Ref #NNNNN / Ticket #
+    if _REF_BEFORE.search(text[max(0, start - 16) : start]):
+        return True
+    if _HN_AFTER.search(text[end : end + 30]):
+        return True
+    return False
+
+
+# ------------------------------------------------------------ format layer
+
+def format_candidates(text: str) -> list[Candidate]:
+    out: list[Candidate] = []
+
+    for m in P.EMAIL_CANON.finditer(text):
+        out.append(Candidate(m.start(), m.end(), "EMAIL", 0.98))
+    for m in P.EMAIL_OBF.finditer(text):
+        out.append(Candidate(m.start(), m.end(), "EMAIL", 0.96))
+
+    for rx, conf in P.SSN_PATTERNS:
+        for m in rx.finditer(text):
+            s, e = m.start(), m.end()
+            if conf <= 0.90 and _hex_embedded(text, s, e):
+                continue  # letter+digits inside SHA1
+            out.append(Candidate(s, e, "SSN", conf))
+    for rx, conf in P.PHONE_PATTERNS:
+        for m in rx.finditer(text):
+            out.append(Candidate(m.start(), m.end(), "PHONE", conf))
+
+    # dotted/spaced 3-3-4: PHONE vs SSN decided by template context;
+    # default SSN (ssn branches 5-6 outweigh phone branches 1-2 in the mix)
+    for rx in (P.AMBIG_334_DOT, P.AMBIG_334_SPACE):
+        for m in rx.finditer(text):
+            s, e = m.start(), m.end()
+            if _ctx(text, s, e, "SSN") and not _ctx(text, s, e, "PHONE"):
+                out.append(Candidate(s, e, "SSN", 0.93))
+            elif _ctx(text, s, e, "PHONE") and not _ctx(text, s, e, "SSN"):
+                out.append(Candidate(s, e, "PHONE", 0.93))
+            elif _ctx(text, s, e, "SSN"):
+                out.append(Candidate(s, e, "SSN", 0.92))
+            else:
+                out.append(Candidate(s, e, "SSN", 0.89))
+
+    for rx, conf in P.DATE_PATTERNS:
+        for m in rx.finditer(text):
+            out.append(Candidate(m.start(), m.end(), "DATE", conf))
+    for m in P.YEAR_RE.finditer(text):
+        s, e = m.start(), m.end()
+        if (
+            not _sep_adjacent(text, s, e)
+            and not _blocked_number(text, s, e)
+            and not _hex_embedded(text, s, e)
+        ):
+            out.append(Candidate(s, e, "DATE", 0.88))
+
+    for rx, conf in P.AGE_PATTERNS:
+        for m in rx.finditer(text):
+            s, e = m.start(), m.end()
+            if e - s <= 5 and _sep_adjacent(text, s, e):
+                continue  # 'F4' inside a MAC, '50' inside an IP, …
+            out.append(Candidate(s, e, "AGE", conf))
+    # letter-glued lowercase gender form needs AGE context ("Agej81m")
+    for m in P.AGE_MF_LOOSE.finditer(text):
+        s, e = m.start(), m.end()
+        if _ctx(text, s, e, "AGE") and not _sep_adjacent(text, s, e):
+            out.append(Candidate(s, e, "AGE", 0.72))
+    for m in P.AGE_PAREN_BARE.finditer(text):
+        out.append(Candidate(m.start(), m.end(), "AGE", 0.85))
+
+    for m in P.IP_RE.finditer(text):
+        parts = m.group().split(".")
+        if all(int(p) <= 255 for p in parts):
+            out.append(Candidate(m.start(), m.end(), "IP", 0.80))
+
+    for m in P.ZIP4_RE.finditer(text):
+        out.append(Candidate(m.start(), m.end(), "ADDRESS", 0.88))
+
+    # bare digit runs, classified by length (closed format inventory)
+    for m in P.DIGIT_RUN.finditer(text):
+        s, e = m.start(), m.end()
+        run = m.group()
+        n = len(run)
+        if _blocked_number(text, s, e):
+            continue
+        if n in (4, 5) and (
+            _sep_adjacent(text, s, e) or _hex_embedded(text, s, e)
+        ):
+            continue  # MAC/IP/GUID/ZIP+4/intl-phone/SHA1 fragments
+        if n == 4:
+            before = text[s - 1] if s > 0 else ""
+            after = text[e] if e < len(text) else ""
+            if before.isalpha() or after.isalpha():
+                continue  # fragment of a digit-prefixed username
+            if 1950 <= int(run) <= 2039:
+                out.append(Candidate(s, e, "DATE", 0.88))
+            elif _ctx(text, s, e, "PHONE"):
+                out.append(Candidate(s, e, "PHONE", 0.70))
+            else:
+                out.append(Candidate(s, e, "ADDRESS", 0.55))  # building no.
+        elif n == 5:
+            out.append(Candidate(s, e, "ADDRESS", 0.90))  # postcode
+        elif n in (9, 10):
+            if _hex_embedded(text, s, e):
+                continue  # digit run inside SHA1/GUID
+            if n == 9:
+                out.append(Candidate(s, e, "SSN", 0.95))
+            else:
+                label = "SSN" if run[0] == "0" else "PHONE"
+                out.append(Candidate(s, e, label, 0.93))
+        elif 13 <= n <= 19 and _luhn(run):
+            out.append(Candidate(s, e, "CREDIT_CARD", 0.96))
+
+    # small bare ints → AGE only with an AGE-ish context (reddit-style
+    # templates); without the gate, every noise-made standalone digit in
+    # O-only prose becomes an AGE hit
+    for m in P.BARE_SMALL_INT.finditer(text):
+        s, e = m.start(), m.end()
+        if (
+            not _blocked_number(text, s, e)
+            and not _sep_adjacent(text, s, e)
+            and _ctx(text, s, e, "AGE")
+        ):
+            out.append(Candidate(s, e, "AGE", 0.60))
+
+    return out
+
+
+# ------------------------------------------------------------ token layer
+
+_ALNUM_RE = re.compile(r"^[A-Za-z0-9]+$")
+_YEARPFX = re.compile(r"^(19|20)\d{2}")
+_DIGPFX = re.compile(r"^\d{1,4}")
+
+
+class _Tok(NamedTuple):
+    text: str
+    low: str
+    start: int
+    end: int
+
+
+def _toks(text: str) -> list[_Tok]:
+    tokens, offsets, _ = tokenize_with_offsets(text, max_tokens=1 << 30)
+    out = []
+    for t, (s, e) in zip(tokens, offsets):
+        if s == e == 0:
+            continue
+        out.append(_Tok(t, t.lower(), s, e))
+    return out
+
+
+def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
+    """Gazetteer hit tolerating noise glue: ≤2 trailing junk chars, or a
+    capitalized gazetteer suffix after ≤5 leading glued chars."""
+    low = tok.low
+    if low in gaz or low[:-1] in gaz or (len(low) >= 6 and low[:-2] in gaz) or (
+        len(low) >= 7 and low[:-3] in gaz
+    ):
+        return True
+    for k in range(1, min(11, len(low) - 2)):
+        # leading glue: remainder is a capitalized gazetteer word
+        if low[k:] in gaz and tok.text[k].isupper():
+            return True
+    for k in range(len(low) - 1, 3, -1):
+        # multi-char trailing glue: glued part starts uppercase or digit
+        if low[:k] in gaz and (tok.text[k].isupper() or tok.text[k].isdigit()):
+            return True
+    return False
+
+
+def _username_shape(low: str) -> float:
+    """Single-token username confidence (generation.py:51-118 shapes)."""
+    m = re.match(r"^([a-z]+)(\d{1,6})([a-z]{0,3})$", low)
+    if m:
+        alpha, digits, trail = m.group(1), m.group(2), m.group(3)
+        if len(alpha) == 1:
+            # letter+digits ids: A141981 / N23 (7-8 digits would be SSN)
+            return 0.85 if len(digits) in (2, 6) and len(trail) <= 2 else 0.0
+        name_gaz = alpha in FIRSTS or alpha in LASTS
+        if trail and not (len(digits) >= 2 or (name_gaz and len(alpha) >= 5)):
+            return 0.0  # 'amy1e' ≈ noised filler, not a username
+        if name_gaz:
+            return 0.90 if not trail else 0.85
+        if alpha in FILLERS:
+            # word+NN usernames (generation.py:63) have exactly 2 digits;
+            # a single noise-made digit after a filler word is not one
+            return 0.90 if len(digits) == 2 else 0.0
+        if len(alpha) >= 6 and len(digits) >= 2:
+            return 0.88  # random-letter usernames
+        return 0.0
+    m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})$", low)
+    if m:  # digit/year-prefixed usernames
+        alpha = m.group(2)
+        if alpha in FIRSTS or alpha in LASTS or len(alpha) >= 6:
+            return 0.85
+        return 0.0
+    if len(low) >= 5 and low.isalpha() and low[1:] in LASTS:
+        return 0.87  # first-initial + last name: 'gpatterson'
+    return 0.0
+
+
+def token_candidates(text: str) -> list[Candidate]:
+    toks = _toks(text)
+    out: list[Candidate] = []
+    n = len(toks)
+
+    def seq_low(i: int, k: int) -> tuple[str, ...]:
+        return tuple(t.low for t in toks[i : i + k])
+
+    def prev_char(i: int) -> str:
+        s = toks[i].start
+        return text[s - 1] if s > 0 else ""
+
+    def _seq2_hit(i: int, seqs: frozenset) -> bool:
+        """2-token place hit; second token tolerates trailing noise glue."""
+        if i + 2 > n:
+            return False
+        a, b = toks[i].low, toks[i + 1].low
+        return any(
+            s[0] == a and (b == s[1] or (len(b) > len(s[1]) and b.startswith(s[1])))
+            for s in seqs
+            if len(s) == 2
+        )
+
+    for i, tk in enumerate(toks):
+        # ---- multi-token gazetteer places (longest first);
+        # single-token hits tolerate noise glue via _gaz_glued
+        if i + 2 <= n:
+            if _seq2_hit(i, CITY_SEQS):
+                out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.92))
+            if _seq2_hit(i, COUNTRY_NAME_SEQS):
+                out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.90))
+            if _seq2_hit(i, STATE_NAME_SEQS):
+                conf = 0.89 if tk.text[0].isupper() else 0.55
+                out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", conf))
+        if _gaz_glued(tk, CITY_1):
+            out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.92))
+        if _gaz_glued(tk, COUNTRY_1):
+            out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.90))
+        if _gaz_glued(tk, STATE_1):
+            conf = 0.89 if tk.text[0].isupper() else 0.55
+            out.append(Candidate(tk.start, tk.end, "ADDRESS", conf))
+
+        # ---- street name / street address / full address
+        if (
+            i + 1 < n
+            and _gaz_glued(tk, STREET_FIRSTS)
+            and (
+                toks[i + 1].low in STREET_SUFFIXES_L
+                or toks[i + 1].low[:-1] in STREET_SUFFIXES_L
+            )
+        ):
+            s, e = tk.start, toks[i + 1].end
+            j = i + 2
+            conf = 0.93
+            if i > 0 and toks[i - 1].text.isdigit() and len(toks[i - 1].text) <= 4:
+                s = toks[i - 1].start
+                conf = 0.95
+                # optional ", Apt. N"
+                if (
+                    j + 3 < n
+                    and toks[j].text == ","
+                    and toks[j + 1].low == "apt"
+                    and toks[j + 2].text == "."
+                    and toks[j + 3].text.isdigit()
+                ):
+                    e = toks[j + 3].end
+                    j += 4
+                # optional ", City, ST 12345[-6789]" (full address)
+                if j < n and toks[j].text == ",":
+                    for ck in (2, 1):
+                        if (
+                            j + ck + 1 < n
+                            and seq_low(j + 1, ck) in CITY_SEQS
+                            and toks[j + ck + 1].text == ","
+                        ):
+                            p = j + ck + 2
+                            if (
+                                p + 1 < n
+                                and toks[p].text.upper() in STATE_ABBRS
+                                and toks[p + 1].text.isdigit()
+                                and len(toks[p + 1].text) == 5
+                            ):
+                                e2 = toks[p + 1].end
+                                if (
+                                    p + 3 < n
+                                    and toks[p + 2].text == "-"
+                                    and toks[p + 3].text.isdigit()
+                                    and len(toks[p + 3].text) == 4
+                                    and toks[p + 2].start == toks[p + 1].end
+                                ):
+                                    e2 = toks[p + 3].end
+                                out.append(Candidate(s, e2, "ADDRESS", 0.97))
+                                break
+            out.append(Candidate(s, e, "ADDRESS", conf))
+
+        # ---- Apartment/Suite/Floor N
+        if (
+            tk.low in ("apartment", "suite", "floor")
+            and i + 1 < n
+            and toks[i + 1].text.isdigit()
+            and len(toks[i + 1].text) <= 3
+        ):
+            out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.95))
+
+        # ---- postcode pair "12345, 67890-1234" as ONE span (addr branch 17)
+        if tk.text.isdigit() and len(tk.text) == 5:
+            j = i + 1
+            if (
+                j + 1 < n
+                and toks[j].text == "-"
+                and toks[j + 1].text.isdigit()
+                and len(toks[j + 1].text) == 4
+                and toks[j].start == tk.end
+            ):
+                j += 2
+            if j < n and toks[j].text == "," and j + 1 < n:
+                t2 = toks[j + 1]
+                if t2.text.isdigit() and len(t2.text) == 5:
+                    e2 = t2.end
+                    if (
+                        j + 3 < n
+                        and toks[j + 2].text == "-"
+                        and toks[j + 3].text.isdigit()
+                        and len(toks[j + 3].text) == 4
+                        and toks[j + 2].start == t2.end
+                    ):
+                        e2 = toks[j + 3].end
+                    out.append(Candidate(tk.start, e2, "ADDRESS", 0.94))
+
+        # ---- state abbr / country code (closed uppercase lists);
+        # skip form-label uses like "ID:" ("ID: {person}" templates)
+        up = tk.text.upper()
+        if len(tk.text) in (2, 3) and tk.text.isalpha() and tk.text.isupper():
+            if (up in STATE_ABBRS or up in COUNTRY_CODES) and (
+                tk.end >= len(text) or text[tk.end] != ":"
+            ):
+                out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.87))
+
+        # ---- ORG grammars
+        if _gaz_glued(tk, LASTS) and tk.text[0].isupper():
+            # Last + suffix  /  Last Last + suffix
+            for k in (1, 2):
+                j = i + k
+                if j < n and (k == 1 or _gaz_glued(toks[j - 1], LASTS)):
+                    for sk in (2, 1):
+                        if j + sk <= n and seq_low(j, sk) in ORG_SUFFIX_SEQS:
+                            out.append(
+                                Candidate(tk.start, toks[j + sk - 1].end, "ORG", 0.95)
+                            )
+            # Last-Last (incl. spacing-noised "A - B")
+            if (
+                i + 2 < n
+                and toks[i + 1].text == "-"
+                and _gaz_glued(toks[i + 2], LASTS)
+                and toks[i + 2].text[0].isupper()
+            ):
+                out.append(Candidate(tk.start, toks[i + 2].end, "ORG", 0.91))
+            # Last, Last and Last
+            if (
+                i + 4 < n
+                and toks[i + 1].text == ","
+                and _gaz_glued(toks[i + 2], LASTS)
+                and toks[i + 3].low == "and"
+                and _gaz_glued(toks[i + 4], LASTS)
+            ):
+                out.append(Candidate(tk.start, toks[i + 4].end, "ORG", 0.95))
+
+        # ---- PERSON: real names  First [X.] Last
+        if _gaz_glued(tk, FIRSTS) and prev_char(i) != "@":
+            if i + 1 < n and _gaz_glued(toks[i + 1], LASTS):
+                out.append(Candidate(tk.start, toks[i + 1].end, "PERSON", 0.93))
+            if (
+                i + 3 < n
+                and len(toks[i + 1].text) == 1
+                and toks[i + 1].text.isalpha()
+                and toks[i + 2].text == "."
+                and _gaz_glued(toks[i + 3], LASTS)
+            ):
+                out.append(Candidate(tk.start, toks[i + 3].end, "PERSON", 0.94))
+
+        # ---- PERSON: first.last / first_last (+digits), optional year prefix
+        alpha1 = tk.low
+        ym = _YEARPFX.match(alpha1) or _DIGPFX.match(alpha1)
+        stem = alpha1[ym.end() :] if ym and alpha1[ym.end() :] else alpha1
+        if (
+            (stem in FIRSTS or (ym and stem in LASTS))
+            and i + 2 < n
+            and toks[i + 1].text in (".", "_")
+            and toks[i + 1].start == tk.end
+            and toks[i + 2].start == toks[i + 1].end
+            and prev_char(i) != "@"
+        ):
+            m2 = re.match(r"^([a-z]+)(\d{0,4})([a-z]{0,2})$", toks[i + 2].low)
+            if m2 and (
+                m2.group(1) in LASTS
+                or m2.group(1)[:-1] in LASTS
+                or len(m2.group(1)) >= 6
+            ):
+                out.append(Candidate(tk.start, toks[i + 2].end, "PERSON", 0.92))
+
+        # ---- PERSON: single-token username shapes
+        if _ALNUM_RE.match(tk.text) and prev_char(i) != "@":
+            conf = _username_shape(tk.low)
+            if conf > 0 and not _sep_adjacent(text, tk.start, tk.end):
+                out.append(Candidate(tk.start, tk.end, "PERSON", conf))
+
+        # ---- PERSON: uppercase initials (2-4), context-gated; the
+        # blocklist is fuzzy because form labels arrive noised
+        # (ESN≈SSN by edit, SNS/ODB by adjacent-swap → anagram check)
+        if (
+            re.match(r"^[A-Z]{2,4}$", tk.text)
+            and not any(
+                tk.text == b
+                or _edit1(tk.text, b)
+                or sorted(tk.text) == sorted(b)
+                for b in INITIALS_BLOCKLIST
+            )
+            and tk.text not in STATE_ABBRS
+            and tk.text not in COUNTRY_CODES
+            and prev_char(i) != "@"
+        ):
+            conf = 0.75 if _ctx(text, tk.start, tk.end, "PERSON") else 0.28
+            out.append(Candidate(tk.start, tk.end, "PERSON", conf))
+
+        # ---- PERSON: bare lowercase first name (username branch 20)
+        if tk.low in FIRSTS and tk.text.islower() and prev_char(i) != "@":
+            standalone = not (i + 1 < n and _gaz_glued(toks[i + 1], LASTS))
+            if standalone:
+                out.append(Candidate(tk.start, tk.end, "PERSON", 0.60))
+
+    return out
+
+
+# ------------------------------------------------------------ resolution
+
+def resolve(cands: list[Candidate]) -> list[Candidate]:
+    """Greedy non-overlap selection by (confidence, length, position)."""
+    chosen: list[Candidate] = []
+    occupied: list[tuple[int, int]] = []
+    for c in sorted(cands, key=lambda c: (-c.conf, -(c.end - c.start), c.start, c.label)):
+        if any(c.start < e and c.end > s for s, e in occupied):
+            continue
+        chosen.append(c)
+        occupied.append((c.start, c.end))
+    chosen.sort(key=lambda c: c.start)
+    return chosen
+
+
+def detect_spans(text: str) -> list[Candidate]:
+    """Full detector: formats + token matchers, overlap-resolved."""
+    return resolve(format_candidates(text) + token_candidates(text))

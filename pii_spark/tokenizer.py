@@ -1,0 +1,57 @@
+"""Deterministic offset-mapped tokenizer.
+
+Offline stand-in for the reference's HF BPE tokenizer
+(pii_synth/build_datasets.py:40-46: max_length=512, truncation, offset
+mapping, no padding at rest). Tokens are maximal [A-Za-z0-9]+ runs plus
+single non-space/non-alnum characters, so every non-space char belongs to
+exactly one token and offsets are byte-exact. A virtual BOS and EOS token
+with offset (0, 0) is emitted to preserve the reference's special-token
+semantics (-100 labels, (0,0)-offset filtering —
+build_datasets.py:87-95, model_evaluation.py:275-281).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .config import MAX_TOKENS
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+
+BOS_ID = 1
+EOS_ID = 2
+_VOCAB_HASH_BUCKETS = 2**20
+
+
+def token_id(tok: str) -> int:
+    """Stable hashed vocab id (FNV-1a over the lowercased token)."""
+    h = 2166136261
+    for ch in tok.lower().encode("utf-8"):
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return 3 + h % _VOCAB_HASH_BUCKETS
+
+
+def tokenize_with_offsets(
+    text: str, max_tokens: int = MAX_TOKENS
+) -> tuple[list[str], list[tuple[int, int]], list[int]]:
+    """Return (tokens, offsets, input_ids); BOS/EOS carry offset (0, 0).
+
+    Truncation keeps the first ``max_tokens - 2`` real tokens, mirroring
+    the reference's max_length=512 + truncation=True cap
+    (config_and_labels.py:18, build_datasets.py:41-46).
+    """
+    tokens: list[str] = ["<s>"]
+    offsets: list[tuple[int, int]] = [(0, 0)]
+    ids: list[int] = [BOS_ID]
+    budget = max_tokens - 2
+    for m in _TOKEN_RE.finditer(text):
+        if budget <= 0:
+            break
+        tokens.append(m.group())
+        offsets.append((m.start(), m.end()))
+        ids.append(token_id(m.group()))
+        budget -= 1
+    tokens.append("</s>")
+    offsets.append((0, 0))
+    ids.append(EOS_ID)
+    return tokens, offsets, ids
