@@ -64,15 +64,23 @@ _CTX_WORDS = {
                "patient", "applicant", "name", "witness", "signed",
                "welcome", "profile", "employee", "party", "following",
                "birthday", "thanks", "ticket", "reference", "delivery",
-               "ship", "from", "trust", "scammed", "said", "email", "hi"),
+               "ship", "from", "trust", "scammed", "said", "email", "hi",
+               "holder", "account", "form", "anyone", "reach"),
     "ADDRESS": ("address", "ship", "shipping", "deliver", "delivery",
-                "arriving", "apt", "suite", "floor", "attn"),
+                "arriving", "apt", "suite", "floor", "attn", "at"),
     "AGE": ("age", "old", "me", "i'm", "im", "girlfriend", "boyfriend",
             "partner", "wife", "brother", "broke", "kissed", "hate",
             "applied", "year", "terrified"),
 }
 _CTX_EXACT = {
-    lab: re.compile("|".join(re.escape(w) for w in words), re.I)
+    # short keywords (≤2 chars, e.g. 'at') match only as whole words
+    lab: re.compile(
+        "|".join(
+            rf"\b{re.escape(w)}\b" if len(w) <= 2 else re.escape(w)
+            for w in words
+        ),
+        re.I,
+    )
     for lab, words in _CTX_WORDS.items()
 }
 _WORD_RE = re.compile(r"[A-Za-z']+")
@@ -94,19 +102,38 @@ def _edit1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1 :]
 
 
-def _ctx(text: str, start: int, end: int, label: str, width: int = 36) -> bool:
+def _ctx_dist(
+    text: str, start: int, end: int, label: str, width: int = 36
+) -> int | None:
+    """Distance (in chars from the span) of the nearest context keyword,
+    or None. Fuzzy: exact substring or edit-distance-1 window word."""
     lo = max(0, start - width)
     window = (text[lo:start] + " " + text[end : end + width]).lower()
-    if _CTX_EXACT[label].search(window):
-        return True
+    pivot = start - lo  # span sits at this window offset
+    best: int | None = None
+
+    def consider(pos: int, ln: int) -> None:
+        nonlocal best
+        d = abs((pos + ln // 2) - pivot)
+        if best is None or d < best:
+            best = d
+
+    for m in _CTX_EXACT[label].finditer(window):
+        consider(m.start(), m.end() - m.start())
     kws = _CTX_WORDS[label]
-    for w in _WORD_RE.findall(window):
+    for m in _WORD_RE.finditer(window):
+        w = m.group()
         if len(w) < 3:
             continue
         for kw in kws:
             if len(kw) >= 4 and _edit1(w, kw):
-                return True
-    return False
+                consider(m.start(), len(w))
+                break
+    return best
+
+
+def _ctx(text: str, start: int, end: int, label: str, width: int = 36) -> bool:
+    return _ctx_dist(text, start, end, label, width) is not None
 
 
 def _luhn(digits: str) -> bool:
@@ -141,6 +168,19 @@ def _sep_adjacent(text: str, start: int, end: int) -> bool:
     return False
 
 
+def _digit_chained(text: str, start: int, end: int) -> bool:
+    """Separator-adjacent AND the separator chains to another digit."""
+    if start >= 2 and text[start - 1] in ":.-/+" and text[start - 2].isdigit():
+        return True
+    if (
+        end + 1 < len(text)
+        and text[end] in ":.-/"
+        and text[end + 1].isdigit()
+    ):
+        return True
+    return False
+
+
 def _hex_embedded(text: str, start: int, end: int) -> bool:
     """Either neighbor is solid hex → inside a SHA1/GUID string
     (case-insensitive: noise case-flips hex letters)."""
@@ -150,22 +190,43 @@ def _hex_embedded(text: str, start: int, end: int) -> bool:
     return solid(left) or solid(right)
 
 
-_REF_BEFORE = re.compile(
-    r"(?i)(ref|reference|ticket|acct|account)\w{0,3}\s*#?\s*\w{0,3}$"
-)
 _HN_AFTER = re.compile(r"(?i)issing digit|hecksum")
+_REF_WORDS = ("ref", "reference", "ticket", "acct", "account")
 
 
 def _blocked_number(text: str, start: int, end: int) -> bool:
     """Hard-negative guards for bare digit runs (generation.py:763-775),
-    tolerant of a noised '#' or separator."""
-    if text[:start].rstrip().endswith("#"):
+    tolerant of noise: '#' anywhere just before, or an edit-distance-1
+    'Ref'/'Acct' word in the preceding window."""
+    if "#" in text[max(0, start - 4) : start]:
         return True  # Ref #NNNNN / Ticket #
-    if _REF_BEFORE.search(text[max(0, start - 16) : start]):
-        return True
+    before = text[max(0, start - 16) : start].lower()
+    for w in _WORD_RE.findall(before):
+        if w in _REF_WORDS or (len(w) >= 3 and any(
+            _edit1(w, kw) for kw in _REF_WORDS
+        )):
+            return True
     if _HN_AFTER.search(text[end : end + 30]):
         return True
     return False
+
+
+def _in_long_alnum_token(text: str, start: int, end: int) -> bool:
+    """Digit run embedded in a long mixed alnum token (SHA1/GUID noise).
+
+    Letters must flank the run on BOTH sides: a glued template word
+    ('cardm5619…') or a glued suffix ('…486pon') has letters on one side
+    only and is still a real number."""
+    s, e = start, end
+    while s > 0 and text[s - 1].isalnum():
+        s -= 1
+    while e < len(text) and text[e].isalnum():
+        e += 1
+    if e - s < 12:
+        return False
+    left = sum(c.isalpha() for c in text[s:start])
+    right = sum(c.isalpha() for c in text[end:e])
+    return left >= 2 and right >= 2
 
 
 # ------------------------------------------------------------ format layer
@@ -188,17 +249,18 @@ def format_candidates(text: str) -> list[Candidate]:
         for m in rx.finditer(text):
             out.append(Candidate(m.start(), m.end(), "PHONE", conf))
 
-    # dotted/spaced 3-3-4: PHONE vs SSN decided by template context;
+    # dotted/spaced 3-3-4: PHONE vs SSN decided by the NEAREST context
+    # keyword ("SSN: 067841399; Phone: 332 366 2175" has both in range);
     # default SSN (ssn branches 5-6 outweigh phone branches 1-2 in the mix)
     for rx in (P.AMBIG_334_DOT, P.AMBIG_334_SPACE):
         for m in rx.finditer(text):
             s, e = m.start(), m.end()
-            if _ctx(text, s, e, "SSN") and not _ctx(text, s, e, "PHONE"):
-                out.append(Candidate(s, e, "SSN", 0.93))
-            elif _ctx(text, s, e, "PHONE") and not _ctx(text, s, e, "SSN"):
+            ds = _ctx_dist(text, s, e, "SSN")
+            dp = _ctx_dist(text, s, e, "PHONE")
+            if dp is not None and (ds is None or dp < ds):
                 out.append(Candidate(s, e, "PHONE", 0.93))
-            elif _ctx(text, s, e, "SSN"):
-                out.append(Candidate(s, e, "SSN", 0.92))
+            elif ds is not None:
+                out.append(Candidate(s, e, "SSN", 0.93))
             else:
                 out.append(Candidate(s, e, "SSN", 0.89))
 
@@ -243,10 +305,12 @@ def format_candidates(text: str) -> list[Candidate]:
         n = len(run)
         if _blocked_number(text, s, e):
             continue
-        if n in (4, 5) and (
-            _sep_adjacent(text, s, e) or _hex_embedded(text, s, e)
-        ):
+        if _in_long_alnum_token(text, s, e):
+            continue  # run inside a noised SHA1/GUID token
+        if n == 4 and (_sep_adjacent(text, s, e) or _hex_embedded(text, s, e)):
             continue  # MAC/IP/GUID/ZIP+4/intl-phone/SHA1 fragments
+        if n == 5 and (_digit_chained(text, s, e) or _hex_embedded(text, s, e)):
+            continue  # ZIP+4 halves / long separated digit groups
         if n == 4:
             before = text[s - 1] if s > 0 else ""
             after = text[e] if e < len(text) else ""
@@ -268,8 +332,15 @@ def format_candidates(text: str) -> list[Candidate]:
             else:
                 label = "SSN" if run[0] == "0" else "PHONE"
                 out.append(Candidate(s, e, label, 0.93))
-        elif 13 <= n <= 19 and _luhn(run):
-            out.append(Candidate(s, e, "CREDIT_CARD", 0.96))
+        elif 13 <= n <= 20:
+            # a noise digit glued onto a card breaks Luhn — retry with
+            # one digit stripped from either edge
+            if 13 <= n <= 19 and _luhn(run):
+                out.append(Candidate(s, e, "CREDIT_CARD", 0.96))
+            elif 14 <= n <= 20 and _luhn(run[1:]):
+                out.append(Candidate(s + 1, e, "CREDIT_CARD", 0.93))
+            elif 14 <= n <= 20 and _luhn(run[:-1]):
+                out.append(Candidate(s, e - 1, "CREDIT_CARD", 0.93))
 
     # small bare ints → AGE only with an AGE-ish context (reddit-style
     # templates); without the gate, every noise-made standalone digit in
@@ -291,6 +362,9 @@ def format_candidates(text: str) -> list[Candidate]:
 _ALNUM_RE = re.compile(r"^[A-Za-z0-9]+$")
 _YEARPFX = re.compile(r"^(19|20)\d{2}")
 _DIGPFX = re.compile(r"^\d{1,4}")
+
+
+_UNIT_WORDS = frozenset({"apartment", "suite", "floor"})
 
 
 class _Tok(NamedTuple):
@@ -319,8 +393,9 @@ def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
     ):
         return True
     for k in range(1, min(11, len(low) - 2)):
-        # leading glue: remainder is a capitalized gazetteer word
-        if low[k:] in gaz and tok.text[k].isupper():
+        # leading glue: remainder is a gazetteer word; ≤2 glued chars can
+        # be any case, longer glue must hand over at an uppercase letter
+        if low[k:] in gaz and (k <= 2 or tok.text[k].isupper()):
             return True
     for k in range(len(low) - 1, 3, -1):
         # multi-char trailing glue: glued part starts uppercase or digit
@@ -392,7 +467,9 @@ def token_candidates(text: str) -> list[Candidate]:
             if _seq2_hit(i, COUNTRY_NAME_SEQS):
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.90))
             if _seq2_hit(i, STATE_NAME_SEQS):
-                conf = 0.89 if tk.text[0].isupper() else 0.55
+                # above single-token country conf: "New Mexico" must beat
+                # the embedded country "Mexico"
+                conf = 0.91 if tk.text[0].isupper() else 0.55
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", conf))
         if _gaz_glued(tk, CITY_1):
             out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.92))
@@ -414,7 +491,10 @@ def token_candidates(text: str) -> list[Candidate]:
             s, e = tk.start, toks[i + 1].end
             j = i + 2
             conf = 0.93
-            if i > 0 and toks[i - 1].text.isdigit() and len(toks[i - 1].text) <= 4:
+            # building number may carry glued noise chars: 'toT3351'
+            if i > 0 and re.search(r"\d{1,4}$", toks[i - 1].text) and (
+                len(toks[i - 1].text) <= 7
+            ):
                 s = toks[i - 1].start
                 conf = 0.95
                 # optional ", Apt. N"
@@ -427,27 +507,30 @@ def token_candidates(text: str) -> list[Candidate]:
                 ):
                     e = toks[j + 3].end
                     j += 4
-                # optional ", City, ST 12345[-6789]" (full address)
+                # optional ", City, ST 12345[-6789]" (full address);
+                # city may be case-scrambled, zip may carry glued chars
                 if j < n and toks[j].text == ",":
                     for ck in (2, 1):
                         if (
                             j + ck + 1 < n
-                            and seq_low(j + 1, ck) in CITY_SEQS
+                            and (
+                                seq_low(j + 1, ck) in CITY_SEQS
+                                or (ck == 2 and _seq2_hit(j + 1, CITY_SEQS))
+                                or (ck == 1 and _gaz_glued(toks[j + 1], CITY_1))
+                            )
                             and toks[j + ck + 1].text == ","
                         ):
                             p = j + ck + 2
                             if (
                                 p + 1 < n
                                 and toks[p].text.upper() in STATE_ABBRS
-                                and toks[p + 1].text.isdigit()
-                                and len(toks[p + 1].text) == 5
+                                and re.match(r"^\d{5}", toks[p + 1].text)
                             ):
                                 e2 = toks[p + 1].end
                                 if (
                                     p + 3 < n
                                     and toks[p + 2].text == "-"
-                                    and toks[p + 3].text.isdigit()
-                                    and len(toks[p + 3].text) == 4
+                                    and re.match(r"^\d{4}", toks[p + 3].text)
                                     and toks[p + 2].start == toks[p + 1].end
                                 ):
                                     e2 = toks[p + 3].end
@@ -455,12 +538,12 @@ def token_candidates(text: str) -> list[Candidate]:
                                 break
             out.append(Candidate(s, e, "ADDRESS", conf))
 
-        # ---- Apartment/Suite/Floor N
+        # ---- Apartment/Suite/Floor N (glue-tolerant on both tokens)
         if (
-            tk.low in ("apartment", "suite", "floor")
+            _gaz_glued(tk, _UNIT_WORDS)
             and i + 1 < n
-            and toks[i + 1].text.isdigit()
-            and len(toks[i + 1].text) <= 3
+            and re.match(r"^\d{1,3}", toks[i + 1].text)
+            and len(toks[i + 1].text) <= 4
         ):
             out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.95))
 
@@ -490,31 +573,63 @@ def token_candidates(text: str) -> list[Candidate]:
                     out.append(Candidate(tk.start, e2, "ADDRESS", 0.94))
 
         # ---- state abbr / country code (closed uppercase lists);
-        # skip form-label uses like "ID:" ("ID: {person}" templates)
+        # skip form-label uses ("ID: {person}") and require an ADDRESS-ish
+        # context — noise uppercases ordinary 2-letter words often enough
+        # that a bare closed-list hit is not trustworthy on its own
         up = tk.text.upper()
         if len(tk.text) in (2, 3) and tk.text.isalpha() and tk.text.isupper():
-            if (up in STATE_ABBRS or up in COUNTRY_CODES) and (
-                tk.end >= len(text) or text[tk.end] != ":"
+            nxt = text[tk.end : tk.end + 2].lstrip()
+            if (
+                (up in STATE_ABBRS or up in COUNTRY_CODES)
+                and not nxt.startswith(":")
+                and (
+                    _ctx(text, tk.start, tk.end, "ADDRESS")
+                    or (i > 0 and toks[i - 1].text == "|")
+                    or (i + 1 < n and toks[i + 1].text == "|")
+                )
             ):
                 out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.87))
 
-        # ---- ORG grammars
-        if _gaz_glued(tk, LASTS) and tk.text[0].isupper():
+        # ---- ORG grammars (no case requirements: inside-span case
+        # scramble, generation.py:699-701, routinely lowercases names)
+        if _gaz_glued(tk, LASTS):
+
+            def _suffix_end(j: int) -> int:
+                """Token index past a company suffix at j, else -1;
+                tolerates a glued tail ('Groupl', 'IncP947')."""
+                if j >= n:
+                    return -1
+                if j + 1 < n and (toks[j].low, toks[j + 1].low) in ORG_SUFFIX_SEQS:
+                    return j + 2  # "and Sons"
+                lj = toks[j].low
+                for (sfx,) in (s for s in ORG_SUFFIX_SEQS if len(s) == 1):
+                    if lj == sfx or lj[:-1] == sfx:
+                        return j + 1
+                    if (
+                        lj.startswith(sfx)
+                        and len(lj) > len(sfx)
+                        and (
+                            toks[j].text[len(sfx)].isupper()
+                            or toks[j].text[len(sfx)].isdigit()
+                        )
+                    ):
+                        return j + 1
+                return -1
+
             # Last + suffix  /  Last Last + suffix
             for k in (1, 2):
                 j = i + k
-                if j < n and (k == 1 or _gaz_glued(toks[j - 1], LASTS)):
-                    for sk in (2, 1):
-                        if j + sk <= n and seq_low(j, sk) in ORG_SUFFIX_SEQS:
-                            out.append(
-                                Candidate(tk.start, toks[j + sk - 1].end, "ORG", 0.95)
-                            )
+                if k == 1 or (j - 1 < n and _gaz_glued(toks[j - 1], LASTS)):
+                    pe = _suffix_end(j)
+                    if pe > 0:
+                        out.append(
+                            Candidate(tk.start, toks[pe - 1].end, "ORG", 0.95)
+                        )
             # Last-Last (incl. spacing-noised "A - B")
             if (
                 i + 2 < n
                 and toks[i + 1].text == "-"
                 and _gaz_glued(toks[i + 2], LASTS)
-                and toks[i + 2].text[0].isupper()
             ):
                 out.append(Candidate(tk.start, toks[i + 2].end, "ORG", 0.91))
             # Last, Last and Last
@@ -540,12 +655,20 @@ def token_candidates(text: str) -> list[Candidate]:
             ):
                 out.append(Candidate(tk.start, toks[i + 3].end, "PERSON", 0.94))
 
-        # ---- PERSON: first.last / first_last (+digits), optional year prefix
-        alpha1 = tk.low
-        ym = _YEARPFX.match(alpha1) or _DIGPFX.match(alpha1)
-        stem = alpha1[ym.end() :] if ym and alpha1[ym.end() :] else alpha1
+        # ---- PERSON: first.last / first_last (+digits), optional year
+        # prefix (with ≤2 leading glued chars: 'g1951heather.dixon')
+        stem_hit = False
+        for strip in (0, 1, 2):
+            alpha1 = tk.low[strip:]
+            if len(alpha1) < 3:
+                break
+            ym = _YEARPFX.match(alpha1) or _DIGPFX.match(alpha1)
+            stem = alpha1[ym.end() :] if ym and alpha1[ym.end() :] else alpha1
+            if stem in FIRSTS or (ym and stem in LASTS):
+                stem_hit = True
+                break
         if (
-            (stem in FIRSTS or (ym and stem in LASTS))
+            stem_hit
             and i + 2 < n
             and toks[i + 1].text in (".", "_")
             and toks[i + 1].start == tk.end
@@ -560,9 +683,20 @@ def token_candidates(text: str) -> list[Candidate]:
             ):
                 out.append(Candidate(tk.start, toks[i + 2].end, "PERSON", 0.92))
 
-        # ---- PERSON: single-token username shapes
+        # ---- PERSON: single-token username shapes (retry with 1-2
+        # leading glued chars stripped: 'Inathan334', 'g1951heather')
         if _ALNUM_RE.match(tk.text) and prev_char(i) != "@":
             conf = _username_shape(tk.low)
+            if conf == 0 and any(c.isdigit() for c in tk.low):
+                # retry with 1-2 leading glued chars stripped — but only
+                # for digit-bearing shapes (pure-alpha retries would turn
+                # 'hiking' into initial+'king')
+                for strip in (1, 2):
+                    if len(tk.low) > strip + 3:
+                        c2 = _username_shape(tk.low[strip:])
+                        if c2 > 0:
+                            conf = c2 - 0.03
+                            break
             if conf > 0 and not _sep_adjacent(text, tk.start, tk.end):
                 out.append(Candidate(tk.start, tk.end, "PERSON", conf))
 

@@ -85,9 +85,10 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # obfuscate_phone (generation.py:742-751) over variable-length digit
     # strings: spaced singles, dash-joined 3-groups, 3-3-rest split
     (_c(rf"{_D0}\d(?: \d){{3,15}}{_D1}"), 0.95),                  # "5 5 5 1 …"
-    (_c(rf"{_D0}(?:\d{{3}}\s?-\s?){{2,5}}\d{{1,3}}{_D1}"), 0.93),  # 3-groups
+    (_c(rf"{_D0}(?:\d{{3}}\s?-\s?){{1,5}}\d{{1,3}}{_D1}"), 0.89),  # 3-groups
     (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{1,3}}{_D1}"), 0.90),          # 3-3-{1..3}
-    (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{5,6}}{_D1}"), 0.90),          # 3-3-{5..6}
+    (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{5,7}}{_D1}"), 0.90),          # 3-3-{5..7}
+    (_c(rf"{_D0}\d{{3}} \d{{1,2}}{_D1}"), 0.70),                  # obf "975 6"
     (_c(rf"{_D0}\d{{3}}\s?-\s?\d{{4}}{_D1}"), 0.84),              # last-8 "123-4567"
 ]
 
@@ -146,7 +147,7 @@ AGE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # no trailing guard: noise can glue several letters onto "old"
     (_c(rf"{_D0}{_A}(?:\s?-\s?| )year(?:\s?-\s?| )old"), 0.97),
     (_c(rf"{_D0}{_A} years? old"), 0.97),
-    (_c(rf"{_D0}{_A}yo{_G1}"), 0.95),
+    (re.compile(rf"(?<![A-Za-z0-9]){_A}yo{_G1}", re.IGNORECASE), 0.95),
     # 'age N' is an in-span surface form emitted lowercase
     # (generation.py:170); capitalized 'Age ' is a template literal
     # OUTSIDE the span ("…, Age {age}, …") — case-sensitive.
@@ -156,10 +157,12 @@ AGE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # '23 M', 'M23' uppercase and '23m' lowercase-glued only
     # (generation.py:158-175); IGNORECASE here would turn every noise
     # digit next to an 'm'/'f' into an AGE hit.
-    (re.compile(rf"{_D0}{_A}[MF]{_G1}"), 0.90),                     # 23M
+    # gender forms are strict on the left — a noise digit/letter glued
+    # before 'F'/'M' would otherwise manufacture ages out of prose
+    (re.compile(rf"(?<![A-Za-z0-9]){_A}[MF]{_G1}"), 0.90),          # 23M
     (re.compile(rf"(?<![A-Za-z0-9])\d{{1,2}}[mf](?![A-Za-z0-9])"), 0.90),  # 23m
     (re.compile(rf"(?<![A-Za-z0-9])\d{{1,2}} [MF](?![A-Za-z0-9])"), 0.90),  # 23 M
-    (re.compile(rf"(?<![A-Za-z]{{2}}){_D0}[MF]{_A}{_D1}"), 0.90),   # M23
+    (re.compile(rf"(?<![A-Za-z0-9])[MF]{_A}{_G1}"), 0.90),          # M23
 ]
 # lowercase glued form with a letter-glued left edge ("Agej81m") —
 # only usable with AGE context, handled in candidates.py
