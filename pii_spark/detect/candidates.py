@@ -83,7 +83,8 @@ _CTX_EXACT = {
     )
     for lab, words in _CTX_WORDS.items()
 }
-_WORD_RE = re.compile(r"[A-Za-z']+")
+# include digits: noise turns letters into digits mid-keyword ("adDre2S")
+_WORD_RE = re.compile(r"[A-Za-z0-9']+")
 
 
 def _edit1(a: str, b: str) -> bool:
@@ -153,15 +154,18 @@ _HEXISH = set("0123456789abcdef")
 
 
 def _sep_adjacent(text: str, start: int, end: int) -> bool:
-    """Digit run glued to separators → fragment of MAC/IP/GUID/intl-phone.
-
-    '.' only counts when it chains to another digit (dotted quads); a
-    sentence-final period after a postcode must not suppress it."""
+    """Span glued to a CHAINING separator → fragment of a MAC / IP /
+    GUID / international-phone string. A separator only counts when the
+    char on its far side is alphanumeric ("95:52:b2" yes; a form label
+    "Username :cath449" or a sentence-final period no). '+' is always a
+    fragment marker (intl phone)."""
     before = text[start - 1] if start > 0 else ""
     after = text[end] if end < len(text) else ""
-    if before in _SEP_ADJ or after in _SEP_ADJ:
+    if before == "+" or after == "+":
         return True
-    if before == "." and start >= 2 and text[start - 2].isalnum():
+    if before in ":-./" and start >= 2 and text[start - 2].isalnum():
+        return True
+    if after in ":-/" and end + 1 < len(text) and text[end + 1].isalnum():
         return True
     if after == "." and end + 1 < len(text) and text[end + 1].isdigit():
         return True
@@ -231,13 +235,55 @@ def _in_long_alnum_token(text: str, start: int, end: int) -> bool:
 
 # ------------------------------------------------------------ format layer
 
+_PIECE_RE = re.compile(r"\d+|[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+")
+_EMAIL_GLUE_WORDS = ("email", "mail", "via", "phone", "reply", "contact")
+
+
+def _trim_email_start(text: str, s: int, e: int) -> int:
+    """Tight start for an email match: the local-atom regex greedily
+    absorbs noise-glued prefixes ('Emailt', 'at8', '2011'); drop leading
+    case/digit pieces that are short, pure-digit, or template words —
+    true locals never start with digits and keep an alpha core."""
+    while s < e and not text[s].isalnum():
+        s += 1
+    atom_end = s
+    while atom_end < e and (text[atom_end].isalnum()):
+        atom_end += 1
+    pieces = _PIECE_RE.findall(text[s:atom_end])
+    while len(pieces) > 1:
+        head = pieces[0].lower()
+        rest_has_alpha = any(
+            not p.isdigit() and len(p) >= 2 for p in pieces[1:]
+        )
+        droppable = (
+            head.isdigit()
+            or len(head) <= 3
+            or head in _EMAIL_GLUE_WORDS
+            or any(
+                _edit1(head, w) or _edit1(head[:-1], w)
+                for w in _EMAIL_GLUE_WORDS
+            )
+        )
+        if droppable and rest_has_alpha:
+            s += len(pieces.pop(0))
+        else:
+            break
+    return s
+
+
 def format_candidates(text: str) -> list[Candidate]:
     out: list[Candidate] = []
 
     for m in P.EMAIL_CANON.finditer(text):
-        out.append(Candidate(m.start(), m.end(), "EMAIL", 0.98))
+        out.append(
+            Candidate(_trim_email_start(text, m.start(), m.end()), m.end(),
+                      "EMAIL", 0.98)
+        )
     for m in P.EMAIL_OBF.finditer(text):
-        out.append(Candidate(m.start(), m.end(), "EMAIL", 0.96))
+        out.append(
+            Candidate(_trim_email_start(text, m.start(), m.end()), m.end(),
+                      "EMAIL", 0.96)
+        )
 
     for rx, conf in P.SSN_PATTERNS:
         for m in rx.finditer(text):
@@ -324,6 +370,8 @@ def format_candidates(text: str) -> list[Candidate]:
                 out.append(Candidate(s, e, "ADDRESS", 0.55))  # building no.
         elif n == 5:
             out.append(Candidate(s, e, "ADDRESS", 0.90))  # postcode
+        elif n == 6 and _ctx(text, s, e, "ADDRESS"):
+            out.append(Candidate(s, e, "ADDRESS", 0.60))  # zip + glued digit
         elif n in (9, 10):
             if _hex_embedded(text, s, e):
                 continue  # digit run inside SHA1/GUID
@@ -354,6 +402,13 @@ def format_candidates(text: str) -> list[Candidate]:
         ):
             out.append(Candidate(s, e, "AGE", 0.60))
 
+    # standalone 3-digit number → building-number address component
+    # (generate_address branch str(randint(1,999)); AGE caps at 2 digits)
+    for m in re.finditer(r"(?<![A-Za-z0-9])\d{3}(?![A-Za-z0-9])", text):
+        s, e = m.start(), m.end()
+        if not _blocked_number(text, s, e) and not _sep_adjacent(text, s, e):
+            out.append(Candidate(s, e, "ADDRESS", 0.52))
+
     return out
 
 
@@ -374,65 +429,87 @@ class _Tok(NamedTuple):
     end: int
 
 
+# matcher-side segmentation is COARSE (maximal alnum runs) — the metric
+# tokenizer is finer (case/digit splits); matchers emit TIGHT char spans
+# so the fine tokens around glue align with the generator's exact offsets
+_WORD_TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+
+
 def _toks(text: str) -> list[_Tok]:
-    tokens, offsets, _ = tokenize_with_offsets(text, max_tokens=1 << 30)
     out = []
-    for t, (s, e) in zip(tokens, offsets):
-        if s == e == 0:
-            continue
-        out.append(_Tok(t, t.lower(), s, e))
+    for m in _WORD_TOKEN_RE.finditer(text):
+        t = m.group()
+        out.append(_Tok(t, t.lower(), m.start(), m.end()))
     return out
 
 
-def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
-    """Gazetteer hit tolerating noise glue: ≤2 trailing junk chars, or a
-    capitalized gazetteer suffix after ≤5 leading glued chars."""
+def _gaz_span(tok: _Tok, gaz: frozenset) -> tuple[int, int] | None:
+    """Tight char range of a gazetteer hit inside a possibly noise-glued
+    token: ≤2 trailing junk chars, a gazetteer prefix with an
+    uppercase/digit glue handover, or a gazetteer suffix after ≤2 glued
+    chars (any case) / more when the word restarts uppercase."""
     low = tok.low
-    if low in gaz or low[:-1] in gaz or (len(low) >= 6 and low[:-2] in gaz) or (
-        len(low) >= 7 and low[:-3] in gaz
-    ):
-        return True
-    for k in range(1, min(11, len(low) - 2)):
-        # leading glue: remainder is a gazetteer word; ≤2 glued chars can
-        # be any case, longer glue must hand over at an uppercase letter
+    ln = len(low)
+    if low in gaz:
+        return (tok.start, tok.end)
+    if low[:-1] in gaz:
+        return (tok.start, tok.end - 1)
+    if ln >= 6 and low[:-2] in gaz:
+        return (tok.start, tok.end - 2)
+    if ln >= 7 and low[:-3] in gaz:
+        return (tok.start, tok.end - 3)
+    for k in range(1, min(11, ln - 2)):
         if low[k:] in gaz and (k <= 2 or tok.text[k].isupper()):
-            return True
-    for k in range(len(low) - 1, 3, -1):
-        # multi-char trailing glue: glued part starts uppercase or digit
+            return (tok.start + k, tok.end)
+    for k in range(ln - 1, 3, -1):
         if low[:k] in gaz and (tok.text[k].isupper() or tok.text[k].isdigit()):
-            return True
-    return False
+            return (tok.start, tok.start + k)
+    return None
 
 
-def _username_shape(low: str) -> float:
-    """Single-token username confidence (generation.py:51-118 shapes)."""
+def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
+    return _gaz_span(tok, gaz) is not None
+
+
+def _username_shape(low: str) -> tuple[float, int, int]:
+    """Single-token username hit: (confidence, start_off, end_off) —
+    offsets are TIGHT (glued trail chars excluded) so the fine metric
+    tokens around noise glue align with the generator's exact spans.
+    Shapes per generation.py:51-118."""
     m = re.match(r"^([a-z]+)(\d{1,6})([a-z]{0,3})$", low)
     if m:
         alpha, digits, trail = m.group(1), m.group(2), m.group(3)
+        tight = len(alpha) + len(digits)
         if len(alpha) == 1:
             # letter+digits ids: A141981 / N23 (7-8 digits would be SSN)
-            return 0.85 if len(digits) in (2, 6) and len(trail) <= 2 else 0.0
+            if len(digits) in (2, 6) and len(trail) <= 2:
+                return (0.85, 0, tight)
+            return (0.0, 0, 0)
         name_gaz = alpha in FIRSTS or alpha in LASTS
         if trail and not (len(digits) >= 2 or (name_gaz and len(alpha) >= 5)):
-            return 0.0  # 'amy1e' ≈ noised filler, not a username
+            return (0.0, 0, 0)  # 'amy1e' ≈ noised filler, not a username
         if name_gaz:
-            return 0.90 if not trail else 0.85
+            return (0.90 if not trail else 0.85, 0, tight)
         if alpha in FILLERS:
             # word+NN usernames (generation.py:63) have exactly 2 digits;
             # a single noise-made digit after a filler word is not one
-            return 0.90 if len(digits) == 2 else 0.0
+            return (0.90, 0, tight) if len(digits) == 2 else (0.0, 0, 0)
         if len(alpha) >= 6 and len(digits) >= 2:
-            return 0.88  # random-letter usernames
-        return 0.0
+            return (0.88, 0, tight)  # random-letter usernames
+        return (0.0, 0, 0)
     m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})$", low)
     if m:  # digit/year-prefixed usernames
         alpha = m.group(2)
         if alpha in FIRSTS or alpha in LASTS or len(alpha) >= 6:
-            return 0.85
-        return 0.0
-    if len(low) >= 5 and low.isalpha() and low[1:] in LASTS:
-        return 0.87  # first-initial + last name: 'gpatterson'
-    return 0.0
+            return (0.85, 0, len(low))
+        return (0.0, 0, 0)
+    if len(low) >= 5 and low.isalpha():
+        # first-initial + last name: 'gpatterson', 'rstevensU'
+        for strip in (0, 1, 2):
+            tail = low[1 : len(low) - strip]
+            if tail in LASTS:
+                return (0.87, 0, len(low) - strip)
+    return (0.0, 0, 0)
 
 
 def token_candidates(text: str) -> list[Candidate]:
@@ -471,31 +548,31 @@ def token_candidates(text: str) -> list[Candidate]:
                 # the embedded country "Mexico"
                 conf = 0.91 if tk.text[0].isupper() else 0.55
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", conf))
-        if _gaz_glued(tk, CITY_1):
-            out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.92))
-        if _gaz_glued(tk, COUNTRY_1):
-            out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.90))
-        if _gaz_glued(tk, STATE_1):
-            conf = 0.89 if tk.text[0].isupper() else 0.55
-            out.append(Candidate(tk.start, tk.end, "ADDRESS", conf))
+        for gaz1, conf1 in ((CITY_1, 0.92), (COUNTRY_1, 0.90), (STATE_1, None)):
+            sp = _gaz_span(tk, gaz1)
+            if sp:
+                if conf1 is None:  # state full names
+                    conf1 = 0.89 if tk.text[0].isupper() else 0.55
+                out.append(Candidate(sp[0], sp[1], "ADDRESS", conf1))
 
         # ---- street name / street address / full address
-        if (
-            i + 1 < n
-            and _gaz_glued(tk, STREET_FIRSTS)
-            and (
-                toks[i + 1].low in STREET_SUFFIXES_L
-                or toks[i + 1].low[:-1] in STREET_SUFFIXES_L
-            )
+        street_sp = _gaz_span(tk, STREET_FIRSTS) if i + 1 < n else None
+        if street_sp and (
+            toks[i + 1].low in STREET_SUFFIXES_L
+            or toks[i + 1].low[:-1] in STREET_SUFFIXES_L
         ):
-            s, e = tk.start, toks[i + 1].end
+            s = street_sp[0]
+            e = (
+                toks[i + 1].end
+                if toks[i + 1].low in STREET_SUFFIXES_L
+                else toks[i + 1].end - 1
+            )
             j = i + 2
             conf = 0.93
             # building number may carry glued noise chars: 'toT3351'
-            if i > 0 and re.search(r"\d{1,4}$", toks[i - 1].text) and (
-                len(toks[i - 1].text) <= 7
-            ):
-                s = toks[i - 1].start
+            num_m = re.search(r"\d{1,4}$", toks[i - 1].text) if i > 0 else None
+            if num_m and len(toks[i - 1].text) <= 7:
+                s = toks[i - 1].start + num_m.start()
                 conf = 0.95
                 # optional ", Apt. N"
                 if (
@@ -526,26 +603,32 @@ def token_candidates(text: str) -> list[Candidate]:
                                 and toks[p].text.upper() in STATE_ABBRS
                                 and re.match(r"^\d{5}", toks[p + 1].text)
                             ):
-                                e2 = toks[p + 1].end
+                                e2 = toks[p + 1].start + 5
                                 if (
                                     p + 3 < n
                                     and toks[p + 2].text == "-"
                                     and re.match(r"^\d{4}", toks[p + 3].text)
                                     and toks[p + 2].start == toks[p + 1].end
+                                    and len(toks[p + 1].text) == 5
                                 ):
-                                    e2 = toks[p + 3].end
+                                    e2 = toks[p + 3].start + 4
                                 out.append(Candidate(s, e2, "ADDRESS", 0.97))
                                 break
             out.append(Candidate(s, e, "ADDRESS", conf))
 
-        # ---- Apartment/Suite/Floor N (glue-tolerant on both tokens)
-        if (
-            _gaz_glued(tk, _UNIT_WORDS)
-            and i + 1 < n
-            and re.match(r"^\d{1,3}", toks[i + 1].text)
-            and len(toks[i + 1].text) <= 4
-        ):
-            out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.95))
+        # ---- Apartment/Suite/Floor N (glue-tolerant, tight bounds)
+        unit_sp = _gaz_span(tk, _UNIT_WORDS)
+        if unit_sp and i + 1 < n and len(toks[i + 1].text) <= 4:
+            num_m = re.match(r"^\d{1,3}", toks[i + 1].text)
+            if num_m:
+                out.append(
+                    Candidate(
+                        unit_sp[0],
+                        toks[i + 1].start + num_m.end(),
+                        "ADDRESS",
+                        0.95,
+                    )
+                )
 
         # ---- postcode pair "12345, 67890-1234" as ONE span (addr branch 17)
         if tk.text.isdigit() and len(tk.text) == 5:
@@ -592,19 +675,22 @@ def token_candidates(text: str) -> list[Candidate]:
 
         # ---- ORG grammars (no case requirements: inside-span case
         # scramble, generation.py:699-701, routinely lowercases names)
-        if _gaz_glued(tk, LASTS):
+        org_anchor = _gaz_span(tk, LASTS)
+        if org_anchor:
 
-            def _suffix_end(j: int) -> int:
-                """Token index past a company suffix at j, else -1;
+            def _suffix_char_end(j: int) -> int:
+                """Tight char end of a company suffix at token j, else -1;
                 tolerates a glued tail ('Groupl', 'IncP947')."""
                 if j >= n:
                     return -1
                 if j + 1 < n and (toks[j].low, toks[j + 1].low) in ORG_SUFFIX_SEQS:
-                    return j + 2  # "and Sons"
+                    return toks[j + 1].end  # "and Sons"
                 lj = toks[j].low
                 for (sfx,) in (s for s in ORG_SUFFIX_SEQS if len(s) == 1):
-                    if lj == sfx or lj[:-1] == sfx:
-                        return j + 1
+                    if lj == sfx:
+                        return toks[j].end
+                    if lj[:-1] == sfx:
+                        return toks[j].end - 1
                     if (
                         lj.startswith(sfx)
                         and len(lj) > len(sfx)
@@ -613,51 +699,56 @@ def token_candidates(text: str) -> list[Candidate]:
                             or toks[j].text[len(sfx)].isdigit()
                         )
                     ):
-                        return j + 1
+                        return toks[j].start + len(sfx)
                 return -1
 
             # Last + suffix  /  Last Last + suffix
             for k in (1, 2):
                 j = i + k
                 if k == 1 or (j - 1 < n and _gaz_glued(toks[j - 1], LASTS)):
-                    pe = _suffix_end(j)
-                    if pe > 0:
-                        out.append(
-                            Candidate(tk.start, toks[pe - 1].end, "ORG", 0.95)
-                        )
+                    ce = _suffix_char_end(j)
+                    if ce > 0:
+                        out.append(Candidate(org_anchor[0], ce, "ORG", 0.95))
             # Last-Last (incl. spacing-noised "A - B")
-            if (
-                i + 2 < n
-                and toks[i + 1].text == "-"
-                and _gaz_glued(toks[i + 2], LASTS)
-            ):
-                out.append(Candidate(tk.start, toks[i + 2].end, "ORG", 0.91))
+            if i + 2 < n and toks[i + 1].text == "-":
+                sp2 = _gaz_span(toks[i + 2], LASTS)
+                if sp2:
+                    out.append(Candidate(org_anchor[0], sp2[1], "ORG", 0.91))
             # Last, Last and Last
             if (
                 i + 4 < n
                 and toks[i + 1].text == ","
                 and _gaz_glued(toks[i + 2], LASTS)
                 and toks[i + 3].low == "and"
-                and _gaz_glued(toks[i + 4], LASTS)
             ):
-                out.append(Candidate(tk.start, toks[i + 4].end, "ORG", 0.95))
+                sp4 = _gaz_span(toks[i + 4], LASTS)
+                if sp4:
+                    out.append(Candidate(org_anchor[0], sp4[1], "ORG", 0.95))
 
-        # ---- PERSON: real names  First [X.] Last
-        if _gaz_glued(tk, FIRSTS) and prev_char(i) != "@":
-            if i + 1 < n and _gaz_glued(toks[i + 1], LASTS):
-                out.append(Candidate(tk.start, toks[i + 1].end, "PERSON", 0.93))
+        # ---- PERSON: real names  First [X.] Last  (tight bounds)
+        first_sp = _gaz_span(tk, FIRSTS)
+        if first_sp and prev_char(i) != "@":
+            if i + 1 < n:
+                last_sp = _gaz_span(toks[i + 1], LASTS)
+                if last_sp:
+                    out.append(
+                        Candidate(first_sp[0], last_sp[1], "PERSON", 0.93)
+                    )
             if (
                 i + 3 < n
                 and len(toks[i + 1].text) == 1
                 and toks[i + 1].text.isalpha()
                 and toks[i + 2].text == "."
-                and _gaz_glued(toks[i + 3], LASTS)
             ):
-                out.append(Candidate(tk.start, toks[i + 3].end, "PERSON", 0.94))
+                last_sp = _gaz_span(toks[i + 3], LASTS)
+                if last_sp:
+                    out.append(
+                        Candidate(first_sp[0], last_sp[1], "PERSON", 0.94)
+                    )
 
         # ---- PERSON: first.last / first_last (+digits), optional year
         # prefix (with ≤2 leading glued chars: 'g1951heather.dixon')
-        stem_hit = False
+        stem_start = -1
         for strip in (0, 1, 2):
             alpha1 = tk.low[strip:]
             if len(alpha1) < 3:
@@ -665,10 +756,10 @@ def token_candidates(text: str) -> list[Candidate]:
             ym = _YEARPFX.match(alpha1) or _DIGPFX.match(alpha1)
             stem = alpha1[ym.end() :] if ym and alpha1[ym.end() :] else alpha1
             if stem in FIRSTS or (ym and stem in LASTS):
-                stem_hit = True
+                stem_start = tk.start + strip
                 break
         if (
-            stem_hit
+            stem_start >= 0
             and i + 2 < n
             and toks[i + 1].text in (".", "_")
             and toks[i + 1].start == tk.end
@@ -681,48 +772,67 @@ def token_candidates(text: str) -> list[Candidate]:
                 or m2.group(1)[:-1] in LASTS
                 or len(m2.group(1)) >= 6
             ):
-                out.append(Candidate(tk.start, toks[i + 2].end, "PERSON", 0.92))
+                tight_e = toks[i + 2].start + len(m2.group(1)) + len(m2.group(2))
+                if m2.group(1) not in LASTS and m2.group(1)[:-1] in LASTS and not m2.group(2):
+                    tight_e -= 1
+                out.append(Candidate(stem_start, tight_e, "PERSON", 0.92))
 
         # ---- PERSON: single-token username shapes (retry with 1-2
         # leading glued chars stripped: 'Inathan334', 'g1951heather')
         if _ALNUM_RE.match(tk.text) and prev_char(i) != "@":
-            conf = _username_shape(tk.low)
+            conf, a, b = _username_shape(tk.low)
             if conf == 0 and any(c.isdigit() for c in tk.low):
                 # retry with 1-2 leading glued chars stripped — but only
                 # for digit-bearing shapes (pure-alpha retries would turn
                 # 'hiking' into initial+'king')
                 for strip in (1, 2):
                     if len(tk.low) > strip + 3:
-                        c2 = _username_shape(tk.low[strip:])
+                        c2, a2, b2 = _username_shape(tk.low[strip:])
                         if c2 > 0:
-                            conf = c2 - 0.03
+                            conf, a, b = c2 - 0.03, strip + a2, strip + b2
                             break
             if conf > 0 and not _sep_adjacent(text, tk.start, tk.end):
-                out.append(Candidate(tk.start, tk.end, "PERSON", conf))
+                out.append(
+                    Candidate(tk.start + a, tk.start + b, "PERSON", conf)
+                )
 
-        # ---- PERSON: uppercase initials (2-4), context-gated; the
-        # blocklist is fuzzy because form labels arrive noised
+        # ---- PERSON: uppercase initials (2-4), context-gated; mixed
+        # case tolerated (inside-span case scramble) when ≥2 uppercase;
+        # the blocklist is fuzzy because form labels arrive noised
         # (ESN≈SSN by edit, SNS/ODB by adjacent-swap → anagram check)
         if (
-            re.match(r"^[A-Z]{2,4}$", tk.text)
+            re.match(r"^[A-Z][A-Za-z]{1,3}$", tk.text)
+            and sum(c.isupper() for c in tk.text) >= 2
             and not any(
-                tk.text == b
-                or _edit1(tk.text, b)
-                or sorted(tk.text) == sorted(b)
+                tk.text.upper() == b
+                or _edit1(tk.text.upper(), b)
+                or sorted(tk.text.upper()) == sorted(b)
                 for b in INITIALS_BLOCKLIST
             )
-            and tk.text not in STATE_ABBRS
-            and tk.text not in COUNTRY_CODES
+            and tk.text.upper() not in STATE_ABBRS
+            and tk.text.upper() not in COUNTRY_CODES
             and prev_char(i) != "@"
         ):
-            conf = 0.75 if _ctx(text, tk.start, tk.end, "PERSON") else 0.28
-            out.append(Candidate(tk.start, tk.end, "PERSON", conf))
+            if tk.text.isupper():
+                conf = 0.75 if _ctx(text, tk.start, tk.end, "PERSON") else 0.28
+            else:  # mixed case only with context
+                conf = 0.70 if _ctx(text, tk.start, tk.end, "PERSON") else 0.0
+            if conf > 0:
+                out.append(Candidate(tk.start, tk.end, "PERSON", conf))
 
-        # ---- PERSON: bare lowercase first name (username branch 20)
-        if tk.low in FIRSTS and tk.text.islower() and prev_char(i) != "@":
-            standalone = not (i + 1 < n and _gaz_glued(toks[i + 1], LASTS))
-            if standalone:
-                out.append(Candidate(tk.start, tk.end, "PERSON", 0.60))
+        # ---- PERSON: bare lowercase first name (username branch 20);
+        # exact hits must be lowercase (capitalized 'Virginia' is a
+        # state), glued hits ('Rfrances') carry noise and skip that check
+        if prev_char(i) != "@" and not (
+            i + 1 < n and _gaz_glued(toks[i + 1], LASTS)
+        ):
+            if tk.low in FIRSTS:
+                if tk.text.islower():
+                    out.append(Candidate(tk.start, tk.end, "PERSON", 0.60))
+            else:
+                sp = _gaz_span(tk, FIRSTS)
+                if sp and not _gaz_glued(tk, CITY_1 | STATE_1 | COUNTRY_1):
+                    out.append(Candidate(sp[0], sp[1], "PERSON", 0.55))
 
     return out
 

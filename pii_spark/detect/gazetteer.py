@@ -45,11 +45,19 @@ STREET_SUFFIXES_L = frozenset(w.lower() for w in STREET_SUFFIXES)
 # company suffix token tuples ("and Sons" is two tokens)
 ORG_SUFFIX_SEQS = frozenset(tuple(s.lower().split()) for s in COMPANY_SUFFIXES)
 
-# uppercase tokens that must never be read as PERSON initials
-# (hard-negative anchors, generation.py:756-775, plus form labels)
+# tokens that must never be read as PERSON initials: hard-negative
+# anchors (generation.py:756-775) plus 2-4 letter template-literal words
+# — noise case-scrambles them ('CaLl', 'NAme') and the initials matcher
+# compares fuzzily (edit-1 + anagram), so the list errs on the large side
 INITIALS_BLOCKLIST = frozenset(
     {"MAC", "SHA1", "GUID", "IPV4", "REF", "ACCT", "CARD", "SSN", "DOB",
-     "ID", "PSA", "TIFU", "DM", "AT", "TO", "EXP", "DON", "SHARE"}
+     "ID", "PSA", "TIFU", "DM", "AT", "TO", "EXP", "DON", "SHARE",
+     "CALL", "NAME", "YOUR", "ZOOM", "FROM", "HIRE", "AGE", "DATE",
+     "BORN", "DEPT", "HMU", "DIAL", "ATTN", "MEET", "LINK", "SENT",
+     "JUST", "INFO", "MINE", "LOST", "WTF", "IDK", "USER", "DEAR",
+     "WITH", "EMAIL", "TEL", "FULL", "SHIP", "YO", "UR", "OK", "SO",
+     "HI", "ME", "MY", "IF", "US", "UP", "ALL", "BUT", "NOT", "FOR",
+     "AND", "THE", "WAS", "HAS", "HAVE", "THEY", "WONT", "THEM", "THIS"}
 )
 
 MAX_SEQ_LEN = max(

@@ -16,7 +16,14 @@ import re
 
 from .config import MAX_TOKENS
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+# subword-ish segmentation, mirroring how the reference's BPE tokenizer
+# (build_datasets.py:40) isolates noise-glued chars into their own
+# subtokens: split at lower→Upper and letter↔digit transitions, so
+# "frompBlack1988" → fromp | Black | 1988 and a glued char never fuses
+# with a PII span's tokens.
+_TOKEN_RE = re.compile(
+    r"\d+|[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[^\sA-Za-z0-9]"
+)
 
 BOS_ID = 1
 EOS_ID = 2
