@@ -462,7 +462,13 @@ def _gaz_span(tok: _Tok, gaz: frozenset) -> tuple[int, int] | None:
         if low[k:] in gaz and (k <= 2 or tok.text[k].isupper()):
             return (tok.start + k, tok.end)
     for k in range(ln - 1, 3, -1):
-        if low[:k] in gaz and (tok.text[k].isupper() or tok.text[k].isdigit()):
+        # trailing glue handover: uppercase/digit at k, or an uppercase
+        # restart within 2 chars ('Burns' + 'h' + 'Aodres')
+        if low[:k] in gaz and (
+            tok.text[k].isupper()
+            or tok.text[k].isdigit()
+            or any(c.isupper() for c in tok.text[k + 1 : k + 3])
+        ):
             return (tok.start, tok.start + k)
     return None
 
@@ -471,18 +477,21 @@ def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
     return _gaz_span(tok, gaz) is not None
 
 
-def _username_shape(low: str) -> tuple[float, int, int]:
+def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, int]:
     """Single-token username hit: (confidence, start_off, end_off) —
     offsets are TIGHT (glued trail chars excluded) so the fine metric
     tokens around noise glue align with the generator's exact spans.
-    Shapes per generation.py:51-118."""
-    m = re.match(r"^([a-z]+)(\d{1,6})([a-z]{0,3})$", low)
+    Shapes per generation.py:51-118; trailing glue may be arbitrarily
+    long (it is never part of the span)."""
+    m = re.match(r"^([a-z]+)(\d{1,6})", low)
     if m:
-        alpha, digits, trail = m.group(1), m.group(2), m.group(3)
+        alpha, digits = m.group(1), m.group(2)
+        trail = low[m.end() :]
         tight = len(alpha) + len(digits)
         if len(alpha) == 1:
-            # letter+digits ids: A141981 / N23 (7-8 digits would be SSN)
-            if len(digits) in (2, 6) and len(trail) <= 2:
+            # letter+digits ids: A141981 / N23 (7-8 digits would be SSN);
+            # generated with an UPPERCASE letter only
+            if len(digits) in (2, 6) and len(trail) <= 2 and first_upper:
                 return (0.85, 0, tight)
             return (0.0, 0, 0)
         name_gaz = alpha in FIRSTS or alpha in LASTS
@@ -497,17 +506,29 @@ def _username_shape(low: str) -> tuple[float, int, int]:
         if len(alpha) >= 6 and len(digits) >= 2:
             return (0.88, 0, tight)  # random-letter usernames
         return (0.0, 0, 0)
-    m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})$", low)
+    m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})", low)
     if m:  # digit/year-prefixed usernames
         alpha = m.group(2)
         if alpha in FIRSTS or alpha in LASTS or len(alpha) >= 6:
-            return (0.85, 0, len(low))
+            return (0.85, 0, m.end())
+        return (0.0, 0, 0)
+    # year-prefixed username buried after leading glue: 'havef1970jhamilton'
+    m = re.search(r"(?:19|20)\d{2}[a-z]+\d{0,6}", low)
+    if m and not low[: m.start()].isdigit():
+        inner = re.match(r"^(\d{4})([a-z]+)(\d{0,6})", m.group())
+        alpha = inner.group(2)
+        if alpha in FIRSTS or alpha in LASTS or len(alpha) >= 6 or (
+            alpha[1:] in LASTS and len(alpha) >= 5
+        ):
+            return (0.83, m.start(), m.end())
         return (0.0, 0, 0)
     if len(low) >= 5 and low.isalpha():
-        # first-initial + last name: 'gpatterson', 'rstevensU'
+        # first-initial + last name: 'gpatterson', 'rstevensU'; glued
+        # variants require a long tail or random words shed into it
+        # ('eleetd' → 'lee' must NOT count)
         for strip in (0, 1, 2):
             tail = low[1 : len(low) - strip]
-            if tail in LASTS:
+            if tail in LASTS and (strip == 0 or len(tail) >= 5):
                 return (0.87, 0, len(low) - strip)
     return (0.0, 0, 0)
 
@@ -780,51 +801,73 @@ def token_candidates(text: str) -> list[Candidate]:
         # ---- PERSON: single-token username shapes (retry with 1-2
         # leading glued chars stripped: 'Inathan334', 'g1951heather')
         if _ALNUM_RE.match(tk.text) and prev_char(i) != "@":
-            conf, a, b = _username_shape(tk.low)
+            conf, a, b = _username_shape(tk.low, tk.text[0].isupper())
             if conf == 0 and any(c.isdigit() for c in tk.low):
                 # retry with 1-2 leading glued chars stripped — but only
                 # for digit-bearing shapes (pure-alpha retries would turn
                 # 'hiking' into initial+'king')
                 for strip in (1, 2):
                     if len(tk.low) > strip + 3:
-                        c2, a2, b2 = _username_shape(tk.low[strip:])
+                        c2, a2, b2 = _username_shape(
+                            tk.low[strip:], tk.text[strip].isupper()
+                        )
                         if c2 > 0:
                             conf, a, b = c2 - 0.03, strip + a2, strip + b2
                             break
-            if conf > 0 and not _sep_adjacent(text, tk.start, tk.end):
+            if (
+                conf > 0
+                and not _sep_adjacent(text, tk.start, tk.end)
+                and not _blocked_number(text, tk.start, tk.end)
+            ):
                 out.append(
                     Candidate(tk.start + a, tk.start + b, "PERSON", conf)
                 )
 
-        # ---- PERSON: uppercase initials (2-4), context-gated; mixed
-        # case tolerated (inside-span case scramble) when ≥2 uppercase;
-        # the blocklist is fuzzy because form labels arrive noised
-        # (ESN≈SSN by edit, SNS/ODB by adjacent-swap → anagram check)
+        # ---- PERSON: uppercase initials (2-4), context-gated, with ≤2
+        # trailing glued digits tolerated ('KOW9'). The blocklist is
+        # fuzzy for words ≥4 (ESN≈SSN arrives noised) plus anagrams
+        # (SNS/ODB from adjacent swaps); 2-3 letter blocklist words match
+        # exactly/anagram only — edit-1 there would swallow most of the
+        # random-initials space.
+        ini_m = re.match(r"^([A-Z]{2,4})(\d{0,2})$", tk.text)
+        ini_formlabel = ini_m and (
+            ini_m.group(2)
+            or text[tk.end : tk.end + 2].lstrip().startswith(":")
+            or (tk.start > 0 and text[tk.start - 1] == ":")
+        )
         if (
-            re.match(r"^[A-Z][A-Za-z]{1,3}$", tk.text)
-            and sum(c.isupper() for c in tk.text) >= 2
+            ini_m
             and not any(
-                tk.text.upper() == b
-                or _edit1(tk.text.upper(), b)
-                or sorted(tk.text.upper()) == sorted(b)
+                ini_m.group(1) == b
+                or sorted(ini_m.group(1)) == sorted(b)
+                or (len(b) >= 4 and _edit1(ini_m.group(1), b))
+                # a noised form label ('ESN:', 'SS0') sits in label
+                # position; only then does edit-1 apply to 3-letter words
+                or (len(b) == 3 and ini_formlabel and _edit1(ini_m.group(1), b))
                 for b in INITIALS_BLOCKLIST
             )
-            and tk.text.upper() not in STATE_ABBRS
-            and tk.text.upper() not in COUNTRY_CODES
+            and ini_m.group(1) not in STATE_ABBRS
+            and ini_m.group(1) not in COUNTRY_CODES
             and prev_char(i) != "@"
         ):
-            if tk.text.isupper():
-                conf = 0.75 if _ctx(text, tk.start, tk.end, "PERSON") else 0.28
-            else:  # mixed case only with context
-                conf = 0.70 if _ctx(text, tk.start, tk.end, "PERSON") else 0.0
-            if conf > 0:
-                out.append(Candidate(tk.start, tk.end, "PERSON", conf))
+            conf = 0.75 if _ctx(text, tk.start, tk.end, "PERSON") else 0.28
+            out.append(
+                Candidate(tk.start, tk.start + len(ini_m.group(1)), "PERSON", conf)
+            )
 
         # ---- PERSON: bare lowercase first name (username branch 20);
         # exact hits must be lowercase (capitalized 'Virginia' is a
-        # state), glued hits ('Rfrances') carry noise and skip that check
+        # state), glued hits ('Rfrances') carry noise and skip that
+        # check. A following last name only suppresses the hit when it
+        # is NOT an email local part ('george graham.samuel@…').
+        nxt_is_email_local = (
+            i + 1 < n
+            and text[toks[i + 1].end : toks[i + 1].end + 1] in (".", "@", "_")
+        )
         if prev_char(i) != "@" and not (
-            i + 1 < n and _gaz_glued(toks[i + 1], LASTS)
+            i + 1 < n
+            and _gaz_glued(toks[i + 1], LASTS)
+            and not nxt_is_email_local
         ):
             if tk.low in FIRSTS:
                 if tk.text.islower():

@@ -52,7 +52,7 @@ ORG_SUFFIX_SEQS = frozenset(tuple(s.lower().split()) for s in COMPANY_SUFFIXES)
 INITIALS_BLOCKLIST = frozenset(
     {"MAC", "SHA1", "GUID", "IPV4", "REF", "ACCT", "CARD", "SSN", "DOB",
      "ID", "PSA", "TIFU", "DM", "AT", "TO", "EXP", "DON", "SHARE",
-     "CALL", "NAME", "YOUR", "ZOOM", "FROM", "HIRE", "AGE", "DATE",
+     "CALL", "NAME", "YOUR", "ZOOM", "FROM", "HIRE", "AGE", "DATE", "PHONE",
      "BORN", "DEPT", "HMU", "DIAL", "ATTN", "MEET", "LINK", "SENT",
      "JUST", "INFO", "MINE", "LOST", "WTF", "IDK", "USER", "DEAR",
      "WITH", "EMAIL", "TEL", "FULL", "SHIP", "YO", "UR", "OK", "SO",
