@@ -80,7 +80,10 @@ QUALITY = {
     "max_rep_ratio": 0.60,    # 1 - distinct_words/words (repetition)
     "max_digit_ratio": 0.45,  # digit chars / non-space chars
     "min_alpha_ratio": 0.30,  # alpha chars / non-space chars (C4-ish)
-    "max_ppl": 2.5e4,         # char-LM perplexity ceiling (en model)
+    # char-LM per-character perplexity ceiling (en trigram model):
+    # measured p95 for noised positives ≈ 43, max ≈ 60; junk/hard-negative
+    # strings land 70-95 (scripts/f1_harness.py + quality sweep)
+    "max_ppl": 65.0,
     "langs_kept": ("en",),
 }
 

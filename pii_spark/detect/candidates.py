@@ -288,12 +288,15 @@ def format_candidates(text: str) -> list[Candidate]:
     for rx, conf in P.SSN_PATTERNS:
         for m in rx.finditer(text):
             s, e = m.start(), m.end()
-            if conf <= 0.90 and _hex_embedded(text, s, e):
-                continue  # letter+digits inside SHA1
+            if _hex_embedded(text, s, e):
+                continue  # digit groups inside SHA1/GUID
             out.append(Candidate(s, e, "SSN", conf))
     for rx, conf in P.PHONE_PATTERNS:
         for m in rx.finditer(text):
-            out.append(Candidate(m.start(), m.end(), "PHONE", conf))
+            s, e = m.start(), m.end()
+            if _hex_embedded(text, s, e):
+                continue  # GUID segments ('…563-0598-4e6e…')
+            out.append(Candidate(s, e, "PHONE", conf))
 
     # dotted/spaced 3-3-4: PHONE vs SSN decided by the NEAREST context
     # keyword ("SSN: 067841399; Phone: 332 366 2175" has both in range);
@@ -544,6 +547,23 @@ def token_candidates(text: str) -> list[Candidate]:
     def prev_char(i: int) -> str:
         s = toks[i].start
         return text[s - 1] if s > 0 else ""
+
+    def in_handle(i: int) -> bool:
+        """Token belongs to an '@'-prefixed handle chain
+        ('Handle @sara.henry' — generation.py:769): walk left across
+        './_' connectors to the chain start and check for '@'."""
+        j = i
+        while j > 0:
+            c = prev_char(j)
+            if c == "@":
+                return True
+            if c in "._" and j - 2 >= 0 and toks[j - 1].text in "._" and (
+                toks[j - 1].start == toks[j - 2].end
+            ):
+                j -= 2
+                continue
+            return False
+        return False
 
     def _seq2_hit(i: int, seqs: frozenset) -> bool:
         """2-token place hit; second token tolerates trailing noise glue."""
@@ -800,7 +820,11 @@ def token_candidates(text: str) -> list[Candidate]:
 
         # ---- PERSON: single-token username shapes (retry with 1-2
         # leading glued chars stripped: 'Inathan334', 'g1951heather')
-        if _ALNUM_RE.match(tk.text) and prev_char(i) != "@":
+        if (
+            _ALNUM_RE.match(tk.text)
+            and len(tk.text) <= 26  # SHA1/GUID tokens are longer
+            and not in_handle(i)
+        ):
             conf, a, b = _username_shape(tk.low, tk.text[0].isupper())
             if conf == 0 and any(c.isdigit() for c in tk.low):
                 # retry with 1-2 leading glued chars stripped — but only
@@ -864,7 +888,7 @@ def token_candidates(text: str) -> list[Candidate]:
             i + 1 < n
             and text[toks[i + 1].end : toks[i + 1].end + 1] in (".", "@", "_")
         )
-        if prev_char(i) != "@" and not (
+        if not in_handle(i) and not (
             i + 1 < n
             and _gaz_glued(toks[i + 1], LASTS)
             and not nxt_is_email_local

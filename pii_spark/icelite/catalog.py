@@ -1,0 +1,142 @@
+"""icelite — a minimal Iceberg-style snapshot layer over Parquet.
+
+No Iceberg runtime jars ship in this sandbox, so this module provides
+the subset of Iceberg semantics the north rule needs — snapshot-based
+commits, append/overwrite, time travel, and an atomic current-version
+pointer — with the same shape a real catalog would have:
+
+    table_dir/
+      data/snap-<snapshot_id>/part-*.parquet   (one dir per commit)
+      metadata/v<N>.json                       (snapshot manifest)
+      metadata/version-hint.text               (current version, atomic)
+
+A snapshot manifest lists the data directories that make up the table
+at that version plus a free-form ``summary`` (used by the resume ledger
+to record which partition-groups are already committed). Commits are
+atomic via write-to-temp + os.rename of both the manifest and the
+version hint, so a killed job never publishes a half-written snapshot —
+the restart sees the last committed version (checkpoint resume).
+
+The API is deliberately catalog-like (read/append/overwrite/snapshots)
+so a real iceberg-spark-runtime can replace it behind the same calls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    data_dirs: list[str]
+    summary: dict
+    committed_at_ms: int
+
+
+class IceliteTable:
+    def __init__(self, table_dir: str | Path):
+        self.dir = Path(table_dir)
+        self.meta = self.dir / "metadata"
+        self.data = self.dir / "data"
+
+    # ------------------------------------------------------------ read side
+
+    def current_version(self) -> int | None:
+        hint = self.meta / "version-hint.text"
+        if not hint.exists():
+            return None
+        return int(hint.read_text().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        version = version if version is not None else self.current_version()
+        if version is None:
+            return None
+        path = self.meta / f"v{version}.json"
+        if not path.exists():
+            return None
+        d = json.loads(path.read_text())
+        return Snapshot(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            operation=d["operation"],
+            data_dirs=d["data_dirs"],
+            summary=d.get("summary", {}),
+            committed_at_ms=d["committed_at_ms"],
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        cur = self.current_version()
+        if cur is None:
+            return []
+        return [self.snapshot(v) for v in range(1, cur + 1)]
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (time travel via ``version``)."""
+        snap = self.snapshot(version)
+        if snap is None or not snap.data_dirs:
+            raise FileNotFoundError(f"no snapshot for table {self.dir}")
+        return spark.read.parquet(*snap.data_dirs)
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    # ----------------------------------------------------------- write side
+
+    def _commit(self, operation: str, new_dirs: list[str], summary: dict) -> Snapshot:
+        self.meta.mkdir(parents=True, exist_ok=True)
+        parent = self.snapshot()
+        if operation == "append" and parent is not None:
+            data_dirs = parent.data_dirs + new_dirs
+        else:
+            data_dirs = new_dirs
+        version = (parent.version if parent else 0) + 1
+        snap = {
+            "version": version,
+            "snapshot_id": uuid.uuid4().int >> 96,
+            "parent_id": parent.snapshot_id if parent else None,
+            "operation": operation,
+            "data_dirs": data_dirs,
+            "summary": summary,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        tmp = self.meta / f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}"
+        tmp.write_text(json.dumps(snap, indent=1))
+        os.rename(tmp, self.meta / f"v{version}.json")
+        tmp_hint = self.meta / f".hint.tmp-{uuid.uuid4().hex[:8]}"
+        tmp_hint.write_text(str(version))
+        os.rename(tmp_hint, self.meta / "version-hint.text")  # atomic publish
+        return self.snapshot(version)
+
+    def _write_data(self, df: DataFrame) -> str:
+        snap_dir = self.data / f"snap-{uuid.uuid4().hex[:16]}"
+        df.write.mode("overwrite").parquet(str(snap_dir))
+        return str(snap_dir)
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        return self._commit("append", [self._write_data(df)], summary or {})
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        return self._commit("overwrite", [self._write_data(df)], summary or {})
+
+    # ------------------------------------------------------------- ledger
+
+    def committed_groups(self, key: str = "group") -> set:
+        """Union of ``summary[key]`` values across committed snapshots —
+        the resume ledger: groups present here are never reprocessed."""
+        done = set()
+        for snap in self.snapshots():
+            if key in snap.summary:
+                done.add(snap.summary[key])
+        return done

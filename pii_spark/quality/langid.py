@@ -1,0 +1,128 @@
+"""Character n-gram language identification (fastText-style, offline).
+
+The north rule calls for fastText language-ID; the binary is not
+available offline, so this is a deterministic multinomial Naive Bayes
+over character trigrams with the same UDF surface a fastText model
+would have (`predict(texts) -> (lang, prob)`).
+
+The model is built at import time from the seeded per-language word
+lists in pii_spark.wordlists (the same closed vocabularies the corpus
+generator draws from) — a few KB of state, so no artifact file is
+needed; executors rebuild it deterministically on first use.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..wordlists import FILLER_EN, LANG_WORDS
+
+LANGS = ("en", "de", "fr", "es", "zz")
+_TRAIN_WORDS = {
+    "en": FILLER_EN,
+    "de": LANG_WORDS["de"],
+    "fr": LANG_WORDS["fr"],
+    "es": LANG_WORDS["es"],
+}
+
+
+def _trigrams(s: str):
+    s = f"  {s.lower()} "
+    for i in range(len(s) - 2):
+        yield s[i : i + 3]
+
+
+_TRAIN_SEED = 20260816  # reserved: never used for eval/test corpora
+
+
+def _en_training_samples(n: int = 400) -> list[str]:
+    """English training text drawn from the generator's own distribution
+    (a language-ID model for this corpus must see PII-heavy documents,
+    not just prose — otherwise digit/symbol-dense English rows misroute
+    to the junk class). Uses a reserved seed, disjoint from any corpus
+    the pipeline is evaluated on."""
+    from ..textgrammar.generator import (
+        build_hard_negative_example,
+        build_o_only_example,
+        build_variable_length_example,
+        rng_for,
+    )
+
+    out = []
+    i = 0
+    while len(out) < n:
+        rng = rng_for(_TRAIN_SEED, i)
+        roll = i % 4
+        if roll in (0, 1):
+            out.append(build_variable_length_example(rng)[0])
+        elif roll == 2:
+            out.append(build_o_only_example(rng)[0])
+        else:
+            out.append(build_hard_negative_example(rng)[0])
+        i += 1
+    return out
+
+
+def _build() -> dict[str, dict[str, float]]:
+    rng = np.random.default_rng([42, 424242])
+    models: dict[str, dict[str, float]] = {}
+    for lang in LANGS:
+        counts: dict[str, int] = {}
+        if lang == "zz":
+            pool = "abcdefghijklmnopqrstuvwxyz##@@%%^^**"
+            samples = [
+                "".join(pool[int(rng.integers(0, len(pool)))] for _ in range(8))
+                for _ in range(400)
+            ]
+        elif lang == "en":
+            samples = _en_training_samples()
+        else:
+            words = _TRAIN_WORDS[lang]
+            samples = [
+                " ".join(
+                    words[int(rng.integers(0, len(words)))] for _ in range(8)
+                )
+                for _ in range(400)
+            ]
+        total = 0
+        for s in samples:
+            for tri in _trigrams(s):
+                counts[tri] = counts.get(tri, 0) + 1
+                total += 1
+        vocab = len(counts) + 1
+        logp = {
+            tri: math.log((c + 0.5) / (total + 0.5 * vocab))
+            for tri, c in counts.items()
+        }
+        logp["<unk>"] = math.log(0.5 / (total + 0.5 * vocab))
+        models[lang] = logp
+    return models
+
+
+_MODELS = _build()
+
+
+def classify(text: str) -> tuple[str, float]:
+    """Return (language, posterior probability)."""
+    scores = {}
+    for lang, logp in _MODELS.items():
+        unk = logp["<unk>"]
+        s = 0.0
+        for tri in _trigrams(text[:2000]):
+            s += logp.get(tri, unk)
+        scores[lang] = s
+    best = max(scores, key=scores.get)
+    m = scores[best]
+    denom = sum(math.exp(v - m) for v in scores.values())
+    return best, 1.0 / denom
+
+
+def classify_batch(texts) -> tuple[list[str], list[float]]:
+    langs, probs = [], []
+    for t in texts:
+        lg, p = classify(t or "")
+        langs.append(lg)
+        probs.append(p)
+    return langs, probs

@@ -1,0 +1,211 @@
+"""The quality-filter + PII-scrub pipeline (EP3 re-expressed Spark-first).
+
+Plan shape (all declarative; Catalyst handles pushdown/pruning):
+
+  read corpus (url, warc_ts, text[, html pruned away])
+    → salted repartition           (defuse domain skew before UDF stages)
+    → native heuristic columns     (whole-stage codegen, no Python)
+    → fused Arrow UDF #1           (langid + perplexity in ONE crossing)
+    → fused Arrow UDF #2           (two-stage PII detect + scrub in ONE)
+    → keep / drop_reason           (native boolean expressions)
+
+Exactly two JVM↔Python crossings per row batch, both Arrow-vectorized —
+the reference's per-example driver loop (model_evaluation.py:233-299,
+batch size 1) becomes two batched stages. PII scrubbing runs on EVERY
+row (dropped rows still get scrubbed text — the output contract is
+scrubbed text per url), while language-ID/perplexity/heuristics feed
+only the keep decision.
+
+Unicode note: the native ratio expressions use \\p{L}/\\p{Nd} so they
+agree with Python's str.isalpha()/isdigit() on the non-English rows
+(tests/test_quality.py pins native == pure)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import QUALITY
+
+_SALT = 0x5CA1AB1E
+
+
+def salted_repartition(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Uniform repartition on a salted url hash. The corpus is domain-
+    skewed (one hot domain ≈30% of rows, FIXTURES.md §1); hashing the
+    full url (unique per row) with a salt spreads any hot domain evenly
+    before the expensive UDF stages."""
+    key = F.xxhash64(F.col("url"), F.lit(_SALT))
+    if partitions:
+        return df.repartition(partitions, key)
+    return df.repartition(key)
+
+
+# ------------------------------------------------------------ native exprs
+
+def quality_exprs() -> dict[str, Column]:
+    """C4/Gopher heuristic statistics as pure Catalyst expressions
+    (same semantics as quality.heuristics.quality_stats)."""
+    text = F.col("text")
+    nonspace = F.regexp_replace(text, r"\s", "")
+    n_ns = F.greatest(F.length(nonspace), F.lit(1))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace(nonspace, r"[^\p{L}]", ""))
+    n_digit = F.length(F.regexp_replace(nonspace, r"[^\p{Nd}]", ""))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.when(n_words > 0, F.length(nonspace) / n_words)
+        .otherwise(F.lit(0.0)),
+        "symbol_ratio": (n_ns - n_alpha - n_digit) / n_ns,
+        "digit_ratio": n_digit / n_ns,
+        "alpha_ratio": n_alpha / n_ns,
+        "rep_ratio": F.when(
+            n_words > 0,
+            1.0
+            - F.size(F.array_distinct(F.transform(words, F.lower)))
+            / n_words,
+        ).otherwise(F.lit(1.0)),
+    }
+
+
+def heuristics_pass_expr(q: dict | None = None) -> Column:
+    q = q or QUALITY
+    return (
+        F.col("n_words").between(q["min_words"], q["max_words"])
+        & F.col("mean_word_len").between(
+            q["min_mean_word_len"], q["max_mean_word_len"]
+        )
+        & (F.col("symbol_ratio") <= q["max_symbol_ratio"])
+        & (F.col("rep_ratio") <= q["max_rep_ratio"])
+        & (F.col("digit_ratio") <= q["max_digit_ratio"])
+        & (F.col("alpha_ratio") >= q["min_alpha_ratio"])
+    )
+
+
+# ------------------------------------------------------------ Arrow UDFs
+
+from pyspark.sql import types as T  # noqa: E402
+
+from ..schema import SPAN_SRC  # noqa: E402
+
+_QUALITY_STRUCT = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_prob", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+def _quality_fn(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Fused langid + perplexity: one Arrow crossing for both models
+    (SURVEY §4: fuse per-doc stages into one UDF per pipeline leg).
+    Iterator form — models are module-level singletons built once per
+    executor interpreter."""
+    from ..quality.langid import classify_batch
+    from ..quality.perplexity import perplexity_batch
+
+    for texts in batches:
+        langs, probs = classify_batch(texts)
+        ppls = perplexity_batch(texts)
+        yield pd.DataFrame(
+            {"lang_pred": langs, "lang_prob": probs, "ppl": ppls}
+        )
+
+
+def quality_udf():
+    return F.pandas_udf(_quality_fn, _QUALITY_STRUCT)
+
+
+_SCRUB_STRUCT = T.StructType(
+    [
+        T.StructField("spans", T.ArrayType(SPAN_SRC)),
+        T.StructField("scrubbed_text", T.StringType()),
+    ]
+)
+_REGEX_STAGE_LABELS = {"EMAIL", "PHONE", "SSN", "IP"}
+
+
+def _scrub_fn(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Fused two-stage PII detection + scrub: regex stage (EMAIL / PHONE
+    / SSN / IP format matchers) and the batched token-classification
+    stage (tokenize → logits → softmax → threshold 0.3 → BILOU decode,
+    serving.py) run inside one Arrow batch, then the merged spans are
+    replaced with typed placeholders."""
+    from ..detect.scrub import scrub_text
+    from ..detect.serving import serve_batch
+
+    for texts in batches:
+        spans_col, scrubbed_col = [], []
+        for text, doc in zip(texts, serve_batch(list(texts))):
+            spans = [
+                {
+                    "start": cs,
+                    "end": ce,
+                    "label": lab,
+                    "source": "regex" if lab in _REGEX_STAGE_LABELS else "model",
+                }
+                for lab, _a, _b, cs, ce in doc.entities
+            ]
+            spans_col.append(spans)
+            scrubbed_col.append(scrub_text(text or "", doc.entities))
+        yield pd.DataFrame(
+            {"spans": spans_col, "scrubbed_text": scrubbed_col}
+        )
+
+
+def scrub_udf():
+    return F.pandas_udf(_scrub_fn, _SCRUB_STRUCT)
+
+
+# ------------------------------------------------------------ pipeline
+
+def run_pipeline(
+    corpus: DataFrame,
+    partitions: int | None = None,
+    with_doc_id: bool = False,
+) -> DataFrame:
+    """corpus(url, warc_ts, html, text, lang[, doc_id]) → output rows
+    (FIXTURES.md §5 schema). Only url/text are actually read — html is
+    pruned at the scan by Catalyst because no expression touches it."""
+    q = QUALITY
+    cols = ["url", "text"] + (["doc_id"] if with_doc_id else [])
+    df = corpus.select(*cols)
+    df = salted_repartition(df, partitions)
+    df = df.withColumns(quality_exprs())
+    df = df.withColumn("q", quality_udf()(F.col("text")))
+    df = df.withColumn("s", scrub_udf()(F.col("text")))
+
+    heur_ok = heuristics_pass_expr(q)
+    lang_ok = F.col("q.lang_pred").isin(*q["langs_kept"])
+    ppl_ok = F.col("q.ppl") <= F.lit(q["max_ppl"])
+    keep = lang_ok & ppl_ok & heur_ok
+    drop_reason = (
+        F.when(~lang_ok, F.lit("langid"))
+        .when(~ppl_ok, F.lit("perplexity"))
+        .when(~heur_ok, F.lit("heuristics"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    out_cols = [
+        F.col("url"),
+        keep.alias("keep"),
+        drop_reason.alias("drop_reason"),
+        F.col("q.lang_pred").alias("lang_pred"),
+        F.col("q.ppl").alias("ppl"),
+        F.struct(
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("mean_word_len").cast("double").alias("mean_word_len"),
+            F.col("symbol_ratio").cast("double").alias("symbol_ratio"),
+            F.col("rep_ratio").cast("double").alias("rep_ratio"),
+        ).alias("quality"),
+        F.col("s.spans").alias("spans"),
+        F.col("s.scrubbed_text").alias("scrubbed_text"),
+    ]
+    if with_doc_id:
+        out_cols.insert(0, F.col("doc_id"))
+    return df.select(*out_cols)

@@ -169,7 +169,7 @@ FILLER_EN = (
     "from", "committee", "server", "not", "responding", "error", "code",
     "deployed", "successfully", "database", "query", "returned", "empty",
     "results", "homework", "finished", "weekend", "plans", "include",
-    "hiking", "movie", "night", "restaurant", "nearby", "opened", "new",
+    "hiking", "movie", "night", "restaurant", "nearby", "opened", "novel",
     "menu", "looks", "promising", "coffee", "tastes", "better", "when",
     "shared", "morning", "commute", "slower", "because", "roadwork",
     "library", "extended", "hours", "during", "exams", "garden", "needs",

@@ -1,0 +1,111 @@
+"""Detector coverage: every field-sampler branch must round-trip
+through the detector on clean (noise-free) text, and hard negatives
+must stay label-free (FIXTURES.md §3 coverage contract)."""
+
+import numpy as np
+import pytest
+
+from pii_spark.detect.candidates import detect_spans
+from pii_spark.detect.scrub import scrub_text
+from pii_spark.detect.serving import serve_doc
+from pii_spark.textgrammar import fields as Fz
+from pii_spark.textgrammar.generator import hard_negative_strings, rng_for
+from pii_spark.textgrammar.noise import obfuscate_email, obfuscate_phone
+
+
+def _detect_labels(text):
+    return {(c.label) for c in detect_spans(text)}
+
+
+def _covers(text, value, label):
+    """Detector finds a span of `label` overlapping `value` in text."""
+    pos = text.index(value)
+    for c in detect_spans(text):
+        if c.label == label and c.start < pos + len(value) and c.end > pos:
+            return True
+    return False
+
+
+SAMPLERS = [
+    ("EMAIL", Fz.sample_email, "Contact: {v}"),
+    ("PHONE", Fz.sample_phone, "Phone: {v}"),
+    ("SSN", Fz.sample_ssn, "SSN: {v}"),
+    ("CREDIT_CARD", Fz.sample_credit_card, "card {v} was charged"),
+    ("DATE", Fz.sample_date, "DOB: {v}, thanks"),
+    ("AGE", Fz.sample_age, "My brother is {v} years old"),
+    ("PERSON", Fz.sample_person, "Username: {v}, welcome"),
+    ("ORG", Fz.sample_org, "Invoice to {v}, attention"),
+    ("ADDRESS", Fz.sample_address, "Ship to {v} for delivery"),
+]
+
+
+@pytest.mark.parametrize("label,sampler,template", SAMPLERS)
+def test_sampler_coverage(label, sampler, template):
+    hits = 0
+    n = 150
+    for i in range(n):
+        v = sampler(rng_for(1234, i))
+        text = template.format(v=v)
+        if _covers(text, v, label):
+            hits += 1
+    # clean text, explicit context: near-total coverage required
+    assert hits >= 0.93 * n, f"{label}: {hits}/{n}"
+
+
+def test_obfuscated_emails_covered():
+    for i in range(80):
+        rng = rng_for(99, i)
+        v = obfuscate_email(rng, Fz.sample_email(rng))
+        assert _covers(f"hmu at {v} ok", v, "EMAIL"), v
+
+
+def test_obfuscated_phones_covered():
+    hits = 0
+    for i in range(80):
+        rng = rng_for(98, i)
+        v = obfuscate_phone(rng, Fz.sample_phone(rng))
+        hits += _covers(f"call me: {v} ok", v, "PHONE")
+    assert hits >= 72
+
+
+def test_hard_negatives_not_labeled():
+    """GUID/MAC/SHA1/invalid-card/@handle/Ref/Acct stay label-free;
+    IPv4 is scrubbed as IP but never as one of the 9 entity labels."""
+    bad = 0
+    for i in range(120):
+        for s in hard_negative_strings(rng_for(55, i)):
+            labels = _detect_labels(s) - {"IP"}
+            if labels:
+                bad += 1
+    assert bad <= 6  # ≤0.5% leak over 1200 hard negatives
+
+
+def test_confidence_threshold_gates_weak_candidates():
+    # serving drops sub-0.3 candidates (model_evaluation.py:259-269):
+    # a weak uppercase-initials hit without person context scores 0.28
+    res = serve_doc("QZ 12345 something")
+    assert all(lab != "PERSON" for lab, *_ in res.entities)
+
+
+def test_scrub_placeholders_and_idempotence():
+    text = "Contact john.smith@gmail.com or 555-123-4567."
+    res = serve_doc(text)
+    scrubbed = scrub_text(text, res.entities)
+    assert "[EMAIL]" in scrubbed and "[PHONE]" in scrubbed
+    assert "john.smith" not in scrubbed and "555-123" not in scrubbed
+    res2 = serve_doc(scrubbed)
+    assert scrub_text(scrubbed, res2.entities) == scrubbed  # idempotent
+
+
+def test_scrub_preserves_non_span_bytes():
+    text = "Hello SSN: 123-45-6789 world"
+    res = serve_doc(text)
+    scrubbed = scrub_text(text, res.entities)
+    assert scrubbed.startswith("Hello SSN: ") and scrubbed.endswith(" world")
+
+
+def test_detector_deterministic():
+    rng = np.random.default_rng(5)
+    for i in range(50):
+        ex_text = f"Contact user{i} at a{i}@gmail.com or 555-123-{1000+i}"
+        assert detect_spans(ex_text) == detect_spans(ex_text)
