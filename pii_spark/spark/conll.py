@@ -39,7 +39,7 @@ def _toktags_fn(
             norm = [
                 {"start": int(s["start"]), "end": int(s["end"]),
                  "label": s["label"]}
-                for s in (spans or [])
+                for s in (spans if spans is not None else [])
             ]
             tags, label_ids = spans_to_token_labels(offsets, norm)
             out.append(

@@ -47,7 +47,7 @@ def _entities_fn(
             norm = [
                 {"start": int(s["start"]), "end": int(s["end"]),
                  "label": s["label"]}
-                for s in (spans or [])
+                for s in (spans if spans is not None else [])
                 if s["label"] != "IP"  # IP is scrubbed but not a F1 label
             ]
             tags, _ = spans_to_token_labels(offsets, norm)
