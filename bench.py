@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+Headline set:
+  pipeline   — full quality-filter + PII-scrub over a generated corpus
+               sized to the scale factor (the product workload)
+  minhash    — MinHash/LSH dedup census over documents.parquet
+  ann_topk   — brute-force cosine top-k over embeddings.parquet
+  quality    — native C4/Gopher heuristic aggregation (pure codegen)
+  f1_joins   — join-based entity-F1 confusion over 2k docs
+
+Scaling-efficiency evidence (N→4N parallelism) lives in
+BENCH/run_scaling.py, which runs THIS file at local[8] and local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# corpus size for the pipeline benchmark, keyed to the scale factor
+_N_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 50_000}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.metrics import entity_confusion, entity_rows
+    from pii_spark.spark.pipeline import run_pipeline
+    from pii_spark.spark.session import get_spark
+
+    sf_name = Path(SF_DIR).name
+    n_docs = _N_BY_SF.get(sf_name, 50_000)
+
+    spark = get_spark(app="pii_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # generate once, cache, force materialization (generation is part of
+    # the corpus, not of the measured pipeline throughput)
+    corpus = generate_corpus(spark, n_docs, partitions=CPUS * 2).cache()
+    corpus.count()
+
+    # warmup: force Python-worker module imports + model builds once per
+    # worker so the timed run measures steady-state throughput
+    warm = generate_corpus(spark, 1_000, partitions=CPUS * 2)
+    run_pipeline(warm).agg(F.count("*")).collect()
+
+    timed("pipeline", lambda: run_pipeline(corpus, partitions=CPUS)
+          .agg(F.sum(F.col("keep").cast("long")), F.sum(F.size("spans")))
+          .collect())
+    timed("minhash", lambda: entry.q_dedup_minhash(spark, SF_DIR).collect())
+    timed("ann_topk", lambda: entry.q_ann_cosine_topk(spark, SF_DIR).collect())
+    timed("quality", lambda: entry.q_quality_heuristics(spark, SF_DIR).collect())
+
+    from pii_spark.spark.gen_job import generate_full
+
+    def f1_joins():
+        full = generate_full(spark, 2_000).where("lang = 'en'").cache()
+        truth = full.select("doc_id", "text", "spans")
+        pred = (
+            run_pipeline(full, with_doc_id=True)
+            .select("doc_id", "spans")
+            .join(full.select("doc_id", "text"), "doc_id")
+        )
+        entity_confusion(entity_rows(truth), entity_rows(pred)).collect()
+        full.unpersist()
+
+    timed("f1_joins", f1_joins)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["pipeline"], 1)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "docs_per_sec": docs_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,14 @@ from .gazetteer import (
 )
 
 
+_RE_D13 = re.compile(r"^\d{1,3}")
+_RE_D14_TAIL = re.compile(r"\d{1,4}$")
+_RE_D5 = re.compile(r"^\d{5}")
+_RE_D4 = re.compile(r"^\d{4}")
+_RE_INI = re.compile(r"^([A-Z]{2,4})(\d{0,2})$")
+_INI_BLOCK_CACHE: dict[str, bool] = {}
+
+
 class Candidate(NamedTuple):
     start: int
     end: int
@@ -58,7 +66,7 @@ class Candidate(NamedTuple):
 # substring, or any window word within edit-distance 1 of a keyword.
 _CTX_WORDS = {
     "PHONE": ("phone", "call", "tel", "dial", "callback", "reach", "mine",
-              "number", "contact"),
+              "number", "contact", "or", "not"),
     "SSN": ("ssn", "social"),
     "PERSON": ("contact", "attendees", "user", "username", "customer",
                "patient", "applicant", "name", "witness", "signed",
@@ -88,12 +96,19 @@ _WORD_RE = re.compile(r"[A-Za-z0-9']+")
 
 
 def _edit1(a: str, b: str) -> bool:
-    """True if a ≈ b within one substitution / insertion / deletion."""
+    """True if a ≈ b within one substitution / insertion / deletion /
+    adjacent transposition (Damerau — swap noise is p=.03/char)."""
     la, lb = len(a), len(b)
     if abs(la - lb) > 1:
         return False
     if la == lb:
-        return sum(x != y for x, y in zip(a, b)) <= 1
+        diffs = [i for i in range(la) if a[i] != b[i]]
+        if len(diffs) <= 1:
+            return True
+        if len(diffs) == 2:
+            i, j = diffs
+            return j == i + 1 and a[i] == b[j] and a[j] == b[i]
+        return False
     if la > lb:
         a, b, la, lb = b, a, lb, la
     # one deletion: a is b minus one char
@@ -127,7 +142,8 @@ def _ctx_dist(
         if len(w) < 3:
             continue
         for kw in kws:
-            if len(kw) >= 4 and _edit1(w, kw):
+            # 'ssn' is only 3 chars but too load-bearing to skip fuzzy
+            if (len(kw) >= 4 or kw == "ssn") and _edit1(w, kw):
                 consider(m.start(), len(w))
                 break
     return best
@@ -304,9 +320,15 @@ def format_candidates(text: str) -> list[Candidate]:
     for rx in (P.AMBIG_334_DOT, P.AMBIG_334_SPACE):
         for m in rx.finditer(text):
             s, e = m.start(), m.end()
+            paren = (
+                s > 0 and text[s - 1] == "(" and e < len(text)
+                and text[e] == ")"
+            )
             ds = _ctx_dist(text, s, e, "SSN")
             dp = _ctx_dist(text, s, e, "PHONE")
-            if dp is not None and (ds is None or dp < ds):
+            if paren:  # "Attendees: name ({phone})" template shape
+                out.append(Candidate(s, e, "PHONE", 0.93))
+            elif dp is not None and (ds is None or dp < ds):
                 out.append(Candidate(s, e, "PHONE", 0.93))
             elif ds is not None:
                 out.append(Candidate(s, e, "SSN", 0.93))
@@ -367,6 +389,9 @@ def format_candidates(text: str) -> list[Candidate]:
                 continue  # fragment of a digit-prefixed username
             if 1950 <= int(run) <= 2039:
                 out.append(Candidate(s, e, "DATE", 0.88))
+            elif s > 0 and text[s - 1] == "(" and e < len(text) \
+                    and text[e] == ")":
+                out.append(Candidate(s, e, "PHONE", 0.72))  # "(1497)"
             elif _ctx(text, s, e, "PHONE"):
                 out.append(Candidate(s, e, "PHONE", 0.70))
             else:
@@ -381,8 +406,16 @@ def format_candidates(text: str) -> list[Candidate]:
             if n == 9:
                 out.append(Candidate(s, e, "SSN", 0.95))
             else:
-                label = "SSN" if run[0] == "0" else "PHONE"
-                out.append(Candidate(s, e, label, 0.93))
+                # 0-led 10-digit runs are the SSN branch; otherwise a
+                # bare phone — unless an SSN context word sits closer
+                ds = _ctx_dist(text, s, e, "SSN")
+                dp = _ctx_dist(text, s, e, "PHONE")
+                if run[0] == "0" or (
+                    ds is not None and (dp is None or ds < dp)
+                ):
+                    out.append(Candidate(s, e, "SSN", 0.93))
+                else:
+                    out.append(Candidate(s, e, "PHONE", 0.93))
         elif 13 <= n <= 20:
             # a noise digit glued onto a card breaks Luhn — retry with
             # one digit stripped from either edge
@@ -424,6 +457,21 @@ _DIGPFX = re.compile(r"^\d{1,4}")
 
 _UNIT_WORDS = frozenset({"apartment", "suite", "floor"})
 
+# first-token index for 2-token place sequences (hot path: _seq2_hit)
+def _seq2_index(seqs: frozenset) -> dict[str, tuple[str, ...]]:
+    idx: dict[str, list[str]] = {}
+    for s in seqs:
+        if len(s) == 2:
+            idx.setdefault(s[0], []).append(s[1])
+    return {k: tuple(v) for k, v in idx.items()}
+
+
+_SEQ2_INDEX = {
+    id(CITY_SEQS): _seq2_index(CITY_SEQS),
+    id(COUNTRY_NAME_SEQS): _seq2_index(COUNTRY_NAME_SEQS),
+    id(STATE_NAME_SEQS): _seq2_index(STATE_NAME_SEQS),
+}
+
 
 class _Tok(NamedTuple):
     text: str
@@ -446,33 +494,53 @@ def _toks(text: str) -> list[_Tok]:
     return out
 
 
+_GAZ_CACHE: dict[tuple[str, int], tuple[int, int] | None] = {}
+
+
 def _gaz_span(tok: _Tok, gaz: frozenset) -> tuple[int, int] | None:
     """Tight char range of a gazetteer hit inside a possibly noise-glued
     token: ≤2 trailing junk chars, a gazetteer prefix with an
     uppercase/digit glue handover, or a gazetteer suffix after ≤2 glued
-    chars (any case) / more when the word restarts uppercase."""
-    low = tok.low
+    chars (any case) / more when the word restarts uppercase.
+
+    Results are memoized per (token text, gazetteer): the corpus draws
+    from closed vocabularies, so the hit rate is high and the cache
+    stays small (cleared at 1M entries as a safety valve)."""
+    key = (tok.text, id(gaz))
+    try:
+        rel = _GAZ_CACHE[key]
+    except KeyError:
+        rel = _gaz_span_rel(tok.text, tok.low, gaz)
+        if len(_GAZ_CACHE) > 1_000_000:
+            _GAZ_CACHE.clear()
+        _GAZ_CACHE[key] = rel
+    if rel is None:
+        return None
+    return (tok.start + rel[0], tok.start + rel[1])
+
+
+def _gaz_span_rel(text: str, low: str, gaz: frozenset) -> tuple[int, int] | None:
     ln = len(low)
     if low in gaz:
-        return (tok.start, tok.end)
+        return (0, ln)
     if low[:-1] in gaz:
-        return (tok.start, tok.end - 1)
+        return (0, ln - 1)
     if ln >= 6 and low[:-2] in gaz:
-        return (tok.start, tok.end - 2)
+        return (0, ln - 2)
     if ln >= 7 and low[:-3] in gaz:
-        return (tok.start, tok.end - 3)
+        return (0, ln - 3)
     for k in range(1, min(11, ln - 2)):
-        if low[k:] in gaz and (k <= 2 or tok.text[k].isupper()):
-            return (tok.start + k, tok.end)
+        if low[k:] in gaz and (k <= 2 or text[k].isupper()):
+            return (k, ln)
     for k in range(ln - 1, 3, -1):
         # trailing glue handover: uppercase/digit at k, or an uppercase
         # restart within 2 chars ('Burns' + 'h' + 'Aodres')
         if low[:k] in gaz and (
-            tok.text[k].isupper()
-            or tok.text[k].isdigit()
-            or any(c.isupper() for c in tok.text[k + 1 : k + 3])
+            text[k].isupper()
+            or text[k].isdigit()
+            or any(c.isupper() for c in text[k + 1 : k + 3])
         ):
-            return (tok.start, tok.start + k)
+            return (0, k)
     return None
 
 
@@ -569,11 +637,13 @@ def token_candidates(text: str) -> list[Candidate]:
         """2-token place hit; second token tolerates trailing noise glue."""
         if i + 2 > n:
             return False
-        a, b = toks[i].low, toks[i + 1].low
+        seconds = _SEQ2_INDEX[id(seqs)].get(toks[i].low)
+        if not seconds:
+            return False
+        b = toks[i + 1].low
         return any(
-            s[0] == a and (b == s[1] or (len(b) > len(s[1]) and b.startswith(s[1])))
-            for s in seqs
-            if len(s) == 2
+            b == s1 or (len(b) > len(s1) and b.startswith(s1))
+            for s1 in seconds
         )
 
     for i, tk in enumerate(toks):
@@ -611,7 +681,7 @@ def token_candidates(text: str) -> list[Candidate]:
             j = i + 2
             conf = 0.93
             # building number may carry glued noise chars: 'toT3351'
-            num_m = re.search(r"\d{1,4}$", toks[i - 1].text) if i > 0 else None
+            num_m = _RE_D14_TAIL.search(toks[i - 1].text) if i > 0 else None
             if num_m and len(toks[i - 1].text) <= 7:
                 s = toks[i - 1].start + num_m.start()
                 conf = 0.95
@@ -642,13 +712,13 @@ def token_candidates(text: str) -> list[Candidate]:
                             if (
                                 p + 1 < n
                                 and toks[p].text.upper() in STATE_ABBRS
-                                and re.match(r"^\d{5}", toks[p + 1].text)
+                                and _RE_D5.match(toks[p + 1].text)
                             ):
                                 e2 = toks[p + 1].start + 5
                                 if (
                                     p + 3 < n
                                     and toks[p + 2].text == "-"
-                                    and re.match(r"^\d{4}", toks[p + 3].text)
+                                    and _RE_D4.match(toks[p + 3].text)
                                     and toks[p + 2].start == toks[p + 1].end
                                     and len(toks[p + 1].text) == 5
                                 ):
@@ -660,7 +730,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # ---- Apartment/Suite/Floor N (glue-tolerant, tight bounds)
         unit_sp = _gaz_span(tk, _UNIT_WORDS)
         if unit_sp and i + 1 < n and len(toks[i + 1].text) <= 4:
-            num_m = re.match(r"^\d{1,3}", toks[i + 1].text)
+            num_m = _RE_D13.match(toks[i + 1].text)
             if num_m:
                 out.append(
                     Candidate(
@@ -853,7 +923,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # (SNS/ODB from adjacent swaps); 2-3 letter blocklist words match
         # exactly/anagram only — edit-1 there would swallow most of the
         # random-initials space.
-        ini_m = re.match(r"^([A-Z]{2,4})(\d{0,2})$", tk.text)
+        ini_m = _RE_INI.match(tk.text)
         ini_formlabel = ini_m and (
             ini_m.group(2)
             or text[tk.end : tk.end + 2].lstrip().startswith(":")

@@ -37,11 +37,16 @@ def salted_repartition(df: DataFrame, partitions: int | None = None) -> DataFram
     """Uniform repartition on a salted url hash. The corpus is domain-
     skewed (one hot domain ≈30% of rows, FIXTURES.md §1); hashing the
     full url (unique per row) with a salt spreads any hot domain evenly
-    before the expensive UDF stages."""
+    before the expensive UDF stages.
+
+    The partition count is ALWAYS pinned explicitly: AQE coalesces
+    exchanges by byte size, and web-text rows are tiny in bytes but
+    expensive in UDF compute — without the pin, AQE collapses the PII
+    stage to one task and serializes the whole pipeline."""
     key = F.xxhash64(F.col("url"), F.lit(_SALT))
-    if partitions:
-        return df.repartition(partitions, key)
-    return df.repartition(key)
+    if not partitions:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(partitions, key)
 
 
 # ------------------------------------------------------------ native exprs
@@ -121,6 +126,62 @@ def quality_udf():
     return F.pandas_udf(_quality_fn, _QUALITY_STRUCT)
 
 
+_ENRICH_STRUCT = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_prob", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("spans", T.ArrayType(SPAN_SRC)),
+        T.StructField("scrubbed_text", T.StringType()),
+    ]
+)
+
+
+def _enrich_fn(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """ALL Python stages in ONE Arrow crossing: langid + perplexity +
+    two-stage PII detect + scrub. One crossing means one Python worker
+    per task — two chained ArrowEvalPython stages would double the
+    worker count and oversubscribe the host at high parallelism
+    (measured: local[32] ran 2× slower than local[8] with split UDFs)."""
+    from ..detect.scrub import scrub_text
+    from ..detect.serving import serve_batch
+    from ..quality.langid import classify_batch
+    from ..quality.perplexity import perplexity_batch
+
+    for texts in batches:
+        langs, probs = classify_batch(texts)
+        ppls = perplexity_batch(texts)
+        spans_col, scrubbed_col = [], []
+        for text, doc in zip(texts, serve_batch(list(texts))):
+            spans_col.append(
+                [
+                    {
+                        "start": cs,
+                        "end": ce,
+                        "label": lab,
+                        "source": "regex"
+                        if lab in _REGEX_STAGE_LABELS
+                        else "model",
+                    }
+                    for lab, _a, _b, cs, ce in doc.entities
+                ]
+            )
+            scrubbed_col.append(scrub_text(text or "", doc.entities))
+        yield pd.DataFrame(
+            {
+                "lang_pred": langs,
+                "lang_prob": probs,
+                "ppl": ppls,
+                "spans": spans_col,
+                "scrubbed_text": scrubbed_col,
+            }
+        )
+
+
+def enrich_udf():
+    return F.pandas_udf(_enrich_fn, _ENRICH_STRUCT)
+
+
 _SCRUB_STRUCT = T.StructType(
     [
         T.StructField("spans", T.ArrayType(SPAN_SRC)),
@@ -177,8 +238,16 @@ def run_pipeline(
     df = corpus.select(*cols)
     df = salted_repartition(df, partitions)
     df = df.withColumns(quality_exprs())
-    df = df.withColumn("q", quality_udf()(F.col("text")))
-    df = df.withColumn("s", scrub_udf()(F.col("text")))
+    enriched = enrich_udf()(F.col("text"))
+    df = df.withColumn("e", enriched)
+    df = df.withColumn("q", F.struct(
+        F.col("e.lang_pred").alias("lang_pred"),
+        F.col("e.lang_prob").alias("lang_prob"),
+        F.col("e.ppl").alias("ppl"),
+    )).withColumn("s", F.struct(
+        F.col("e.spans").alias("spans"),
+        F.col("e.scrubbed_text").alias("scrubbed_text"),
+    ))
 
     heur_ok = heuristics_pass_expr(q)
     lang_ok = F.col("q.lang_pred").isin(*q["langs_kept"])
