@@ -1,0 +1,126 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Web-scale training-data pipelines carry images/audio/video as opaque
+``binary`` columns next to typed metadata. The Spark-side plumbing here
+is real and tested — schemas, Arrow batch shapes, mapInPandas
+signatures, partition-safe determinism — while the actual media
+decoding is STUBBED: the image/audio libraries are not in this
+container, so ``decode_image`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces a seeded fake decode whose
+shape/statistics flow through the rest of the pipeline exactly like a
+real decoder's output would.
+
+Column convention:
+    media struct<payload: binary, mime: string, width: int, height: int>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha", T.StringType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(
+    payload: bytes, width: int, height: int, deterministic_fake: bool = False
+) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8.
+
+    STUB: real decoding needs Pillow/libjpeg, absent in this container.
+    With deterministic_fake=True, returns a seeded pseudo-image derived
+    from the payload hash — stable across retries/partitions, so the
+    downstream plumbing (resize, feature extraction, batching) is fully
+    exercisable in tests.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires Pillow (not available offline); "
+            "pass deterministic_fake=True for plumbing tests"
+        )
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    h = max(1, min(height or 8, 64))
+    w = max(1, min(width or 8, 64))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def resize_image(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy — no PIL dependency)."""
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    ys = (np.arange(oh) * h // oh).clip(0, h - 1)
+    xs = (np.arange(ow) * w // ow).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def extract_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Tiny deterministic feature vector: per-cell channel means of a
+    (dim/4)x(dim/4)-ish grid — the stand-in for a real embedding model."""
+    small = resize_image(img, (4, 2)).astype(np.float64)
+    return (small.mean(axis=2).reshape(-1) / 255.0).astype(np.float32)
+
+
+def media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """(doc_id, media) → per-item features via mapInPandas (Arrow
+    batches; the decode step is the stub above)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = media["payload"] or b""
+                img = decode_image(
+                    payload, media["width"], media["height"],
+                    deterministic_fake=fake_decode,
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": len(payload),
+                        "sha": hashlib.sha256(payload).hexdigest()[:16],
+                        "mean_px": float(img.mean()),
+                        "feat": extract_features(img).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def with_fake_media(df: DataFrame) -> DataFrame:
+    """Attach a deterministic fake media column to any (doc_id, text)
+    DataFrame — fixture helper for plumbing tests."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return df.withColumn(
+        "media",
+        F.struct(
+            payload.alias("payload"),
+            F.lit("image/fake").alias("mime"),
+            (F.pmod(F.col("doc_id"), F.lit(48)) + 8).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(32)) + 8).cast("int").alias("height"),
+        ),
+    )

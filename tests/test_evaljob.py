@@ -1,0 +1,68 @@
+"""EP3 eval path: language filter, head-N, skip-short, label-space
+mapping, parse-failure swallow (FIXTURES.md §4)."""
+
+import json
+
+from pii_spark.evalmap import parse_span_labels
+from pii_spark.spark.evaljob import convert_eval_table, evaluate
+
+
+def test_label_mapping_and_guards():
+    text = "call maria at maria.lopez@gmail.com in Springfield"
+    spans = parse_span_labels(
+        json.dumps([
+            [5, 10, "GIVENNAME1"],
+            [14, 35, "EMAIL"],
+            [39, 50, "CITY"],
+            [0, 4, "UNKNOWN_LABEL"],     # dropped: unmapped
+            [900, 910, "EMAIL"],         # dropped: out of range
+        ]),
+        text,
+    )
+    assert spans == [
+        {"start": 5, "end": 10, "label": "PERSON"},
+        {"start": 14, "end": 35, "label": "EMAIL"},
+        {"start": 39, "end": 50, "label": "ADDRESS"},
+    ]
+
+
+def test_parse_failure_swallow():
+    assert parse_span_labels("not json [", "text") is None
+    assert parse_span_labels(None, "text") is None
+    assert parse_span_labels('{"a": 1}', "text") is None
+
+
+def _fixture_rows():
+    rows = []
+    for i in range(8):
+        text = f"Contact john.smith{i}@gmail.com or 555-123-456{i} now ok"
+        spans = [[8, 29, "EMAIL"], [33, 45, "TEL"]]
+        rows.append((i, text, json.dumps(spans), "English"))
+    rows.append((8, "le texte français ici longtemps", "[[0,2,'EMAIL']]", "French"))
+    rows.append((9, "short", json.dumps([[0, 2, "EMAIL"]]), "English"))
+    rows.append((10, "malformed spans here we go today", "oops[", "English"))
+    rows.append((400, "beyond the head-N limit text", "[]", "English"))
+    return rows
+
+
+def test_convert_eval_table(spark):
+    df = spark.createDataFrame(
+        _fixture_rows(),
+        "id long, source_text string, span_labels string, language string",
+    )
+    out = convert_eval_table(df, limit_n=300).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == set(range(8))  # french/short/malformed/overflow dropped
+    for r in out:
+        assert {s.label for s in r.spans} == {"EMAIL", "PHONE"}
+
+
+def test_evaluate_end_to_end(spark):
+    df = spark.createDataFrame(
+        _fixture_rows(),
+        "id long, source_text string, span_labels string, language string",
+    )
+    conf = {r.label: r for r in evaluate(df).collect()}
+    # clean fixture text: detector should nail both entity types
+    assert conf["EMAIL"].tp == 8 and conf["EMAIL"].fn == 0
+    assert conf["PHONE"].tp == 8 and conf["PHONE"].fn == 0
