@@ -352,6 +352,8 @@ def format_candidates(text: str) -> list[Candidate]:
             s, e = m.start(), m.end()
             if e - s <= 5 and _sep_adjacent(text, s, e):
                 continue  # 'F4' inside a MAC, '50' inside an IP, …
+            if e - s <= 5 and _blocked_number(text, s, e):
+                continue  # 'Ref #X281F'
             out.append(Candidate(s, e, "AGE", conf))
     # letter-glued lowercase gender form needs AGE context ("Agej81m")
     for m in P.AGE_MF_LOOSE.finditer(text):
@@ -434,6 +436,7 @@ def format_candidates(text: str) -> list[Candidate]:
         if (
             not _blocked_number(text, s, e)
             and not _sep_adjacent(text, s, e)
+            and (s == 0 or text[s - 1] not in "'_")  # "can'9 agree" noise
             and _ctx(text, s, e, "AGE")
         ):
             out.append(Candidate(s, e, "AGE", 0.60))
@@ -548,12 +551,30 @@ def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
     return _gaz_span(tok, gaz) is not None
 
 
+_YEAR_USER_RE = re.compile(r"(?:19|20)\d{2}[a-z]+\d{0,6}")
+
+
 def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, int]:
     """Single-token username hit: (confidence, start_off, end_off) —
     offsets are TIGHT (glued trail chars excluded) so the fine metric
     tokens around noise glue align with the generator's exact spans.
     Shapes per generation.py:51-118; trailing glue may be arbitrarily
     long (it is never part of the span)."""
+    # year-prefixed usernames first, possibly after leading glue
+    # ('havef1970jhamilton', 'PaTiente2004stephanie70'): a gazetteer name
+    # behind a year beats any generic shape match on the glued prefix
+    m = _YEAR_USER_RE.search(low)
+    if m and not low[: m.start()].isdigit():
+        inner = re.match(r"^(\d{4})([a-z]+)(\d{0,6})", m.group())
+        alpha = inner.group(2)
+        if (
+            alpha in FIRSTS
+            or alpha in LASTS
+            or (alpha[1:] in LASTS and len(alpha) >= 4)
+            or (m.start() == 0 and len(alpha) >= 6)
+        ):
+            conf = 0.85 if m.start() == 0 else 0.83
+            return (conf, m.start(), m.end())
     m = re.match(r"^([a-z]+)(\d{1,6})", low)
     if m:
         alpha, digits = m.group(1), m.group(2)
@@ -569,6 +590,10 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
         if trail and not (len(digits) >= 2 or (name_gaz and len(alpha) >= 5)):
             return (0.0, 0, 0)  # 'amy1e' ≈ noised filler, not a username
         if name_gaz:
+            if len(digits) == 1 and not trail:
+                # no generator branch makes bare name+1digit — the digit
+                # is noise glue ('heather0'); keep the name only
+                return (0.85, 0, len(alpha))
             return (0.90 if not trail else 0.85, 0, tight)
         if alpha in FILLERS:
             # word+NN usernames (generation.py:63) have exactly 2 digits;
@@ -578,20 +603,15 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
             return (0.88, 0, tight)  # random-letter usernames
         return (0.0, 0, 0)
     m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})", low)
-    if m:  # digit/year-prefixed usernames
+    if m:  # digit-prefixed usernames ('29summikota', '15ccook')
         alpha = m.group(2)
-        if alpha in FIRSTS or alpha in LASTS or len(alpha) >= 6:
-            return (0.85, 0, m.end())
-        return (0.0, 0, 0)
-    # year-prefixed username buried after leading glue: 'havef1970jhamilton'
-    m = re.search(r"(?:19|20)\d{2}[a-z]+\d{0,6}", low)
-    if m and not low[: m.start()].isdigit():
-        inner = re.match(r"^(\d{4})([a-z]+)(\d{0,6})", m.group())
-        alpha = inner.group(2)
-        if alpha in FIRSTS or alpha in LASTS or len(alpha) >= 6 or (
-            alpha[1:] in LASTS and len(alpha) >= 5
+        if (
+            alpha in FIRSTS
+            or alpha in LASTS
+            or len(alpha) >= 6
+            or (alpha[1:] in LASTS and len(alpha) >= 4)
         ):
-            return (0.83, m.start(), m.end())
+            return (0.85, 0, m.end())
         return (0.0, 0, 0)
     if len(low) >= 5 and low.isalpha():
         # first-initial + last name: 'gpatterson', 'rstevensU'; glued
@@ -769,9 +789,12 @@ def token_candidates(text: str) -> list[Candidate]:
         # ---- state abbr / country code (closed uppercase lists);
         # skip form-label uses ("ID: {person}") and require an ADDRESS-ish
         # context — noise uppercases ordinary 2-letter words often enough
-        # that a bare closed-list hit is not trustworthy on its own
-        up = tk.text.upper()
-        if len(tk.text) in (2, 3) and tk.text.isalpha() and tk.text.isupper():
+        # that a bare closed-list hit is not trustworthy on its own.
+        # A single glued digit is tolerated ('TN4', '7PL') — tight span.
+        abbr_m = re.match(r"^(\d?)([A-Z]{2,3})\d?$", tk.text)
+        if abbr_m:
+            up = abbr_m.group(2)
+            a_off = len(abbr_m.group(1))
             nxt = text[tk.end : tk.end + 2].lstrip()
             if (
                 (up in STATE_ABBRS or up in COUNTRY_CODES)
@@ -782,7 +805,12 @@ def token_candidates(text: str) -> list[Candidate]:
                     or (i + 1 < n and toks[i + 1].text == "|")
                 )
             ):
-                out.append(Candidate(tk.start, tk.end, "ADDRESS", 0.87))
+                out.append(
+                    Candidate(
+                        tk.start + a_off, tk.start + a_off + len(up),
+                        "ADDRESS", 0.87,
+                    )
+                )
 
         # ---- ORG grammars (no case requirements: inside-span case
         # scramble, generation.py:699-701, routinely lowercases names)
@@ -908,10 +936,13 @@ def token_candidates(text: str) -> list[Candidate]:
                         if c2 > 0:
                             conf, a, b = c2 - 0.03, strip + a2, strip + b2
                             break
-            if (
-                conf > 0
-                and not _sep_adjacent(text, tk.start, tk.end)
-                and not _blocked_number(text, tk.start, tk.end)
+            # guards apply to the TIGHT span: a glued '/12/20' after the
+            # username must not veto it. No _blocked_number here — the
+            # 'Ticket #{person}' / 'Employee #{person}' templates put
+            # letter-bearing usernames after '#' (Ref # hard negatives
+            # are digits-only and never reach this rule).
+            if conf > 0 and not _sep_adjacent(
+                text, tk.start + a, tk.start + b
             ):
                 out.append(
                     Candidate(tk.start + a, tk.start + b, "PERSON", conf)
@@ -924,9 +955,11 @@ def token_candidates(text: str) -> list[Candidate]:
         # exactly/anagram only — edit-1 there would swallow most of the
         # random-initials space.
         ini_m = _RE_INI.match(tk.text)
+        nxt_ns = text[tk.end : tk.end + 3].lstrip()[:1]
         ini_formlabel = ini_m and (
-            ini_m.group(2)
-            or text[tk.end : tk.end + 2].lstrip().startswith(":")
+            bool(ini_m.group(2))
+            or nxt_ns == ":"
+            or nxt_ns.isdigit()  # 'DHB 1983' / 'WSN 276.470…'
             or (tk.start > 0 and text[tk.start - 1] == ":")
         )
         if (
@@ -934,7 +967,10 @@ def token_candidates(text: str) -> list[Candidate]:
             and not any(
                 ini_m.group(1) == b
                 or sorted(ini_m.group(1)) == sorted(b)
-                or (len(b) >= 4 and _edit1(ini_m.group(1), b))
+                or (
+                    max(len(b), len(ini_m.group(1))) >= 4
+                    and _edit1(ini_m.group(1), b)
+                )
                 # a noised form label ('ESN:', 'SS0') sits in label
                 # position; only then does edit-1 apply to 3-letter words
                 or (len(b) == 3 and ini_formlabel and _edit1(ini_m.group(1), b))
