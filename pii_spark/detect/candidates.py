@@ -120,19 +120,25 @@ def _edit1(a: str, b: str) -> bool:
 
 def _ctx_dist(
     text: str, start: int, end: int, label: str, width: int = 36
-) -> int | None:
-    """Distance (in chars from the span) of the nearest context keyword,
-    or None. Fuzzy: exact substring or edit-distance-1 window word."""
+) -> tuple[int, int] | None:
+    """Rank of the nearest context keyword as (side, distance) — side 0
+    = keyword BEFORE the span (a form label like 'Phone:' immediately
+    before the value), side 1 = after. Before-side keywords outrank
+    after-side ones at any distance: 'PhonE: <value>\\nSocial: …' labels
+    THIS value with the before keyword and the NEXT field with the after
+    one. None if no keyword in range. Fuzzy: exact substring or
+    edit-distance-1 window word."""
     lo = max(0, start - width)
     window = (text[lo:start] + " " + text[end : end + width]).lower()
     pivot = start - lo  # span sits at this window offset
-    best: int | None = None
+    best: tuple[int, int] | None = None
 
     def consider(pos: int, ln: int) -> None:
         nonlocal best
-        d = abs((pos + ln // 2) - pivot)
-        if best is None or d < best:
-            best = d
+        mid = pos + ln // 2
+        rank = (0, pivot - mid) if mid <= pivot else (1, mid - pivot)
+        if best is None or rank < best:
+            best = rank
 
     for m in _CTX_EXACT[label].finditer(window):
         consider(m.start(), m.end() - m.start())
@@ -142,8 +148,8 @@ def _ctx_dist(
         if len(w) < 3:
             continue
         for kw in kws:
-            # 'ssn' is only 3 chars but too load-bearing to skip fuzzy
-            if (len(kw) >= 4 or kw == "ssn") and _edit1(w, kw):
+            # 'ssn'/'age' are only 3 chars but too load-bearing to skip
+            if (len(kw) >= 4 or kw in ("ssn", "age")) and _edit1(w, kw):
                 consider(m.start(), len(w))
                 break
     return best
@@ -179,11 +185,15 @@ def _sep_adjacent(text: str, start: int, end: int) -> bool:
     after = text[end] if end < len(text) else ""
     if before == "+" or after == "+":
         return True
-    if before in ":-./" and start >= 2 and text[start - 2].isalnum():
+    # '/' chains only digit-to-digit ("05/13"); a letter on the far side
+    # is a template separator ("…@gmail.com/{phone}")
+    if before in ":-." and start >= 2 and text[start - 2].isalnum():
         return True
-    if after in ":-/" and end + 1 < len(text) and text[end + 1].isalnum():
+    if before == "/" and start >= 2 and text[start - 2].isdigit():
         return True
-    if after == "." and end + 1 < len(text) and text[end + 1].isdigit():
+    if after in ":-" and end + 1 < len(text) and text[end + 1].isalnum():
+        return True
+    if after in "./" and end + 1 < len(text) and text[end + 1].isdigit():
         return True
     return False
 
@@ -211,6 +221,7 @@ def _hex_embedded(text: str, start: int, end: int) -> bool:
 
 
 _HN_AFTER = re.compile(r"(?i)issing digit|hecksum")
+_HN_AFTER_WORDS = ("checksum", "pending", "missing")
 _REF_WORDS = ("ref", "reference", "ticket", "acct", "account")
 
 
@@ -226,8 +237,12 @@ def _blocked_number(text: str, start: int, end: int) -> bool:
             _edit1(w, kw) for kw in _REF_WORDS
         )):
             return True
-    if _HN_AFTER.search(text[end : end + 30]):
+    after = text[end : end + 30]
+    if _HN_AFTER.search(after):
         return True
+    for w in _WORD_RE.findall(after.lower()):
+        if len(w) >= 6 and any(_edit1(w, kw) for kw in _HN_AFTER_WORDS):
+            return True  # 'Shecksum p3nding'
     return False
 
 
@@ -306,6 +321,10 @@ def format_candidates(text: str) -> list[Candidate]:
             s, e = m.start(), m.end()
             if _hex_embedded(text, s, e):
                 continue  # digit groups inside SHA1/GUID
+            # letter+digits ids: guard against glued 'Acctf75…'/'Ref80…'
+            s2 = s + 1 if text[s].isalpha() else s
+            if _blocked_number(text, s2, e):
+                continue
             out.append(Candidate(s, e, "SSN", conf))
     for rx, conf in P.PHONE_PATTERNS:
         for m in rx.finditer(text):
@@ -362,6 +381,29 @@ def format_candidates(text: str) -> list[Candidate]:
             out.append(Candidate(s, e, "AGE", 0.72))
     for m in P.AGE_PAREN_BARE.finditer(text):
         out.append(Candidate(m.start(), m.end(), "AGE", 0.85))
+    # "({age}) applied on" template: the parens are template literals,
+    # not part of the span — trim paren AGE matches to the inner value
+    # when an 'applied'-ish word follows (vs the in-span '(25M)' form,
+    # generation.py:162-163). Double parens '((40F))' mean the inner
+    # form carries its own parens — keep one layer then.
+    import difflib
+
+    def _appliedish(after: str) -> bool:
+        if "applied" in after or "appli" in after:
+            return True
+        return any(
+            difflib.SequenceMatcher(None, w, "applied").ratio() >= 0.65
+            for w in _WORD_RE.findall(after)[:2]
+            if len(w) >= 5
+        )
+
+    for m in re.finditer(r"\((\d{1,2}\s?[MFmf]?)\)", text):
+        after = text[m.end() : m.end() + 14].lower()
+        if _appliedish(after):
+            if m.start() > 0 and text[m.start() - 1] == "(":
+                out.append(Candidate(m.start(), m.end(), "AGE", 0.99))
+            else:
+                out.append(Candidate(m.start(1), m.end(1), "AGE", 0.99))
 
     for m in P.IP_RE.finditer(text):
         parts = m.group().split(".")
@@ -387,8 +429,14 @@ def format_candidates(text: str) -> list[Candidate]:
         if n == 4:
             before = text[s - 1] if s > 0 else ""
             after = text[e] if e < len(text) else ""
-            if before.isalpha() or after.isalpha():
+            if after.isalpha():
                 continue  # fragment of a digit-prefixed username
+            if before.isalpha():
+                # leading glued letter ('phone:A1441') — only trust with
+                # phone context; otherwise a username fragment
+                if _ctx(text, s, e, "PHONE"):
+                    out.append(Candidate(s, e, "PHONE", 0.65))
+                continue
             if 1950 <= int(run) <= 2039:
                 out.append(Candidate(s, e, "DATE", 0.88))
             elif s > 0 and text[s - 1] == "(" and e < len(text) \
@@ -603,12 +651,13 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
             return (0.88, 0, tight)  # random-letter usernames
         return (0.0, 0, 0)
     m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})", low)
-    if m:  # digit-prefixed usernames ('29summikota', '15ccook')
+    if m:  # digit-prefixed usernames ('29summikota', '15ccook');
+        # random-alpha cores only follow YEAR prefixes (handled above) —
+        # allowing them here would turn '28Ftdon't'-style noise into hits
         alpha = m.group(2)
         if (
             alpha in FIRSTS
             or alpha in LASTS
-            or len(alpha) >= 6
             or (alpha[1:] in LASTS and len(alpha) >= 4)
         ):
             return (0.85, 0, m.end())

@@ -164,9 +164,9 @@ AGE_PATTERNS: list[tuple[re.Pattern, float]] = [
     (re.compile(rf"(?<![A-Za-z0-9])\d{{1,2}} [MF](?![A-Za-z0-9])"), 0.90),  # 23 M
     (re.compile(rf"(?<![A-Za-z0-9])[MF]{_A}{_G1}"), 0.90),          # M23
 ]
-# lowercase glued form with a letter-glued edge ("Agej81m", "13fw") —
-# only usable with AGE context, handled in candidates.py
-AGE_MF_LOOSE = re.compile(rf"\d{{1,2}}[mf]{_G1}", re.IGNORECASE)
+# lowercase glued form with a letter-glued edge ("Agej81m", "13fw",
+# "isR49yo") — only usable with AGE context, handled in candidates.py
+AGE_MF_LOOSE = re.compile(rf"\d{{1,2}}(?:yo|[mf]){_G1}", re.IGNORECASE)
 AGE_PAREN_BARE = _c(r"\(\s?\d{1,2}\s?\)")   # "(25)"
 # strict boundaries: a weak candidate must be a standalone token, or
 # every noise-injected digit inside an O-only word becomes an AGE hit
