@@ -159,6 +159,49 @@ def _ctx(text: str, start: int, end: int, label: str, width: int = 36) -> bool:
     return _ctx_dist(text, start, end, label, width) is not None
 
 
+def _ctx_fuzzy2(text: str, start: int, end: int, label: str,
+                width: int = 30) -> bool:
+    """Secondary, heavier-fuzz context check (difflib ratio) for rules
+    that would otherwise drop a span over a 2-edit-noised keyword
+    ('dS3rEss' ≈ address). Only called at candidate sites, so the
+    difflib cost stays negligible."""
+    import difflib
+
+    lo = max(0, start - width)
+    window = (text[lo:start] + " " + text[end : end + width]).lower()
+    kws = [k for k in _CTX_WORDS[label] if len(k) >= 5]
+    for w in _WORD_RE.findall(window):
+        if len(w) < 4:
+            continue
+        for kw in kws:
+            if difflib.SequenceMatcher(None, w, kw).ratio() >= 0.63:
+                return True
+    return False
+
+
+_PHONEISH = ("phone", "contact", "call", "callback", "tel", "dial")
+_SSNISH = ("ssn", "social", "socialnumber")
+
+
+def _label_word_vote(text: str, start: int) -> str | None:
+    """Classify the form-label word immediately before a value by
+    difflib similarity — survives 2-edit noise ('PhZnW:', 'Contavt:')
+    that exact/edit-1 matching cannot."""
+    import difflib
+
+    words = _WORD_RE.findall(text[max(0, start - 14) : start].lower())
+    if not words:
+        return None
+    w = words[-1]
+    if len(w) < 3:
+        return None
+    pr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _PHONEISH)
+    sr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _SSNISH)
+    if max(pr, sr) < 0.55 or abs(pr - sr) < 0.08:
+        return None
+    return "PHONE" if pr > sr else "SSN"
+
+
 def _luhn(digits: str) -> bool:
     total = 0
     for i, ch in enumerate(reversed(digits)):
@@ -227,15 +270,19 @@ _REF_WORDS = ("ref", "reference", "ticket", "acct", "account")
 
 def _blocked_number(text: str, start: int, end: int) -> bool:
     """Hard-negative guards for bare digit runs (generation.py:763-775),
-    tolerant of noise: '#' anywhere just before, or an edit-distance-1
-    'Ref'/'Acct' word in the preceding window."""
+    tolerant of noise: '#' anywhere just before, a 'Ref'/'Acct'-prefixed
+    word ('RefNy…'), or an edit-distance-1 fragment in the window."""
     if "#" in text[max(0, start - 4) : start]:
         return True  # Ref #NNNNN / Ticket #
     before = text[max(0, start - 16) : start].lower()
     for w in _WORD_RE.findall(before):
-        if w in _REF_WORDS or (len(w) >= 3 and any(
-            _edit1(w, kw) for kw in _REF_WORDS
-        )):
+        if (
+            w in _REF_WORDS
+            or any(
+                w.startswith(kw) for kw in _REF_WORDS if len(w) > len(kw)
+            )
+            or (len(w) >= 2 and any(_edit1(w, kw) for kw in _REF_WORDS))
+        ):
             return True
     after = text[end : end + 30]
     if _HN_AFTER.search(after):
@@ -352,7 +399,11 @@ def format_candidates(text: str) -> list[Candidate]:
             elif ds is not None:
                 out.append(Candidate(s, e, "SSN", 0.93))
             else:
-                out.append(Candidate(s, e, "SSN", 0.89))
+                vote = _label_word_vote(text, s)
+                if vote:
+                    out.append(Candidate(s, e, vote, 0.92))
+                else:
+                    out.append(Candidate(s, e, "SSN", 0.89))
 
     for rx, conf in P.DATE_PATTERNS:
         for m in rx.finditer(text):
@@ -442,12 +493,18 @@ def format_candidates(text: str) -> list[Candidate]:
             elif s > 0 and text[s - 1] == "(" and e < len(text) \
                     and text[e] == ")":
                 out.append(Candidate(s, e, "PHONE", 0.72))  # "(1497)"
-            elif _ctx(text, s, e, "PHONE"):
+            elif _ctx(text, s, e, "PHONE") or _label_word_vote(text, s) == "PHONE":
                 out.append(Candidate(s, e, "PHONE", 0.70))
             else:
                 out.append(Candidate(s, e, "ADDRESS", 0.55))  # building no.
         elif n == 5:
-            out.append(Candidate(s, e, "ADDRESS", 0.90))  # postcode
+            # a long letter run glued right before the digits is a
+            # username tail ('kjoywmmccz44807'), not a postcode
+            k = s
+            while k > 0 and text[k - 1].isalpha():
+                k -= 1
+            conf5 = 0.55 if s - k >= 3 else 0.90
+            out.append(Candidate(s, e, "ADDRESS", conf5))  # postcode
         elif n == 6 and _ctx(text, s, e, "ADDRESS"):
             out.append(Candidate(s, e, "ADDRESS", 0.60))  # zip + glued digit
         elif n in (9, 10):
@@ -457,10 +514,14 @@ def format_candidates(text: str) -> list[Candidate]:
                 out.append(Candidate(s, e, "SSN", 0.95))
             else:
                 # 0-led 10-digit runs are the SSN branch; otherwise a
-                # bare phone — unless an SSN context word sits closer
+                # bare phone — unless an SSN context word or form label
+                # says otherwise
                 ds = _ctx_dist(text, s, e, "SSN")
                 dp = _ctx_dist(text, s, e, "PHONE")
-                if run[0] == "0" or (
+                vote = _label_word_vote(text, s)
+                if vote:
+                    out.append(Candidate(s, e, vote, 0.93))
+                elif run[0] == "0" or (
                     ds is not None and (dp is None or ds < dp)
                 ):
                     out.append(Candidate(s, e, "SSN", 0.93))
@@ -507,6 +568,30 @@ _DIGPFX = re.compile(r"^\d{1,4}")
 
 
 _UNIT_WORDS = frozenset({"apartment", "suite", "floor"})
+
+# template-literal vocabulary: a "random username" whose alpha core is a
+# (possibly glued/noised) template word is template text, not PII
+from ..textgrammar.templates import TEMPLATES as _TPL  # noqa: E402
+
+_TEMPLATE_WORDS = frozenset(
+    w
+    for t in _TPL
+    for w in re.findall(r"[a-z]+", t.lower())
+    if len(w) >= 5
+)
+
+
+def _template_wordish(alpha: str) -> bool:
+    if alpha in _TEMPLATE_WORDS or alpha[:-1] in _TEMPLATE_WORDS or (
+        len(alpha) >= 7 and alpha[:-2] in _TEMPLATE_WORDS
+    ):
+        return True
+    if len(alpha) <= 12:
+        return any(
+            abs(len(alpha) - len(w)) <= 1 and _edit1(alpha, w)
+            for w in _TEMPLATE_WORDS
+        )
+    return False
 
 # first-token index for 2-token place sequences (hot path: _seq2_hit)
 def _seq2_index(seqs: frozenset) -> dict[str, tuple[str, ...]]:
@@ -648,6 +733,13 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
             # a single noise-made digit after a filler word is not one
             return (0.90, 0, tight) if len(digits) == 2 else (0.0, 0, 0)
         if len(alpha) >= 6 and len(digits) >= 2:
+            # prefer a tight gazetteer core behind 1-2 glued chars
+            # ('Inathan334' → 'nathan334')
+            for k in (1, 2):
+                if alpha[k:] in FIRSTS or alpha[k:] in LASTS:
+                    return (0.87, k, tight)
+            if _template_wordish(alpha):
+                return (0.0, 0, 0)  # 'registereda2027' = glued literal
             return (0.88, 0, tight)  # random-letter usernames
         return (0.0, 0, 0)
     m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})", low)
@@ -840,23 +932,29 @@ def token_candidates(text: str) -> list[Candidate]:
         # context — noise uppercases ordinary 2-letter words often enough
         # that a bare closed-list hit is not trustworthy on its own.
         # A single glued digit is tolerated ('TN4', '7PL') — tight span.
-        abbr_m = re.match(r"^(\d?)([A-Z]{2,3})\d?$", tk.text)
+        abbr_m = re.match(r"^(\d?)([A-Z]{2,3})[a-z]?\d?$", tk.text)
         if abbr_m:
             up = abbr_m.group(2)
             a_off = len(abbr_m.group(1))
+            ln = len(up)
+            if up not in STATE_ABBRS and up not in COUNTRY_CODES and ln == 3:
+                # glued trailing letter on a 2-letter code ('WAR' = WA+R)
+                if up[:2] in STATE_ABBRS or up[:2] in COUNTRY_CODES:
+                    up, ln = up[:2], 2
             nxt = text[tk.end : tk.end + 2].lstrip()
             if (
                 (up in STATE_ABBRS or up in COUNTRY_CODES)
                 and not nxt.startswith(":")
                 and (
                     _ctx(text, tk.start, tk.end, "ADDRESS")
+                    or _ctx_fuzzy2(text, tk.start, tk.end, "ADDRESS")
                     or (i > 0 and toks[i - 1].text == "|")
                     or (i + 1 < n and toks[i + 1].text == "|")
                 )
             ):
                 out.append(
                     Candidate(
-                        tk.start + a_off, tk.start + a_off + len(up),
+                        tk.start + a_off, tk.start + a_off + ln,
                         "ADDRESS", 0.87,
                     )
                 )
@@ -978,18 +1076,38 @@ def token_candidates(text: str) -> list[Candidate]:
                 # for digit-bearing shapes (pure-alpha retries would turn
                 # 'hiking' into initial+'king')
                 for strip in (1, 2):
-                    if len(tk.low) > strip + 3:
+                    if len(tk.low) >= strip + 3:
                         c2, a2, b2 = _username_shape(
                             tk.low[strip:], tk.text[strip].isupper()
                         )
                         if c2 > 0:
                             conf, a, b = c2 - 0.03, strip + a2, strip + b2
                             break
+            if conf > 0:
+                # single-letter+digits ids: a noised Ref#/'#NNONN' run
+                # splits into digits+letter+digits — reject when digits
+                # precede the letter or a Ref-word guards it
+                single_id = (
+                    b - a <= 7
+                    and tk.low[a].isalpha()
+                    and tk.low[a + 1 : b].isdigit()
+                )
+                if single_id and (
+                    (a > 0 and tk.low[a - 1].isdigit())
+                    or _blocked_number(text, tk.start + a, tk.start + b)
+                ):
+                    conf = 0.0
+                # long random shapes: shift start past a case transition
+                # ('fWomfvkokgxbfelbwetw14' → start at 'W')
+                if conf > 0 and b - a >= 9 and not tk.text[a].isupper():
+                    for k in (1, 2):
+                        if tk.text[a + k].isupper():
+                            a += k
+                            break
             # guards apply to the TIGHT span: a glued '/12/20' after the
-            # username must not veto it. No _blocked_number here — the
-            # 'Ticket #{person}' / 'Employee #{person}' templates put
-            # letter-bearing usernames after '#' (Ref # hard negatives
-            # are digits-only and never reach this rule).
+            # username must not veto it. No general _blocked_number here —
+            # the 'Ticket #{person}' / 'Employee #{person}' templates put
+            # letter-bearing usernames after '#'.
             if conf > 0 and not _sep_adjacent(
                 text, tk.start + a, tk.start + b
             ):
@@ -1049,7 +1167,15 @@ def token_candidates(text: str) -> list[Candidate]:
             and not nxt_is_email_local
         ):
             if tk.low in FIRSTS:
-                if tk.text.islower():
+                if tk.text.islower() or (
+                    # case-scrambled bare first name ('jOshuA') — only
+                    # with person-ish context
+                    not tk.text[0].isupper()
+                    and (
+                        _ctx(text, tk.start, tk.end, "PERSON")
+                        or _ctx_fuzzy2(text, tk.start, tk.end, "PERSON")
+                    )
+                ):
                     out.append(Candidate(tk.start, tk.end, "PERSON", 0.60))
             else:
                 sp = _gaz_span(tk, FIRSTS)
@@ -1075,5 +1201,28 @@ def resolve(cands: list[Candidate]) -> list[Candidate]:
 
 
 def detect_spans(text: str) -> list[Candidate]:
-    """Full detector: formats + token matchers, overlap-resolved."""
-    return resolve(format_candidates(text) + token_candidates(text))
+    """Full detector: formats + token matchers, overlap-resolved.
+
+    One cross-layer repair: a default-SSN ambiguous 3-3-4 (conf .89 =
+    no context found) that directly follows an EMAIL or ORG span is a
+    phone — the CSV-style templates sequence "…{email},{phone},{ssn}" /
+    "…{org};{phone}", never ssn right after email/org."""
+    cands = format_candidates(text) + token_candidates(text)
+    anchor_ends = [
+        c.end for c in cands if c.label in ("EMAIL", "ORG") and c.conf >= 0.9
+    ]
+    repaired = []
+    for c in cands:
+        email_before = any(c.start - 5 <= e <= c.start for e in anchor_ends)
+        if c.label == "SSN" and abs(c.conf - 0.89) < 1e-9 and email_before:
+            c = Candidate(c.start, c.end, "PHONE", 0.89)
+        elif (
+            c.label == "ADDRESS"
+            and abs(c.conf - 0.55) < 1e-9
+            and email_before
+        ):
+            # "…{email}, {phone}" template: bare 4-digit after an email
+            # is the phone's last-4, not a building number
+            c = Candidate(c.start, c.end, "PHONE", 0.70)
+        repaired.append(c)
+    return resolve(repaired)

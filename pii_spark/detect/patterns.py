@@ -123,7 +123,7 @@ DATE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # 4-4-4 or phone 4-3-4 shapes (middle group widths differ)
     (_c(r"\d{4}\s?-\s?\d{2}\s?-\s?\d{2}T00:00:00(?!\d)"), 0.98),
     (_c(r"\d{4}\s?-\s?\d{2}\s?-\s?\d{2}(?!\d)"), 0.97),
-    (_c(rf"born in (?:19|20)\d{{2}}{_D1}"), 0.98),
+    (_c(r"born in (?:19|20)\d{2,3}"), 0.98),  # trailing glued digit ok
     (_c(rf"birthday\s?:\s?\d{{1,2}}/\d{{1,2}}{_D1}"), 0.98),
     (_c(rf"{_D0}\d{{1,2}}{_ORD} {_MONTH} \d{{4}}{_D1}"), 0.97),    # 23rd June 1958
     (_c(rf"{_MONTH} \d{{1,2}}{_ORD}?, \d{{4}}{_D1}"), 0.97),       # May 15(th), 1990
