@@ -274,14 +274,21 @@ def _blocked_number(text: str, start: int, end: int) -> bool:
     word ('RefNy…'), or an edit-distance-1 fragment in the window."""
     if "#" in text[max(0, start - 4) : start]:
         return True  # Ref #NNNNN / Ticket #
-    before = text[max(0, start - 16) : start].lower()
+    before = text[max(0, start - 16) : start].lower().replace("_", " ")
+    span_txt = text[start:end]
+    ref_shape = span_txt.isdigit() and len(span_txt) == 5  # Ref# is 5-digit
     for w in _WORD_RE.findall(before):
-        if (
-            w in _REF_WORDS
-            or any(
-                w.startswith(kw) for kw in _REF_WORDS if len(w) > len(kw)
-            )
-            or (len(w) >= 2 and any(_edit1(w, kw) for kw in _REF_WORDS))
+        if w in _REF_WORDS:
+            return True
+        # prefix/fuzzy matching only guards the exact Ref# number shape —
+        # otherwise "won't refund I [70M]" would block a real age
+        if ref_shape and any(
+            w.startswith(kw) and len(w) <= len(kw) + 2
+            for kw in _REF_WORDS
+        ):
+            return True
+        if ref_shape and len(w) >= 2 and any(
+            _edit1(w, kw) for kw in _REF_WORDS
         ):
             return True
     after = text[end : end + 30]
@@ -379,6 +386,14 @@ def format_candidates(text: str) -> list[Candidate]:
             if _hex_embedded(text, s, e):
                 continue  # GUID segments ('…563-0598-4e6e…')
             out.append(Candidate(s, e, "PHONE", conf))
+    for m in P.PHONE_PREFIXED.finditer(text):
+        # lowercase 'phone:'/'tel:' is usually the in-span variant, but
+        # right after an email it is the "email: {email} phone: {phone}"
+        # template literal → keep only the bare number
+        if P._EMAILISH_BEFORE.search(text[max(0, m.start() - 18) : m.start()]):
+            out.append(Candidate(m.start(1), m.end(1), "PHONE", 0.97))
+        else:
+            out.append(Candidate(m.start(), m.end(), "PHONE", 0.97))
 
     # dotted/spaced 3-3-4: PHONE vs SSN decided by the NEAREST context
     # keyword ("SSN: 067841399; Phone: 332 366 2175" has both in range);
@@ -493,10 +508,17 @@ def format_candidates(text: str) -> list[Candidate]:
             elif s > 0 and text[s - 1] == "(" and e < len(text) \
                     and text[e] == ")":
                 out.append(Candidate(s, e, "PHONE", 0.72))  # "(1497)"
-            elif _ctx(text, s, e, "PHONE") or _label_word_vote(text, s) == "PHONE":
-                out.append(Candidate(s, e, "PHONE", 0.70))
             else:
-                out.append(Candidate(s, e, "ADDRESS", 0.55))  # building no.
+                # phone last-4 vs building number: nearest context wins
+                # ("at 8040, callback:" → 'at' before beats 'call' after)
+                dp4 = _ctx_dist(text, s, e, "PHONE")
+                da4 = _ctx_dist(text, s, e, "ADDRESS")
+                if _label_word_vote(text, s) == "PHONE" or (
+                    dp4 is not None and (da4 is None or dp4 < da4)
+                ):
+                    out.append(Candidate(s, e, "PHONE", 0.70))
+                else:
+                    out.append(Candidate(s, e, "ADDRESS", 0.55))
         elif n == 5:
             # a long letter run glued right before the digits is a
             # username tail ('kjoywmmccz44807'), not a postcode
@@ -554,7 +576,12 @@ def format_candidates(text: str) -> list[Candidate]:
     # (generate_address branch str(randint(1,999)); AGE caps at 2 digits)
     for m in re.finditer(r"(?<![A-Za-z0-9])\d{3}(?![A-Za-z0-9])", text):
         s, e = m.start(), m.end()
-        if not _blocked_number(text, s, e) and not _sep_adjacent(text, s, e):
+        dotted = e < len(text) - 1 and text[e] == "." and text[e + 1].isalnum()
+        if (
+            not dotted  # noised IP fragment ('IPv 424.e15…')
+            and not _blocked_number(text, s, e)
+            and not _sep_adjacent(text, s, e)
+        ):
             out.append(Candidate(s, e, "ADDRESS", 0.52))
 
     return out
@@ -937,19 +964,30 @@ def token_candidates(text: str) -> list[Candidate]:
             up = abbr_m.group(2)
             a_off = len(abbr_m.group(1))
             ln = len(up)
+            truncated = False
             if up not in STATE_ABBRS and up not in COUNTRY_CODES and ln == 3:
                 # glued trailing letter on a 2-letter code ('WAR' = WA+R)
                 if up[:2] in STATE_ABBRS or up[:2] in COUNTRY_CODES:
-                    up, ln = up[:2], 2
+                    up, ln, truncated = up[:2], 2, True
             nxt = text[tk.end : tk.end + 2].lstrip()
             if (
                 (up in STATE_ABBRS or up in COUNTRY_CODES)
                 and not nxt.startswith(":")
                 and (
-                    _ctx(text, tk.start, tk.end, "ADDRESS")
-                    or _ctx_fuzzy2(text, tk.start, tk.end, "ADDRESS")
-                    or (i > 0 and toks[i - 1].text == "|")
-                    or (i + 1 < n and toks[i + 1].text == "|")
+                    (
+                        not truncated
+                        and (
+                            _ctx(text, tk.start, tk.end, "ADDRESS")
+                            or _ctx_fuzzy2(text, tk.start, tk.end, "ADDRESS")
+                            or (i > 0 and toks[i - 1].text == "|")
+                            or (i + 1 < n and toks[i + 1].text == "|")
+                        )
+                    )
+                    # glue-truncated hits need the strong fuzzy signal
+                    or (
+                        truncated
+                        and _ctx_fuzzy2(text, tk.start, tk.end, "ADDRESS")
+                    )
                 )
             ):
                 out.append(

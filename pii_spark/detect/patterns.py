@@ -65,13 +65,20 @@ _ANY = r"(?:\s?[-./]\s?|\s)"
 _CORE_DASH = rf"{_D0}\d{{3}}{_DASH}\d{{3}}{_DASH}\d{{4}}{_D1}"
 _CORE_ANY = rf"{_D0}\d{{3}}{_ANY}\d{{3}}{_ANY}\d{{4}}{_D1}"
 
+# in-span tel:/phone: prefixes (generation.py:198-199) are emitted
+# lowercase; capitalized "Phone:" is a template literal OUTSIDE the span
+# ("Phone: {phone}") — so the first letter is case-sensitive. Group 1 is
+# the bare core: candidates.py falls back to it when an email directly
+# precedes (the "email: {email} phone: {phone}" template's lowercase
+# literal).
+PHONE_PREFIXED = re.compile(
+    rf"(?:t[Ee][Ll]|p[Hh][Oo][Nn][Ee])\s?:\s?((?:\+?1\s)?{_CORE_ANY})"
+)
+_EMAILISH_BEFORE = re.compile(
+    rf"{_DOM}\s?[.]\s?{_TLD}\w?\W{{0,3}}$", re.IGNORECASE
+)
+
 PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
-    # in-span tel:/phone: prefixes (generation.py:198-199) are emitted
-    # lowercase; capitalized "Phone:" is a template literal OUTSIDE the
-    # span ("Phone: {phone}") — so the first letter is case-sensitive.
-    (re.compile(
-        rf"(?:t[Ee][Ll]|p[Hh][Oo][Nn][Ee])\s?:\s?(?:\+?1\s)?{_CORE_ANY}"
-    ), 0.97),
     (_c(rf"call me at (?:\+?1\s)?{_CORE_ANY}"), 0.97),
     (_c(rf"ends in \d{{4}}{_D1}"), 0.97),
     (_c(rf"(?:xxx{_ANY}xxx|\*\*\*{_ANY}\*\*\*){_ANY}\d{{4}}{_D1}"), 0.97),
@@ -84,7 +91,8 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
     (_c(rf"{_D0}\d{{4}}{_DASH}\d{{3}}{_DASH}\d{{4}}{_D1}"), 0.95),  # ####-###-####
     # obfuscate_phone (generation.py:742-751) over variable-length digit
     # strings: spaced singles, dash-joined 3-groups, 3-3-rest split
-    (_c(rf"{_D0}\d(?: \d){{3,15}}{_D1}"), 0.95),                  # "5 5 5 1 …"
+    # obf "5 5 5 1 …"; a noise-fused 2-digit group may appear anywhere
+    (_c(rf"{_D0}\d(?: \d\d?){{3,15}}{_D1}"), 0.95),
     (_c(rf"{_D0}(?:\d{{3}}\s?-\s?){{1,5}}\d{{1,3}}{_D1}"), 0.89),  # 3-groups
     (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{1,3}}{_D1}"), 0.90),          # 3-3-{1..3}
     (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{5,7}}{_D1}"), 0.90),          # 3-3-{5..7}
