@@ -265,22 +265,27 @@ def _hex_embedded(text: str, start: int, end: int) -> bool:
 
 _HN_AFTER = re.compile(r"(?i)issing digit|hecksum")
 _HN_AFTER_WORDS = ("checksum", "pending", "missing")
-_REF_WORDS = ("ref", "reference", "ticket", "acct", "account")
+# 'ticket'/'reference' are NOT here: "Ticket #{person}" /
+# "Reference #{person}" templates put real usernames after '#'
+_REF_WORDS = ("ref", "acct", "account")
 
 
 def _blocked_number(text: str, start: int, end: int) -> bool:
     """Hard-negative guards for bare digit runs (generation.py:763-775),
     tolerant of noise: '#' anywhere just before, a 'Ref'/'Acct'-prefixed
     word ('RefNy…'), or an edit-distance-1 fragment in the window."""
-    if "#" in text[max(0, start - 4) : start]:
-        return True  # Ref #NNNNN / Ticket #
-    before = text[max(0, start - 16) : start].lower().replace("_", " ")
     span_txt = text[start:end]
-    ref_shape = span_txt.isdigit() and len(span_txt) == 5  # Ref# is 5-digit
+    all_digit = span_txt.isdigit()
+    ref_shape = all_digit and len(span_txt) == 5  # Ref# is 5-digit
+    # '#' only blocks NUMBERS: "Ticket #{person}" / "Employee #{person}"
+    # put letter-bearing usernames after '#'
+    if all_digit and "#" in text[max(0, start - 4) : start]:
+        return True  # Ref #NNNNN
+    before = text[max(0, start - 16) : start].lower().replace("_", " ")
     for w in _WORD_RE.findall(before):
-        if w in _REF_WORDS:
+        if w in _REF_WORDS or (w[:3] == "ref" and len(w) <= 5):
             return True
-        # prefix/fuzzy matching only guards the exact Ref# number shape —
+        # fuzzy matching only guards the exact Ref# number shape —
         # otherwise "won't refund I [70M]" would block a real age
         if ref_shape and any(
             w.startswith(kw) and len(w) <= len(kw) + 2
@@ -387,10 +392,13 @@ def format_candidates(text: str) -> list[Candidate]:
                 continue  # GUID segments ('…563-0598-4e6e…')
             out.append(Candidate(s, e, "PHONE", conf))
     for m in P.PHONE_PREFIXED.finditer(text):
-        # lowercase 'phone:'/'tel:' is usually the in-span variant, but
-        # right after an email it is the "email: {email} phone: {phone}"
-        # template literal → keep only the bare number
-        if P._EMAILISH_BEFORE.search(text[max(0, m.start() - 18) : m.start()]):
+        # lowercase 'phone:' is usually the in-span variant
+        # (generation.py:199); the one template with a lowercase literal
+        # is "email: {email} phone: {phone}" — identified by an
+        # 'email:'-ish label earlier in the line and NO comma before
+        # 'phone' → keep only the bare number there
+        before = text[max(0, m.start() - 55) : m.start()]
+        if P._EMAIL_LABEL_BEFORE.search(before) and not before.rstrip().endswith(","):
             out.append(Candidate(m.start(1), m.end(1), "PHONE", 0.97))
         else:
             out.append(Candidate(m.start(), m.end(), "PHONE", 0.97))
@@ -613,9 +621,17 @@ def _template_wordish(alpha: str) -> bool:
         len(alpha) >= 7 and alpha[:-2] in _TEMPLATE_WORDS
     ):
         return True
-    if len(alpha) <= 12:
-        return any(
+    if len(alpha) <= 13:
+        if any(
             abs(len(alpha) - len(w)) <= 1 and _edit1(alpha, w)
+            for w in _TEMPLATE_WORDS
+        ):
+            return True
+        import difflib
+
+        return any(
+            abs(len(alpha) - len(w)) <= 2
+            and difflib.SequenceMatcher(None, alpha, w).ratio() >= 0.8
             for w in _TEMPLATE_WORDS
         )
     return False
@@ -1121,6 +1137,13 @@ def token_candidates(text: str) -> list[Candidate]:
                         if c2 > 0:
                             conf, a, b = c2 - 0.03, strip + a2, strip + b2
                             break
+            if conf > 0 and 0.80 <= conf <= 0.88:
+                # shape-only hits (no gazetteer evidence): reject when
+                # the token's full alpha prefix is a noised template word
+                # glued to a value ('ContactJ2875', 'addRsesK29127')
+                m0 = re.match(r"^([a-z]+)", tk.low)
+                if m0 and len(m0.group(1)) >= 5 and _template_wordish(m0.group(1)):
+                    conf = 0.0
             if conf > 0:
                 # single-letter+digits ids: a noised Ref#/'#NNONN' run
                 # splits into digits+letter+digits — reject when digits
@@ -1185,7 +1208,12 @@ def token_candidates(text: str) -> list[Candidate]:
             and ini_m.group(1) not in COUNTRY_CODES
             and prev_char(i) != "@"
         ):
-            conf = 0.75 if _ctx(text, tk.start, tk.end, "PERSON") else 0.28
+            if _ctx(text, tk.start, tk.end, "PERSON"):
+                conf = 0.75
+            elif _ctx_fuzzy2(text, tk.start, tk.end, "PERSON"):
+                conf = 0.62  # heavily-noised context word nearby
+            else:
+                conf = 0.28
             out.append(
                 Candidate(tk.start, tk.start + len(ini_m.group(1)), "PERSON", conf)
             )

@@ -72,13 +72,15 @@ _CORE_ANY = rf"{_D0}\d{{3}}{_ANY}\d{{3}}{_ANY}\d{{4}}{_D1}"
 # precedes (the "email: {email} phone: {phone}" template's lowercase
 # literal).
 PHONE_PREFIXED = re.compile(
-    rf"(?:t[Ee][Ll]|p[Hh][Oo][Nn][Ee])\s?:\s?((?:\+?1\s)?{_CORE_ANY})"
+    rf"p[Hh][Oo][Nn][Ee]\s?:\s?((?:\+?1\s)?{_CORE_ANY})"
 )
-_EMAILISH_BEFORE = re.compile(
-    rf"{_DOM}\s?[.]\s?{_TLD}\w?\W{{0,3}}$", re.IGNORECASE
-)
+# 'email:'-ish label earlier in the line marks the
+# "email: {email} phone: {phone}" template (lowercase literals)
+_EMAIL_LABEL_BEFORE = re.compile(r"(?i)e?ma[a-z]?i?l\s?:")
 
 PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
+    # 'tel:' is never a template literal — always in-span
+    (re.compile(rf"t[Ee][Ll]\s?:\s?(?:\+?1\s)?{_CORE_ANY}"), 0.97),
     (_c(rf"call me at (?:\+?1\s)?{_CORE_ANY}"), 0.97),
     (_c(rf"ends in \d{{4}}{_D1}"), 0.97),
     (_c(rf"(?:xxx{_ANY}xxx|\*\*\*{_ANY}\*\*\*){_ANY}\d{{4}}{_D1}"), 0.97),
@@ -91,8 +93,9 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
     (_c(rf"{_D0}\d{{4}}{_DASH}\d{{3}}{_DASH}\d{{4}}{_D1}"), 0.95),  # ####-###-####
     # obfuscate_phone (generation.py:742-751) over variable-length digit
     # strings: spaced singles, dash-joined 3-groups, 3-3-rest split
-    # obf "5 5 5 1 …"; a noise-fused 2-digit group may appear anywhere
-    (_c(rf"{_D0}\d(?: \d\d?){{3,15}}{_D1}"), 0.95),
+    # obf "5 5 5 1 …"; one noise-fused 2-digit group allowed at the END
+    # (never letter-glued — that would swallow a following '95ruth…')
+    (_c(rf"{_D0}\d(?: \d){{3,15}}(?: \d\d(?![A-Za-z0-9]))?{_D1}"), 0.95),
     (_c(rf"{_D0}(?:\d{{3}}\s?-\s?){{1,5}}\d{{1,3}}{_D1}"), 0.89),  # 3-groups
     (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{1,3}}{_D1}"), 0.90),          # 3-3-{1..3}
     (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{5,7}}{_D1}"), 0.90),          # 3-3-{5..7}
