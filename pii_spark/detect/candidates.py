@@ -300,8 +300,34 @@ def _blocked_number(text: str, start: int, end: int) -> bool:
     if _HN_AFTER.search(after):
         return True
     for w in _WORD_RE.findall(after.lower()):
-        if len(w) >= 6 and any(_edit1(w, kw) for kw in _HN_AFTER_WORDS):
+        # same-length fuzz only, or same first char — otherwise the
+        # legit template word 'ending' ≈ 'pending' by one deletion
+        if len(w) >= 6 and any(
+            _edit1(w, kw) and (len(w) == len(kw) or w[0] == kw[0])
+            for kw in _HN_AFTER_WORDS
+        ):
             return True  # 'Shecksum p3nding'
+    return False
+
+
+def _hexish_after(text: str, end: int) -> bool:
+    """A long mostly-hex run right after → noised 'SHA1 <hex>' line."""
+    seg = [c for c in text[end : end + 14] if not c.isspace()][:10]
+    if len(seg) < 8:
+        return False
+    return sum(c.lower() in _HEXISH for c in seg) >= 8
+
+
+_HN_PREFIX_WORDS = ("professor", "public", "sha1", "guid", "mac")
+
+
+def _hn_prefix_before(text: str, start: int) -> bool:
+    """Hard-negative anchor word ('professor: SHA1 …') just before."""
+    for w in _WORD_RE.findall(text[max(0, start - 18) : start].lower()):
+        if len(w) >= 3 and any(
+            w == kw or _edit1(w, kw) for kw in _HN_PREFIX_WORDS
+        ):
+            return True
     return False
 
 
@@ -1156,6 +1182,8 @@ def token_candidates(text: str) -> list[Candidate]:
                 if single_id and (
                     (a > 0 and tk.low[a - 1].isdigit())
                     or _blocked_number(text, tk.start + a, tk.start + b)
+                    or _hexish_after(text, tk.start + b)
+                    or _hn_prefix_before(text, tk.start + a)
                 ):
                     conf = 0.0
                 # long random shapes: shift start past a case transition
@@ -1208,15 +1236,35 @@ def token_candidates(text: str) -> list[Candidate]:
             and ini_m.group(1) not in COUNTRY_CODES
             and prev_char(i) != "@"
         ):
-            if _ctx(text, tk.start, tk.end, "PERSON"):
+            ini = ini_m.group(1)
+            after4 = text[tk.end : tk.end + 12].lstrip()
+            # a noised DOB/SSN label right before a date/number value
+            # ('COB Oct 20th', 'OB birthday:') is a form label
+            dateish_next = bool(
+                re.match(r"(?i)\d|birthday|born|jan|feb|mar|apr|may|jun|"
+                         r"jul|aug|sep|oct|nov|dec", after4)
+            )
+            if dateish_next and any(
+                _edit1(ini, b) for b in ("DOB", "SSN")
+            ):
+                conf = 0.0
+            elif _ctx(text, tk.start, tk.end, "PERSON"):
                 conf = 0.75
+            elif (
+                # csv-style separators around the slot:
+                # "{person};{date};…" (generation.py CSV templates)
+                (tk.start > 0 and text[tk.start - 1] in ";|")
+                or (tk.end < len(text) and text[tk.end] in ";|")
+            ):
+                conf = 0.66
             elif _ctx_fuzzy2(text, tk.start, tk.end, "PERSON"):
                 conf = 0.62  # heavily-noised context word nearby
             else:
                 conf = 0.28
-            out.append(
-                Candidate(tk.start, tk.start + len(ini_m.group(1)), "PERSON", conf)
-            )
+            if conf > 0:
+                out.append(
+                    Candidate(tk.start, tk.start + len(ini), "PERSON", conf)
+                )
 
         # ---- PERSON: bare lowercase first name (username branch 20);
         # exact hits must be lowercase (capitalized 'Virginia' is a

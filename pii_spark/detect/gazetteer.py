@@ -57,7 +57,8 @@ INITIALS_BLOCKLIST = frozenset(
      "JUST", "INFO", "MINE", "LOST", "WTF", "IDK", "USER", "DEAR",
      "WITH", "EMAIL", "TEL", "FULL", "SHIP", "YO", "UR", "OK", "SO",
      "HI", "ME", "MY", "IF", "US", "UP", "ALL", "BUT", "NOT", "FOR",
-     "AND", "THE", "WAS", "HAS", "HAVE", "THEY", "WONT", "THEM", "THIS"}
+     "AND", "THE", "WAS", "HAS", "HAVE", "THEY", "WONT", "THEM", "THIS",
+     "ON", "BY", "IN", "OR", "OF", "AN", "AS", "IS", "IT", "PH"}
 )
 
 MAX_SEQ_LEN = max(
