@@ -174,7 +174,9 @@ def _ctx_fuzzy2(text: str, start: int, end: int, label: str,
         if len(w) < 4:
             continue
         for kw in kws:
-            if difflib.SequenceMatcher(None, w, kw).ratio() >= 0.63:
+            if abs(len(w) - len(kw)) <= 2 and (
+                difflib.SequenceMatcher(None, w, kw).ratio() >= 0.63
+            ):
                 return True
     return False
 
@@ -346,7 +348,12 @@ def _in_long_alnum_token(text: str, start: int, end: int) -> bool:
         return False
     left = sum(c.isalpha() for c in text[s:start])
     right = sum(c.isalpha() for c in text[end:e])
-    return left >= 2 and right >= 2
+    if left >= 2 and right >= 2:
+        return True
+    # very long mixed tokens (noised SHA1, 40ish chars) even with
+    # one-sided letters; a credit card glued to a template word tops out
+    # around 26 chars ('contact' + 19 digits)
+    return (e - s) >= 30 and (left + right) >= 3
 
 
 # ------------------------------------------------------------ format layer
@@ -358,27 +365,33 @@ _EMAIL_GLUE_WORDS = ("email", "mail", "via", "phone", "reply", "contact")
 def _trim_email_start(text: str, s: int, e: int) -> int:
     """Tight start for an email match: the local-atom regex greedily
     absorbs noise-glued prefixes ('Emailt', 'at8', '2011'); drop leading
-    case/digit pieces that are short, pure-digit, or template words —
-    true locals never start with digits and keep an alpha core."""
+    case/digit pieces that are pure-digit, template words, or short
+    LOWERCASE glue — but never Capitalized pieces (a case-scrambled
+    local like 'ReyNoLds' splits into short pieces that are all real)."""
     while s < e and not text[s].isalnum():
         s += 1
+    # 'at.'/'me.' template fragments fused by a noised space
+    m_frag = re.match(r"(?:at|me|to)[-.](?=[A-Za-z])", text[s:e])
+    if m_frag:
+        s += m_frag.end()
     atom_end = s
     while atom_end < e and (text[atom_end].isalnum()):
         atom_end += 1
     pieces = _PIECE_RE.findall(text[s:atom_end])
     while len(pieces) > 1:
-        head = pieces[0].lower()
+        head = pieces[0]
+        low = head.lower()
         rest_has_alpha = any(
             not p.isdigit() and len(p) >= 2 for p in pieces[1:]
         )
         droppable = (
             head.isdigit()
-            or len(head) <= 3
-            or head in _EMAIL_GLUE_WORDS
+            or low in _EMAIL_GLUE_WORDS
             or any(
-                _edit1(head, w) or _edit1(head[:-1], w)
+                _edit1(low, w) or _edit1(low[:-1], w)
                 for w in _EMAIL_GLUE_WORDS
             )
+            or (len(head) <= 3 and head.islower())
         )
         if droppable and rest_has_alpha:
             s += len(pieces.pop(0))
@@ -458,7 +471,7 @@ def format_candidates(text: str) -> list[Candidate]:
         for m in rx.finditer(text):
             out.append(Candidate(m.start(), m.end(), "DATE", conf))
     for m in P.YEAR_RE.finditer(text):
-        s, e = m.start(), m.end()
+        s, e = m.start(1), m.end(1)
         if (
             not _sep_adjacent(text, s, e)
             and not _blocked_number(text, s, e)
@@ -561,7 +574,11 @@ def format_candidates(text: str) -> list[Candidate]:
                 k -= 1
             conf5 = 0.55 if s - k >= 3 else 0.90
             out.append(Candidate(s, e, "ADDRESS", conf5))  # postcode
-        elif n == 6 and _ctx(text, s, e, "ADDRESS"):
+        elif n == 6 and (
+            _ctx(text, s, e, "ADDRESS")
+            or text[max(0, s - 2) : s].strip() in ("|", ";")
+            or text[e : e + 2].strip()[:1] in ("|", ";")
+        ):
             out.append(Candidate(s, e, "ADDRESS", 0.60))  # zip + glued digit
         elif n in (9, 10):
             if _hex_embedded(text, s, e):
@@ -734,16 +751,17 @@ def _gaz_span_rel(text: str, low: str, gaz: frozenset) -> tuple[int, int] | None
         return (0, ln - 2)
     if ln >= 7 and low[:-3] in gaz:
         return (0, ln - 3)
-    for k in range(1, min(11, ln - 2)):
+    for k in range(1, min(13, ln - 2)):
         if low[k:] in gaz and (k <= 2 or text[k].isupper()):
             return (k, ln)
     for k in range(ln - 1, 3, -1):
-        # trailing glue handover: uppercase/digit at k, or an uppercase
-        # restart within 2 chars ('Burns' + 'h' + 'Aodres')
+        # trailing glue handover: uppercase/digit at k, or an
+        # uppercase/digit restart within 2 chars ('Burns'+'h'+'Aodres',
+        # 'Mason'+'q'+'690')
         if low[:k] in gaz and (
             text[k].isupper()
             or text[k].isdigit()
-            or any(c.isupper() for c in text[k + 1 : k + 3])
+            or any(c.isupper() or c.isdigit() for c in text[k + 1 : k + 3])
         ):
             return (0, k)
     return None
@@ -1012,6 +1030,11 @@ def token_candidates(text: str) -> list[Candidate]:
                 if up[:2] in STATE_ABBRS or up[:2] in COUNTRY_CODES:
                     up, ln, truncated = up[:2], 2, True
             nxt = text[tk.end : tk.end + 2].lstrip()
+            # address labels PRECEDE their value ("Address: X", "Ship
+            # to X", "at X") and sit close — after-side or far-away
+            # context words belong to other fields
+            ad = _ctx_dist(text, tk.start, tk.end, "ADDRESS", width=16)
+            ctx_before_near = ad is not None and ad[0] == 0
             if (
                 (up in STATE_ABBRS or up in COUNTRY_CODES)
                 and not nxt.startswith(":")
@@ -1019,7 +1042,7 @@ def token_candidates(text: str) -> list[Candidate]:
                     (
                         not truncated
                         and (
-                            _ctx(text, tk.start, tk.end, "ADDRESS")
+                            ctx_before_near
                             or _ctx_fuzzy2(text, tk.start, tk.end, "ADDRESS")
                             or (i > 0 and toks[i - 1].text == "|")
                             or (i + 1 < n and toks[i + 1].text == "|")
@@ -1055,15 +1078,13 @@ def token_candidates(text: str) -> list[Candidate]:
                 for (sfx,) in (s for s in ORG_SUFFIX_SEQS if len(s) == 1):
                     if lj == sfx:
                         return toks[j].end
+                    if len(sfx) <= 2:
+                        continue  # 'co': exact match only, too short
                     if lj[:-1] == sfx:
                         return toks[j].end - 1
-                    if (
-                        lj.startswith(sfx)
-                        and len(lj) > len(sfx)
-                        and (
-                            toks[j].text[len(sfx)].isupper()
-                            or toks[j].text[len(sfx)].isdigit()
-                        )
+                    if lj.startswith(sfx) and len(lj) > len(sfx) and any(
+                        c.isupper() or c.isdigit()
+                        for c in toks[j].text[len(sfx) : len(sfx) + 3]
                     ):
                         return toks[j].start + len(sfx)
                 return -1

@@ -144,9 +144,14 @@ DATE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # "08/09/2" (year%100 < 10, generation.py:264); glue-tolerant groups
     (_c(r"\d{1,4}/\d{1,2}/\d{1,4}(?!\d)"), 0.95),
 ]
-# strict boundaries: a glued year is usually a year-prefixed username
-# (generation.py:97-98), so no letter tolerance here
-YEAR_RE = re.compile(r"(?<![A-Za-z0-9])(?:19[5-9]\d|20[0-3]\d)(?![A-Za-z0-9])")
+# a glued year followed by MORE lowercase is a year-prefixed username
+# (generation.py:97-98); one glued letter then a break is noise on a
+# plain year ('2033G emAjl'). Letters BEFORE the year are glue too
+# ('registereda2027'). Group 1 = the tight year.
+YEAR_RE = re.compile(
+    r"(?<![0-9])((?:19[5-9]\d|20[0-3]\d))(?:[A-Za-z](?![A-Za-z0-9]))?"
+    r"(?![A-Za-z0-9])"
+)
 
 # ----------------------------------------------------------------- AGE
 
