@@ -66,7 +66,7 @@ class Candidate(NamedTuple):
 # substring, or any window word within edit-distance 1 of a keyword.
 _CTX_WORDS = {
     "PHONE": ("phone", "call", "tel", "dial", "callback", "reach", "mine",
-              "number", "contact", "or", "not"),
+              "number", "contact", "or", "not", "later"),
     "SSN": ("ssn", "social"),
     "PERSON": ("contact", "attendees", "user", "username", "customer",
                "patient", "applicant", "name", "witness", "signed",
@@ -191,12 +191,14 @@ def _label_word_vote(text: str, start: int) -> str | None:
     that exact/edit-1 matching cannot."""
     import difflib
 
-    words = _WORD_RE.findall(text[max(0, start - 14) : start].lower())
+    words = [
+        w
+        for w in _WORD_RE.findall(text[max(0, start - 14) : start].lower())
+        if len(w) >= 3
+    ]
     if not words:
         return None
     w = words[-1]
-    if len(w) < 3:
-        return None
     pr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _PHONEISH)
     sr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _SSNISH)
     if max(pr, sr) < 0.55 or abs(pr - sr) < 0.08:
@@ -456,6 +458,10 @@ def format_candidates(text: str) -> list[Candidate]:
             dp = _ctx_dist(text, s, e, "PHONE")
             if paren:  # "Attendees: name ({phone})" template shape
                 out.append(Candidate(s, e, "PHONE", 0.93))
+            elif "|" in text[max(0, s - 3) : s] and ds is None:
+                # pipe-separated csv: the only 3-3-4-able field there is
+                # the phone ("{person} | {age} | {address} | {phone}")
+                out.append(Candidate(s, e, "PHONE", 0.90))
             elif dp is not None and (ds is None or dp < ds):
                 out.append(Candidate(s, e, "PHONE", 0.93))
             elif ds is not None:
@@ -1259,16 +1265,27 @@ def token_candidates(text: str) -> list[Candidate]:
         ):
             ini = ini_m.group(1)
             after4 = text[tk.end : tk.end + 12].lstrip()
+            after_raw = text[tk.end : tk.end + 2]
             # a noised DOB/SSN label right before a date/number value
-            # ('COB Oct 20th', 'OB birthday:') is a form label
+            # ('COB Oct 20th', 'OB birthday:', 'GZSN: 9652-') is a form
+            # label, not initials
             dateish_next = bool(
                 re.match(r"(?i)\d|birthday|born|jan|feb|mar|apr|may|jun|"
                          r"jul|aug|sep|oct|nov|dec", after4)
             )
+            numish_soon = any(c.isdigit() for c in text[tk.end : tk.end + 4])
             if dateish_next and any(
                 _edit1(ini, b) for b in ("DOB", "SSN")
             ):
                 conf = 0.0
+            elif numish_soon and (
+                ini.endswith(("SN", "OB")) or _edit1(ini, "SSN")
+            ):
+                conf = 0.0
+            elif "'" in (text[max(0, tk.start - 1) : tk.start] + after_raw):
+                conf = 0.0  # "DUN't trust" / "DO'NT" — contractions
+            elif re.match(r"(?i)\s?\w{0,8}(trust|tryst|rust)", after4):
+                conf = 0.0  # noised "PSA don't trust" anchor
             elif _ctx(text, tk.start, tk.end, "PERSON"):
                 conf = 0.75
             elif (
@@ -1346,11 +1363,23 @@ def detect_spans(text: str) -> list[Candidate]:
     anchor_ends = [
         c.end for c in cands if c.label in ("EMAIL", "ORG") and c.conf >= 0.9
     ]
+    # weak short PERSON hits (initials) directly BEFORE a strong span are
+    # noised connector words ('at'→'AO' before an email, 'to'→'TJ'
+    # before a city) — real initials stand alone
+    strong_starts = [
+        c.start
+        for c in cands
+        if c.conf >= 0.9 and c.label in ("EMAIL", "PERSON", "ADDRESS")
+    ]
     repaired = []
     for c in cands:
         email_before = any(c.start - 5 <= e <= c.start for e in anchor_ends)
-        if c.label == "SSN" and abs(c.conf - 0.89) < 1e-9 and email_before:
-            c = Candidate(c.start, c.end, "PHONE", 0.89)
+        if (
+            c.label == "SSN"
+            and (abs(c.conf - 0.89) < 1e-9 or abs(c.conf - 0.92) < 1e-9)
+            and email_before
+        ):
+            c = Candidate(c.start, c.end, "PHONE", c.conf)
         elif (
             c.label == "ADDRESS"
             and abs(c.conf - 0.55) < 1e-9
@@ -1359,5 +1388,12 @@ def detect_spans(text: str) -> list[Candidate]:
             # "…{email}, {phone}" template: bare 4-digit after an email
             # is the phone's last-4, not a building number
             c = Candidate(c.start, c.end, "PHONE", 0.70)
+        elif (
+            c.label == "PERSON"
+            and c.conf <= 0.76
+            and c.end - c.start <= 3
+            and any(c.end < s2 <= c.end + 3 for s2 in strong_starts)
+        ):
+            continue
         repaired.append(c)
     return resolve(repaired)
