@@ -1224,9 +1224,17 @@ def token_candidates(text: str) -> list[Candidate]:
             # username must not veto it. No general _blocked_number here —
             # the 'Ticket #{person}' / 'Employee #{person}' templates put
             # letter-bearing usernames after '#'.
-            if conf > 0 and not _sep_adjacent(
-                text, tk.start + a, tk.start + b
-            ):
+            if conf > 0 and _sep_adjacent(text, tk.start + a, tk.start + b):
+                # a ':' right before a LONG lettered username is a form
+                # label ('ID:yunder53'), not a MAC separator (MAC
+                # segments are ≤5 chars)
+                if not (
+                    b - a >= 6
+                    and tk.start + a > 0
+                    and text[tk.start + a - 1] == ":"
+                ):
+                    conf = 0.0
+            if conf > 0:
                 out.append(
                     Candidate(tk.start + a, tk.start + b, "PERSON", conf)
                 )
@@ -1282,8 +1290,10 @@ def token_candidates(text: str) -> list[Candidate]:
                 ini.endswith(("SN", "OB")) or _edit1(ini, "SSN")
             ):
                 conf = 0.0
-            elif "'" in (text[max(0, tk.start - 1) : tk.start] + after_raw):
-                conf = 0.0  # "DUN't trust" / "DO'NT" — contractions
+            elif text[max(0, tk.start - 1) : tk.start] == "'" or (
+                after_raw.startswith("'") and not after_raw.startswith("'s")
+            ):
+                conf = 0.0  # "DUN't" / "DO'NT" contractions ('s = possessive)
             elif re.match(r"(?i)\s?\w{0,8}(trust|tryst|rust)", after4):
                 conf = 0.0  # noised "PSA don't trust" anchor
             elif _ctx(text, tk.start, tk.end, "PERSON"):
@@ -1395,5 +1405,17 @@ def detect_spans(text: str) -> list[Candidate]:
             and any(c.end < s2 <= c.end + 3 for s2 in strong_starts)
         ):
             continue
+        elif c.label == "PERSON" and abs(c.conf - 0.28) < 1e-9:
+            # context-less initials adjacent to another PII span sit in a
+            # person slot ('{person} - {date}', '… {phone} {person}') —
+            # upgrade above the serving threshold
+            near = any(
+                (c.end < o.start <= c.end + 3 or 0 <= c.start - o.end <= 3)
+                and o.conf >= 0.85
+                and o.label != "PERSON"
+                for o in cands
+            )
+            if near:
+                c = Candidate(c.start, c.end, "PERSON", 0.60)
         repaired.append(c)
     return resolve(repaired)

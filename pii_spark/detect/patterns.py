@@ -148,9 +148,12 @@ DATE_PATTERNS: list[tuple[re.Pattern, float]] = [
 # (generation.py:97-98); one glued letter then a break is noise on a
 # plain year ('2033G emAjl'). Letters BEFORE the year are glue too
 # ('registereda2027'). Group 1 = the tight year.
+# a following Uppercase is a separate fine token ('2011Lqdznv774' =
+# year + glued username start) — tight year still valid; a following
+# lowercase run is a year-prefixed username ('1988samantha47') — reject.
 YEAR_RE = re.compile(
-    r"(?<![0-9])((?:19[5-9]\d|20[0-3]\d))(?:[A-Za-z](?![A-Za-z0-9]))?"
-    r"(?![A-Za-z0-9])"
+    r"(?<![0-9])((?:19[5-9]\d|20[0-3]\d))"
+    r"(?:(?:[A-Za-z](?![A-Za-z0-9]))?(?![A-Za-z0-9])|(?=[A-Z]))"
 )
 
 # ----------------------------------------------------------------- AGE
