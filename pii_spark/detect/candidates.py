@@ -66,7 +66,11 @@ class Candidate(NamedTuple):
 # substring, or any window word within edit-distance 1 of a keyword.
 _CTX_WORDS = {
     "PHONE": ("phone", "call", "tel", "dial", "callback", "reach", "mine",
-              "number", "contact", "or", "not", "later"),
+              "contact", "or", "not", "later"),
+    # strong age anchors for weak/loose AGE rules (the broad AGE set
+    # includes 'me'/'applied', too weak to license a noise-made token)
+    "AGE_STRONG": ("age", "old", "girlfriend", "boyfriend", "partner",
+                   "wife", "brother", "year"),
     "SSN": ("ssn", "social"),
     "PERSON": ("contact", "attendees", "user", "username", "customer",
                "patient", "applicant", "name", "witness", "signed",
@@ -322,6 +326,14 @@ def _hexish_after(text: str, end: int) -> bool:
     return sum(c.lower() in _HEXISH for c in seg) >= 8
 
 
+def _hexish_before(text: str, start: int) -> bool:
+    """A long mostly-hex run right before → tail of a noised SHA1/GUID."""
+    seg = [c for c in text[max(0, start - 14) : start] if not c.isspace()][-10:]
+    if len(seg) < 8:
+        return False
+    return sum(c.lower() in _HEXISH for c in seg) >= 8
+
+
 _HN_PREFIX_WORDS = ("professor", "public", "sha1", "guid", "mac")
 
 
@@ -462,7 +474,11 @@ def format_candidates(text: str) -> list[Candidate]:
                 # pipe-separated csv: the only 3-3-4-able field there is
                 # the phone ("{person} | {age} | {address} | {phone}")
                 out.append(Candidate(s, e, "PHONE", 0.90))
-            elif dp is not None and (ds is None or dp < ds):
+            elif (
+                dp is not None
+                and (ds is None or dp < ds)
+                and (dp[0] == 0 or dp[1] <= 12)
+            ):
                 out.append(Candidate(s, e, "PHONE", 0.93))
             elif ds is not None:
                 out.append(Candidate(s, e, "SSN", 0.93))
@@ -496,7 +512,10 @@ def format_candidates(text: str) -> list[Candidate]:
     # letter-glued lowercase gender form needs AGE context ("Agej81m")
     for m in P.AGE_MF_LOOSE.finditer(text):
         s, e = m.start(), m.end()
-        if _ctx(text, s, e, "AGE") and not _sep_adjacent(text, s, e):
+        if (
+            _ctx(text, s, e, "AGE_STRONG")
+            or _ctx_fuzzy2(text, s, e, "AGE_STRONG")
+        ) and not _sep_adjacent(text, s, e):
             out.append(Candidate(s, e, "AGE", 0.72))
     for m in P.AGE_PAREN_BARE.finditer(text):
         out.append(Candidate(m.start(), m.end(), "AGE", 0.85))
@@ -625,7 +644,8 @@ def format_candidates(text: str) -> list[Candidate]:
             not _blocked_number(text, s, e)
             and not _sep_adjacent(text, s, e)
             and (s == 0 or text[s - 1] not in "'_")  # "can'9 agree" noise
-            and _ctx(text, s, e, "AGE")
+            and (e >= len(text) or text[e] != "(")
+            and _ctx(text, s, e, "AGE_STRONG")
         ):
             out.append(Candidate(s, e, "AGE", 0.60))
 
@@ -636,6 +656,8 @@ def format_candidates(text: str) -> list[Candidate]:
         dotted = e < len(text) - 1 and text[e] == "." and text[e + 1].isalnum()
         if (
             not dotted  # noised IP fragment ('IPv 424.e15…')
+            and not (s > 0 and text[s - 1] == "_")
+            and not _hexish_before(text, s)
             and not _blocked_number(text, s, e)
             and not _sep_adjacent(text, s, e)
         ):
@@ -1054,12 +1076,12 @@ def token_candidates(text: str) -> list[Candidate]:
                             or (i + 1 < n and toks[i + 1].text == "|")
                         )
                     )
-                    # glue-truncated hits need the strong fuzzy signal
-                    or (
-                        truncated
-                        and _ctx_fuzzy2(text, tk.start, tk.end, "ADDRESS")
-                    )
+                    # glue-truncated hits need a before-side label
+                    or (truncated and ctx_before_near)
                 )
+                # a lowercase word right after means the abbr is a noised
+                # function word ('IT arrives', 'MT partner'), not a value
+                and not re.match(r" [a-z]{4,}", text[tk.end : tk.end + 10])
             ):
                 out.append(
                     Candidate(
@@ -1155,8 +1177,18 @@ def token_candidates(text: str) -> list[Candidate]:
             stem_start >= 0
             and i + 2 < n
             and toks[i + 1].text in (".", "_")
-            and toks[i + 1].start == tk.end
-            and toks[i + 2].start == toks[i + 1].end
+            and (
+                (
+                    toks[i + 1].start == tk.end
+                    and toks[i + 2].start == toks[i + 1].end
+                )
+                # ' . ' spacing noise inside the span
+                # (generation.py:696-698) — demand both halves be names
+                or (
+                    toks[i + 2].start - tk.end <= 5
+                    and toks[i + 2].low in LASTS
+                )
+            )
             and prev_char(i) != "@"
         ):
             m2 = re.match(r"^([a-z]+)(\d{0,4})([a-z]{0,2})$", toks[i + 2].low)
