@@ -70,7 +70,8 @@ _CTX_WORDS = {
     # strong age anchors for weak/loose AGE rules (the broad AGE set
     # includes 'me'/'applied', too weak to license a noise-made token)
     "AGE_STRONG": ("age", "old", "girlfriend", "boyfriend", "partner",
-                   "wife", "brother", "year"),
+                   "wife", "brother", "year", "broke", "kissed", "hate",
+                   "applied", "terrified"),
     "SSN": ("ssn", "social"),
     "PERSON": ("contact", "attendees", "user", "username", "customer",
                "patient", "applicant", "name", "witness", "signed",
@@ -149,11 +150,14 @@ def _ctx_dist(
     kws = _CTX_WORDS[label]
     for m in _WORD_RE.finditer(window):
         w = m.group()
-        if len(w) < 3:
+        if len(w) < 2:
             continue
         for kw in kws:
             # 'ssn'/'age' are only 3 chars but too load-bearing to skip
-            if (len(kw) >= 4 or kw in ("ssn", "age")) and _edit1(w, kw):
+            if len(w) >= 3 and len(kw) >= 4 and _edit1(w, kw):
+                consider(m.start(), len(w))
+                break
+            if kw in ("ssn", "age") and _edit1(w, kw):
                 consider(m.start(), len(w))
                 break
     return best
@@ -515,6 +519,7 @@ def format_candidates(text: str) -> list[Candidate]:
         if (
             _ctx(text, s, e, "AGE_STRONG")
             or _ctx_fuzzy2(text, s, e, "AGE_STRONG")
+            or ("|" in text[max(0, s - 3) : s] and "|" in text[e : e + 3])
         ) and not _sep_adjacent(text, s, e):
             out.append(Candidate(s, e, "AGE", 0.72))
     for m in P.AGE_PAREN_BARE.finditer(text):
@@ -645,7 +650,14 @@ def format_candidates(text: str) -> list[Candidate]:
             and not _sep_adjacent(text, s, e)
             and (s == 0 or text[s - 1] not in "'_")  # "can'9 agree" noise
             and (e >= len(text) or text[e] != "(")
-            and _ctx(text, s, e, "AGE_STRONG")
+            and (
+                _ctx(text, s, e, "AGE_STRONG")
+                # "{person} | {age} | {address} | {phone}" csv slot
+                or (
+                    "|" in text[max(0, s - 3) : s]
+                    and "|" in text[e : e + 3]
+                )
+            )
         ):
             out.append(Candidate(s, e, "AGE", 0.60))
 
@@ -1047,7 +1059,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # context — noise uppercases ordinary 2-letter words often enough
         # that a bare closed-list hit is not trustworthy on its own.
         # A single glued digit is tolerated ('TN4', '7PL') — tight span.
-        abbr_m = re.match(r"^(\d?)([A-Z]{2,3})[a-z]?\d?$", tk.text)
+        abbr_m = re.match(r"^([a-z]?\d?|\d?[a-z]?)([A-Z]{2,3})[a-z]?\d?$", tk.text)
         if abbr_m:
             up = abbr_m.group(2)
             a_off = len(abbr_m.group(1))
@@ -1081,7 +1093,12 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
                 # a lowercase word right after means the abbr is a noised
                 # function word ('IT arrives', 'MT partner'), not a value
-                and not re.match(r" [a-z]{4,}", text[tk.end : tk.end + 10])
+                # — unless an address label sits immediately before
+                # ('Address OR aplpi…')
+                and (
+                    not re.match(r" [a-z]{4,}", text[tk.end : tk.end + 10])
+                    or (ad is not None and ad[0] == 0 and ad[1] <= 10)
+                )
             ):
                 out.append(
                     Candidate(
@@ -1323,9 +1340,21 @@ def token_candidates(text: str) -> list[Candidate]:
             ):
                 conf = 0.0
             elif text[max(0, tk.start - 1) : tk.start] == "'" or (
-                after_raw.startswith("'") and not after_raw.startswith("'s")
+                after_raw.startswith("'t") or after_raw.startswith("'n")
             ):
-                conf = 0.0  # "DUN't" / "DO'NT" contractions ('s = possessive)
+                conf = 0.0  # "DUN't" / "DO'NT" contractions ('s/'w = possessive)
+            elif re.match(r"(?i)[.!]?\s?m[ey]\b", after4):
+                conf = 0.0  # noised 'DM me at' / 'hit me up' connectors
+            elif (
+                ini_formlabel
+                and len(ini) == 2
+                and any(
+                    _edit1(ini, b)
+                    for b in INITIALS_BLOCKLIST
+                    if len(b) == 2
+                )
+            ):
+                conf = 0.0  # 'RD:' ≈ noised 'ID:' form label
             elif re.match(r"(?i)\s?\w{0,8}(trust|tryst|rust)", after4):
                 conf = 0.0  # noised "PSA don't trust" anchor
             elif _ctx(text, tk.start, tk.end, "PERSON"):
