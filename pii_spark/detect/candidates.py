@@ -512,6 +512,14 @@ def format_candidates(text: str) -> list[Candidate]:
                 continue  # 'F4' inside a MAC, '50' inside an IP, …
             if e - s <= 5 and _blocked_number(text, s, e):
                 continue  # 'Ref #X281F'
+            if re.match(r"^[MF]\d{1,2}$", text[s:e]):
+                # 'M63' is both an AGE form (generation.py:160) and a
+                # letter+digits username (generation.py:73) — the nearer
+                # context label decides ('contact info: M63L' → person)
+                dp_p = _ctx_dist(text, s, e, "PERSON")
+                dp_a = _ctx_dist(text, s, e, "AGE")
+                if dp_p is not None and (dp_a is None or dp_p < dp_a):
+                    continue
             out.append(Candidate(s, e, "AGE", conf))
     # letter-glued lowercase gender form needs AGE context ("Agej81m")
     for m in P.AGE_MF_LOOSE.finditer(text):
@@ -809,6 +817,20 @@ def _gaz_span_rel(text: str, low: str, gaz: frozenset) -> tuple[int, int] | None
 
 def _gaz_glued(tok: _Tok, gaz: frozenset) -> bool:
     return _gaz_span(tok, gaz) is not None
+
+
+def _last_span_loose(tok: _Tok) -> tuple[int, int] | None:
+    """LASTS lookup for the SECOND token of 'First Last' — anchored by
+    the preceding first name, so any-case multi-char trailing glue is
+    acceptable ('Simmonscfr', 'Burnspsaid')."""
+    sp = _gaz_span(tok, LASTS)
+    if sp:
+        return sp
+    low = tok.low
+    for k in range(len(low) - 1, 3, -1):
+        if low[:k] in LASTS:
+            return (tok.start, tok.start + k)
+    return None
 
 
 _YEAR_USER_RE = re.compile(r"(?:19|20)\d{2}[a-z]+\d{0,6}")
@@ -1161,7 +1183,7 @@ def token_candidates(text: str) -> list[Candidate]:
         first_sp = _gaz_span(tk, FIRSTS)
         if first_sp and prev_char(i) != "@":
             if i + 1 < n:
-                last_sp = _gaz_span(toks[i + 1], LASTS)
+                last_sp = _last_span_loose(toks[i + 1])
                 if last_sp:
                     out.append(
                         Candidate(first_sp[0], last_sp[1], "PERSON", 0.93)
@@ -1172,7 +1194,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 and toks[i + 1].text.isalpha()
                 and toks[i + 2].text == "."
             ):
-                last_sp = _gaz_span(toks[i + 3], LASTS)
+                last_sp = _last_span_loose(toks[i + 3])
                 if last_sp:
                     out.append(
                         Candidate(first_sp[0], last_sp[1], "PERSON", 0.94)
@@ -1214,9 +1236,17 @@ def token_candidates(text: str) -> list[Candidate]:
                 or m2.group(1)[:-1] in LASTS
                 or len(m2.group(1)) >= 6
             ):
-                tight_e = toks[i + 2].start + len(m2.group(1)) + len(m2.group(2))
-                if m2.group(1) not in LASTS and m2.group(1)[:-1] in LASTS and not m2.group(2):
-                    tight_e -= 1
+                alpha2 = m2.group(1)
+                tight_e = toks[i + 2].start + len(alpha2) + len(m2.group(2))
+                if alpha2 not in LASTS:
+                    if alpha2[:-1] in LASTS and not m2.group(2):
+                        tight_e -= 1
+                    else:
+                        # glued tail: prefer the longest LASTS prefix
+                        for k in range(len(alpha2) - 1, 3, -1):
+                            if alpha2[:k] in LASTS:
+                                tight_e = toks[i + 2].start + k
+                                break
                 out.append(Candidate(stem_start, tight_e, "PERSON", 0.92))
 
         # ---- PERSON: single-token username shapes (retry with 1-2
