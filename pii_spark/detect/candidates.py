@@ -690,7 +690,7 @@ def format_candidates(text: str) -> list[Candidate]:
 
 _ALNUM_RE = re.compile(r"^[A-Za-z0-9]+$")
 _YEARPFX = re.compile(r"^(19|20)\d{2}")
-_DIGPFX = re.compile(r"^\d{1,4}")
+_DIGPFX = re.compile(r"^\d{2,4}")  # b4/b14 prefixes are 2-4 digits
 
 
 _UNIT_WORDS = frozenset({"apartment", "suite", "floor"})
@@ -1130,8 +1130,17 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
 
         # ---- ORG grammars (no case requirements: inside-span case
-        # scramble, generation.py:699-701, routinely lowercases names)
-        org_anchor = _gaz_span(tk, LASTS)
+        # scramble, generation.py:699-701, routinely lowercases names).
+        # The anchor prefers the LATEST gazetteer hit in the token: in
+        # 'Mitchell9FrOmbMiller Inc' the org is 'Miller Inc', the earlier
+        # name belongs to a preceding person.
+        org_anchor = None
+        for k in range(min(17, len(tk.low) - 2), 0, -1):
+            if tk.low[k:] in LASTS and tk.text[k].isupper():
+                org_anchor = (tk.start + k, tk.end)
+                break
+        if org_anchor is None:
+            org_anchor = _gaz_span(tk, LASTS)
         if org_anchor:
 
             def _suffix_char_end(j: int) -> int:
