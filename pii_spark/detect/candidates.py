@@ -513,6 +513,15 @@ def format_candidates(text: str) -> list[Candidate]:
             if e - s <= 5 and _blocked_number(text, s, e):
                 continue  # 'Ref #X281F'
             if re.match(r"^[MF]\d{1,2}$", text[s:e]):
+                # a strong-age word RIGHT AFTER means this is a noised
+                # 'My'/'Me' before 'boyfriend …', not an age value
+                nxt_w = _WORD_RE.findall(text[e : e + 14].lower())[:1]
+                if nxt_w and any(
+                    _edit1(nxt_w[0], kw) or nxt_w[0] == kw
+                    for kw in ("boyfriend", "girlfriend", "partner",
+                               "brother", "wife")
+                ):
+                    continue
                 # 'M63' is both an AGE form (generation.py:160) and a
                 # letter+digits username (generation.py:73) — the nearer
                 # context label decides ('contact info: M63L' → person)
@@ -660,6 +669,7 @@ def format_candidates(text: str) -> list[Candidate]:
             and (e >= len(text) or text[e] != "(")
             and (
                 _ctx(text, s, e, "AGE_STRONG")
+                or _ctx_fuzzy2(text, s, e, "AGE_STRONG")
                 # "{person} | {age} | {address} | {phone}" csv slot
                 or (
                     "|" in text[max(0, s - 3) : s]
