@@ -1138,6 +1138,17 @@ def token_candidates(text: str) -> list[Candidate]:
                         "ADDRESS", 0.87,
                     )
                 )
+            elif (
+                (up in STATE_ABBRS or up in COUNTRY_CODES)
+                and tk.text.isupper()
+                and len(tk.text) == 2
+                and not nxt.startswith(":")
+                and _ctx(text, tk.start, tk.end, "PERSON", width=20)
+                and up not in INITIALS_BLOCKLIST
+            ):
+                # code-list collision, person label close by → initials
+                # ('cnoTact LU a t…' vs Luxembourg)
+                out.append(Candidate(tk.start, tk.end, "PERSON", 0.58))
 
         # ---- ORG grammars (no case requirements: inside-span case
         # scramble, generation.py:699-701, routinely lowercases names).
