@@ -1,0 +1,79 @@
+"""Physical-plan quality gates (SURVEY §4): these pin the properties
+that matter at 100 TB — column pruning to the scan, predicate pushdown,
+skew-flattening repartition — so a regression shows up as a test
+failure, not as a 10× cluster bill."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.spark.gen_job import generate_corpus
+from pii_spark.spark.pipeline import run_pipeline, salted_repartition
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan") / "corpus")
+    generate_corpus(spark, 400, partitions=4).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_pruned_from_scan(spark, corpus_path):
+    """The pipeline never touches html → it must not be read."""
+    df = spark.read.parquet(corpus_path)
+    out = run_pipeline(df)
+    plan = _plan(out)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "html" not in ln, ln
+        assert "url" in ln and "text" in ln
+
+
+def test_filter_pushdown_to_parquet(spark, corpus_path):
+    df = spark.read.parquet(corpus_path).filter(F.col("lang") == "en")
+    plan = _plan(df.select("url"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_salted_repartition_flattens_domain_skew(spark, corpus_path):
+    """The corpus has a hot domain (~30% of rows, FIXTURES.md §1).
+    Partitioning by domain leaves one partition with ~30% of all rows;
+    the salted url-hash repartition bounds every partition near the
+    uniform share."""
+    df = spark.read.parquet(corpus_path)
+    n = df.count()
+    parts = 8
+
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    skewed = (
+        df.repartition(parts, domain)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    max_skewed = max(r["count"] for r in skewed)
+
+    salted = (
+        salted_repartition(df, parts)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    max_salted = max(r["count"] for r in salted)
+
+    assert max_skewed >= 0.25 * n        # hot domain really is hot
+    assert max_salted <= 0.25 * max_skewed or max_salted <= 1.6 * n / parts
+    assert len(salted) == parts          # no empty partitions
+
+
+def test_explicit_partition_count_survives_aqe(spark, corpus_path):
+    """AQE coalesces by bytes; compute-heavy UDF stages must keep their
+    pinned partition count (the 1-task regression this guards against
+    cost 10× wall time when first hit)."""
+    df = spark.read.parquet(corpus_path)
+    out = salted_repartition(df.select("url", "text"), 8)
+    pids = out.withColumn("pid", F.spark_partition_id()) \
+        .select("pid").distinct().count()
+    assert pids == 8
