@@ -80,3 +80,26 @@ def evaluate(df: DataFrame, limit_n: int = 300) -> DataFrame:
         .join(truth.select("doc_id", "text"), "doc_id")
     )
     return entity_confusion(entity_rows(truth), entity_rows(pred))
+
+
+def save_results(confusion_rows, path: str, num_examples: int,
+                 model: str = "pii_spark.detect (deterministic)") -> dict:
+    """Metrics JSON sink, shaped like the reference's
+    evaluation/evaluation_results.json (model_evaluation.py:360-378)."""
+    import json
+
+    tp = sum(r.tp for r in confusion_rows)
+    fp = sum(r.fp for r in confusion_rows)
+    fn = sum(r.fn for r in confusion_rows)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    out = {
+        "model": model,
+        "num_examples": num_examples,
+        "metrics": {"precision": precision, "recall": recall, "f1": f1},
+        "entity_counts": {"true_total": tp + fn, "predicted_total": tp + fp},
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    return out

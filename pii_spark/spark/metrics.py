@@ -125,3 +125,52 @@ def f1_report(truth: DataFrame, pred: DataFrame) -> dict:
         wf1_num / support_total if support_total else 0.0
     )
     return report
+
+
+def token_accuracy(truth: DataFrame, pred: DataFrame) -> float:
+    """Token-level accuracy over non-special tokens (SURVEY §2 A4 —
+    model.ipynb cell 24 / model_evaluation.py:322): align both span sets
+    to BILOU tags through the shared tokenizer, explode to token rows,
+    join on (doc_id, position) and average exact tag agreement."""
+
+    def tag_rows(df: DataFrame, alias: str) -> DataFrame:
+        tags = tags_udf()(F.col("text"), F.col("spans"))
+        return df.select(
+            "doc_id", F.posexplode(tags).alias("pos", alias)
+        )
+
+    t = tag_rows(truth, "t_tag")
+    p = tag_rows(pred, "p_tag")
+    row = (
+        t.join(p, ["doc_id", "pos"])
+        .agg(F.avg((F.col("t_tag") == F.col("p_tag")).cast("double"))
+             .alias("acc"))
+        .collect()[0]
+    )
+    return float(row.acc)
+
+
+def _tags_fn(
+    batches: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    from ..labeling import spans_to_token_labels
+    from ..tokenizer import tokenize_with_offsets
+
+    for texts, spans_col in batches:
+        out = []
+        for text, spans in zip(texts, spans_col):
+            _, offsets, _ = tokenize_with_offsets(text or "")
+            norm = [
+                {"start": int(s["start"]), "end": int(s["end"]),
+                 "label": s["label"]}
+                for s in (spans if spans is not None else [])
+                if s["label"] != "IP"
+            ]
+            tags, label_ids = spans_to_token_labels(offsets, norm)
+            # drop special tokens (-100), as the reference does
+            out.append([t for t, lid in zip(tags, label_ids) if lid != -100])
+        yield pd.Series(out)
+
+
+def tags_udf():
+    return F.pandas_udf(_tags_fn, T.ArrayType(T.StringType()))
