@@ -66,7 +66,8 @@ class Candidate(NamedTuple):
 # substring, or any window word within edit-distance 1 of a keyword.
 _CTX_WORDS = {
     "PHONE": ("phone", "call", "tel", "dial", "callback", "reach", "mine",
-              "contact", "or", "not", "later"),
+              "contact", "or", "not", "later", "calling", "from", "wtf",
+              "stop"),
     # strong age anchors for weak/loose AGE rules (the broad AGE set
     # includes 'me'/'applied', too weak to license a noise-made token)
     "AGE_STRONG": ("age", "old", "girlfriend", "boyfriend", "partner",
@@ -79,8 +80,9 @@ _CTX_WORDS = {
                "birthday", "thanks", "ticket", "reference", "delivery",
                "ship", "from", "trust", "scammed", "said", "email", "hi",
                "holder", "account", "form", "anyone", "reach"),
-    "ADDRESS": ("address", "ship", "shipping", "deliver", "delivery",
-                "arriving", "apt", "suite", "floor", "attn", "at"),
+    "ADDRESS": ("address", "addr", "ship", "shipping", "shipto",
+                "deliver", "delivery", "arriving", "apt", "suite",
+                "floor", "attn", "at"),
     "AGE": ("age", "old", "me", "i'm", "im", "girlfriend", "boyfriend",
             "partner", "wife", "brother", "broke", "kissed", "hate",
             "applied", "year", "terrified"),
@@ -533,6 +535,11 @@ def format_candidates(text: str) -> list[Candidate]:
     # letter-glued lowercase gender form needs AGE context ("Agej81m")
     for m in P.AGE_MF_LOOSE.finditer(text):
         s, e = m.start(), m.end()
+        if s > 0 and text[s - 1].isalpha() and not (
+            text[s - 1].isupper()
+            and (s < 2 or not text[s - 2].isalpha())
+        ):
+            continue  # 'and6m' noise vs legit 'I92yo'
         if (
             _ctx(text, s, e, "AGE_STRONG")
             or _ctx_fuzzy2(text, s, e, "AGE_STRONG")
@@ -582,6 +589,8 @@ def format_candidates(text: str) -> list[Candidate]:
             continue
         if _in_long_alnum_token(text, s, e):
             continue  # run inside a noised SHA1/GUID token
+        if "_" in text[max(0, s - 1) : s] + text[e : e + 1]:
+            continue  # '_'-glued fragments ('pyong9_5495')
         if n == 4 and (_sep_adjacent(text, s, e) or _hex_embedded(text, s, e)):
             continue  # MAC/IP/GUID/ZIP+4/intl-phone/SHA1 fragments
         if n == 5 and (_digit_chained(text, s, e) or _hex_embedded(text, s, e)):
@@ -687,6 +696,8 @@ def format_candidates(text: str) -> list[Candidate]:
         if (
             not dotted  # noised IP fragment ('IPv 424.e15…')
             and not (s > 0 and text[s - 1] == "_")
+            and not (e < len(text) and text[e] == "_")
+            and not _hexish_after(text, e)
             and not _hexish_before(text, s)
             and not _blocked_number(text, s, e)
             and not _sep_adjacent(text, s, e)
@@ -1002,7 +1013,7 @@ def token_candidates(text: str) -> list[Candidate]:
             conf = 0.93
             # building number may carry glued noise chars: 'toT3351'
             num_m = _RE_D14_TAIL.search(toks[i - 1].text) if i > 0 else None
-            if num_m and len(toks[i - 1].text) <= 7:
+            if num_m:
                 s = toks[i - 1].start + num_m.start()
                 conf = 0.95
                 # optional ", Apt. N"
@@ -1062,7 +1073,8 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
 
         # ---- postcode pair "12345, 67890-1234" as ONE span (addr branch 17)
-        if tk.text.isdigit() and len(tk.text) == 5:
+        pp_m = re.match(r"^\D{0,2}(\d{5})$", tk.text)
+        if pp_m:
             j = i + 1
             if (
                 j + 1 < n

@@ -107,11 +107,11 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
 
 SSN_PATTERNS: list[tuple[re.Pattern, float]] = [
     (_c(rf"{_D0}\d{{3}}\s?-\s?\d{{2}}\s?-\s?\d{{4}}{_D1}"), 0.97),  # 3-2-4
-    (_c(rf"{_D0}\d{{4}}\s?-\s?\d{{4}}\s?-\s?\d{{4}}{_D1}"), 0.95),  # 4-4-4
+    (_c(rf"\d{{4}}\s?-\s?\d{{4}}\s?-\s?\d{{4}}{_D1}"), 0.95),  # 4-4-4 (left glue ok)
     (_c(
-        rf"{_D0}\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?"
+        rf"\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?"
         rf"[A-Z]\d{{2}}\s?\.\s?\d{_D1}"
-    ), 0.97),  # 27.01.06.52.N67.7
+    ), 0.97),  # 27.01.06.52.N67.7 (left glue ok)
     (_c(rf"[A-Za-z]\d{{7,8}}{_D1}"), 0.90),  # letter + 7/8 digits
 ]
 # dotted/spaced 3-3-4: PHONE vs SSN, resolved by context in candidates.py
@@ -136,8 +136,8 @@ DATE_PATTERNS: list[tuple[re.Pattern, float]] = [
     (_c(r"\d{4}\s?-\s?\d{2}\s?-\s?\d{2}(?!\d)"), 0.97),
     (_c(r"born in (?:19|20)\d{2,3}"), 0.98),  # trailing glued digit ok
     (_c(rf"birthday\s?:\s?\d{{1,2}}/\d{{1,2}}{_D1}"), 0.98),
-    (_c(rf"{_D0}\d{{1,2}}{_ORD} {_MONTH} \d{{4}}{_D1}"), 0.97),    # 23rd June 1958
-    (_c(rf"{_MONTH} \d{{1,2}}{_ORD}?, \d{{4}}{_D1}"), 0.97),       # May 15(th), 1990
+    (_c(rf"{_D0}\d{{1,2}}{_ORD} {_MONTH} \d{{4}}\d?{_D1}"), 0.97),  # 23rd June 1958
+    (_c(rf"{_MONTH} \d{{1,2}}{_ORD}?, \d{{4}}\d?{_D1}"), 0.97),   # May 15(th), 1990(+glue)
     (_c(rf"{_MONTH} \d{{4}}{_D1}"), 0.94),                          # May 1990
     (_c(rf"{_MONTH}/\d{{1,2}}{_D1}"), 0.94),                        # September/4
     # slashed: mm/dd/yyyy, dd/mm/yyyy, m/d/yy, and the no-pad short year
