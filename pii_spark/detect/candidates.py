@@ -384,39 +384,127 @@ _EMAIL_GLUE_WORDS = ("email", "mail", "via", "phone", "reply", "contact")
 
 def _trim_email_start(text: str, s: int, e: int) -> int:
     """Tight start for an email match: the local-atom regex greedily
-    absorbs noise-glued prefixes ('Emailt', 'at8', '2011'); drop leading
-    case/digit pieces that are pure-digit, template words, or short
-    LOWERCASE glue — but never Capitalized pieces (a case-scrambled
-    local like 'ReyNoLds' splits into short pieces that are all real)."""
+    absorbs noise-glued prefixes ('Emailt', 'at8', 'Hm8Lat0shirley…').
+
+    Strategy: split the leading atom into case/digit pieces. If the
+    whole atom lowercases to a gazetteer name it is a case-scrambled
+    local ('ReyNoLds') — never trimmed. Otherwise drop leading pieces
+    that look like glue (digits, template words incl. fuzzy matches,
+    short pieces feeding into more glue) as long as a plausible local
+    core remains."""
+    import difflib
+
     while s < e and not text[s].isalnum():
         s += 1
     # 'at.'/'me.' template fragments fused by a noised space
     m_frag = re.match(r"(?:at|me|to)[-.](?=[A-Za-z])", text[s:e])
     if m_frag:
         s += m_frag.end()
-    atom_end = s
-    while atom_end < e and (text[atom_end].isalnum()):
-        atom_end += 1
-    pieces = _PIECE_RE.findall(text[s:atom_end])
-    while len(pieces) > 1:
-        head = pieces[0]
-        low = head.lower()
-        rest_has_alpha = any(
-            not p.isdigit() and len(p) >= 2 for p in pieces[1:]
-        )
-        droppable = (
-            head.isdigit()
-            or low in _EMAIL_GLUE_WORDS
-            or any(
-                _edit1(low, w) or _edit1(low[:-1], w)
-                for w in _EMAIL_GLUE_WORDS
-            )
-            or (len(head) <= 3 and head.islower())
-        )
-        if droppable and rest_has_alpha:
-            s += len(pieces.pop(0))
-        else:
+
+    for _pass in range(3):  # may cross '_'/'.' between glue atoms
+        atom_end = s
+        while atom_end < e and text[atom_end].isalnum():
+            atom_end += 1
+        pieces = _PIECE_RE.findall(text[s:atom_end])
+        if len(pieces) == 1:
+            # a single-piece atom that is itself a glue word followed by
+            # a separator ('oemsil_AP…') — drop it and cross over
+            low1 = pieces[0].lower()
+            import difflib as _dl
+            if (
+                atom_end < e
+                and text[atom_end] in "_-"
+                and (
+                    low1 in _EMAIL_GLUE_WORDS
+                    or (
+                        len(low1) >= 4
+                        and any(
+                            _dl.SequenceMatcher(None, low1, w).ratio() >= 0.7
+                            for w in _EMAIL_GLUE_WORDS
+                        )
+                    )
+                )
+            ):
+                s = atom_end + 1
+                continue
             break
+        if len(pieces) < 1:
+            break
+        joined = "".join(pieces).lower()
+        if joined in FIRSTS or joined in LASTS:
+            break  # case-scrambled name local ('ReyNoLds')
+        if (
+            len(pieces) >= 2
+            and len(pieces[0]) == 1
+            and pieces[0].islower()
+            and "".join(pieces[1:]).lower() in LASTS
+        ):
+            break  # first-initial + scrambled last ('gGibSON')
+        dropped = False
+        while len(pieces) > 1:
+            head = pieces[0]
+            low = head.lower()
+            nxt = pieces[1]
+            rest_has_alpha = any(
+                not q.isdigit() and len(q) >= 2 for q in pieces[1:]
+            )
+            glue_word = (
+                low in _EMAIL_GLUE_WORDS
+                or any(
+                    _edit1(low, w) or _edit1(low[:-1], w)
+                    for w in _EMAIL_GLUE_WORDS
+                )
+                or (
+                    len(low) >= 4
+                    and any(
+                        difflib.SequenceMatcher(None, low, w).ratio() >= 0.7
+                        for w in _EMAIL_GLUE_WORDS
+                    )
+                )
+            )
+            droppable = (
+                head.isdigit()
+                or glue_word
+                or (len(head) <= 3 and head.islower())
+                or (len(head) <= 2 and (nxt.isdigit() or nxt[0].isupper()))
+                or (len(head) <= 3 and nxt.isdigit())
+            )
+            if (
+                droppable
+                and rest_has_alpha
+                and not (
+                    head[0].isupper()
+                    and len(head) == 3
+                    and not glue_word
+                    and not nxt.isdigit()
+                )
+            ):
+                s += len(pieces.pop(0))
+                dropped = True
+            else:
+                break
+        # cross one glue separator if the drop loop consumed the atom
+        if dropped and s < e and text[s] in "_-" and len(pieces) <= 1:
+            s += 1
+            continue
+        break
+
+    # a fused '<token><X><local>@' (noised space) — trim to the upper
+    # transition, keeping it, when the tail is a gazetteer name
+    # ('…_mendezRkatherine.martinez@…')
+    m_at = re.search(r"\s*\[at\]|\s*\(at\)|\s+at\s|@", text[s:e])
+    at = s + m_at.start() if m_at else -1
+    if at > 0:
+        m3 = re.search(r"[a-z0-9_][A-Z](?=[a-z]{3})", text[s:at])
+        if m3:
+            tail = text[s + m3.end() : at].lower()
+            tail_first = tail.split(".")[0].split("_")[0]
+            if (
+                tail_first in FIRSTS
+                or tail_first in LASTS
+                or tail_first[1:] in LASTS  # first-initial+last local
+            ):
+                s += m3.end() - 1
     return s
 
 
