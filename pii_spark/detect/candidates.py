@@ -537,6 +537,8 @@ def format_candidates(text: str) -> list[Candidate]:
             s, e = m.start(), m.end()
             if _hex_embedded(text, s, e):
                 continue  # GUID segments ('…563-0598-4e6e…')
+            if conf <= 0.9 and _digit_chained(text, s, e):
+                continue  # weak shapes chained into larger numbers
             out.append(Candidate(s, e, "PHONE", conf))
     for m in P.PHONE_PREFIXED.finditer(text):
         # lowercase 'phone:' is usually the in-span variant
@@ -568,6 +570,16 @@ def format_candidates(text: str) -> list[Candidate]:
                 # pipe-separated csv: the only 3-3-4-able field there is
                 # the phone ("{person} | {age} | {address} | {phone}")
                 out.append(Candidate(s, e, "PHONE", 0.90))
+            elif ds is None and dp is None and (
+                ";" in text[max(0, s - 3) : s]
+                or ";" in text[e : e + 3]
+            ):
+                # semicolon csv "{person};{date};{ssn};{org};{phone}":
+                # ssn is mid-row (';' follows), phone is last (none)
+                if ";" in text[e : e + 3]:
+                    out.append(Candidate(s, e, "SSN", 0.90))
+                else:
+                    out.append(Candidate(s, e, "PHONE", 0.90))
             elif (
                 dp is not None
                 and (ds is None or dp < ds)
@@ -602,6 +614,10 @@ def format_candidates(text: str) -> list[Candidate]:
                 continue  # 'F4' inside a MAC, '50' inside an IP, …
             if e - s <= 5 and _blocked_number(text, s, e):
                 continue  # 'Ref #X281F'
+            if e - s == 2 and re.match(r"^\d[MF]$", text[s:e]) and not (
+                _ctx(text, s, e, "AGE")
+            ):
+                continue  # '4F' ← noised 'if'; real 1-digit ages are rare
             if re.match(r"^[MF]\d{1,2}$", text[s:e]):
                 # a strong-age word RIGHT AFTER means this is a noised
                 # 'My'/'Me' before 'boyfriend …', not an age value
@@ -666,7 +682,8 @@ def format_candidates(text: str) -> list[Candidate]:
             out.append(Candidate(m.start(), m.end(), "IP", 0.80))
 
     for m in P.ZIP4_RE.finditer(text):
-        out.append(Candidate(m.start(), m.end(), "ADDRESS", 0.88))
+        if not _digit_chained(text, m.start(), m.end()):
+            out.append(Candidate(m.start(), m.end(), "ADDRESS", 0.88))
 
     # bare digit runs, classified by length (closed format inventory)
     for m in P.DIGIT_RUN.finditer(text):
@@ -711,6 +728,12 @@ def format_candidates(text: str) -> list[Candidate]:
                 else:
                     out.append(Candidate(s, e, "ADDRESS", 0.55))
         elif n == 5:
+            if (
+                e + 1 < len(text)
+                and text[e].isalpha()
+                and text[e + 1].isdigit()
+            ):
+                continue  # '96976L44…' — noised longer number
             # a long letter run glued right before the digits is a
             # username tail ('kjoywmmccz44807'), not a postcode
             k = s
@@ -718,12 +741,14 @@ def format_candidates(text: str) -> list[Candidate]:
                 k -= 1
             conf5 = 0.55 if s - k >= 3 else 0.90
             out.append(Candidate(s, e, "ADDRESS", conf5))  # postcode
-        elif n == 6 and (
-            _ctx(text, s, e, "ADDRESS")
-            or text[max(0, s - 2) : s].strip() in ("|", ";")
-            or text[e : e + 2].strip()[:1] in ("|", ";")
-        ):
-            out.append(Candidate(s, e, "ADDRESS", 0.60))  # zip + glued digit
+        elif n == 6:
+            ad6 = _ctx_dist(text, s, e, "ADDRESS", width=14)
+            if (
+                (ad6 is not None and ad6[0] == 0)
+                or text[max(0, s - 2) : s].strip() in ("|", ";")
+                or text[e : e + 2].strip()[:1] in ("|", ";")
+            ):
+                out.append(Candidate(s, e, "ADDRESS", 0.60))  # zip+glued digit
         elif n in (9, 10):
             if _hex_embedded(text, s, e):
                 continue  # digit run inside SHA1/GUID
@@ -1161,8 +1186,9 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
 
         # ---- postcode pair "12345, 67890-1234" as ONE span (addr branch 17)
-        pp_m = re.match(r"^\D{0,2}(\d{5})$", tk.text)
+        pp_m = re.match(r"^(\D{0,2})(\d{5})$", tk.text)
         if pp_m:
+            pp_s = tk.start + len(pp_m.group(1))
             j = i + 1
             if (
                 j + 1 < n
@@ -1184,7 +1210,7 @@ def token_candidates(text: str) -> list[Candidate]:
                         and toks[j + 2].start == t2.end
                     ):
                         e2 = toks[j + 3].end
-                    out.append(Candidate(tk.start, e2, "ADDRESS", 0.94))
+                    out.append(Candidate(pp_s, e2, "ADDRESS", 0.94))
 
         # ---- state abbr / country code (closed uppercase lists);
         # skip form-label uses ("ID: {person}") and require an ADDRESS-ish
