@@ -270,7 +270,11 @@ def _digit_chained(text: str, start: int, end: int) -> bool:
 
 def _hex_embedded(text: str, start: int, end: int) -> bool:
     """Either neighbor is solid hex → inside a SHA1/GUID string
-    (case-insensitive: noise case-flips hex letters)."""
+    (case-insensitive: noise case-flips hex letters). The tail of an
+    ISO timestamp ('…T00:00:00D557…') is exempt — it is hex-ish but not
+    a hash context."""
+    if "0:00" in text[max(0, start - 9) : start]:
+        return False
     left = text[max(0, start - 2) : start].lower()
     right = text[end : end + 2].lower()
     solid = lambda s: len(s) == 2 and all(c in _HEXISH for c in s)  # noqa: E731
