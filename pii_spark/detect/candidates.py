@@ -1547,7 +1547,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 conf = 0.0  # 'RD:' ≈ noised 'ID:' form label
             elif re.match(r"(?i)\s?\w{0,8}(trust|tryst|rust)", after4):
                 conf = 0.0  # noised "PSA don't trust" anchor
-            elif _ctx(text, tk.start, tk.end, "PERSON"):
+            elif _ctx(text, tk.start, tk.end, "PERSON", width=52):
                 conf = 0.75
             elif (
                 # csv-style separators around the slot:
