@@ -208,7 +208,9 @@ def _label_word_vote(text: str, start: int) -> str | None:
     ]
     if not words:
         return None
-    w = words[-1]
+    w = words[-1].lstrip("0123456789")  # shed glued digits ('960Cnalp')
+    if len(w) < 3:
+        return None
     pr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _PHONEISH)
     sr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _SSNISH)
     if max(pr, sr) < 0.55 or abs(pr - sr) < 0.08:
@@ -281,7 +283,7 @@ def _hex_embedded(text: str, start: int, end: int) -> bool:
     return solid(left) or solid(right)
 
 
-_HN_AFTER = re.compile(r"(?i)issing digit|hecksum")
+_HN_AFTER = re.compile(r"(?i)issing.?digit|issing|hecksum")
 _HN_AFTER_WORDS = ("checksum", "pending", "missing")
 # 'ticket'/'reference' are NOT here: "Ticket #{person}" /
 # "Reference #{person}" templates put real usernames after '#'
@@ -643,11 +645,8 @@ def format_candidates(text: str) -> list[Candidate]:
     # letter-glued lowercase gender form needs AGE context ("Agej81m")
     for m in P.AGE_MF_LOOSE.finditer(text):
         s, e = m.start(), m.end()
-        if s > 0 and text[s - 1].isalpha() and not (
-            text[s - 1].isupper()
-            and (s < 2 or not text[s - 2].isalpha())
-        ):
-            continue  # 'and6m' noise vs legit 'I92yo'
+        if s > 0 and text[s - 1].isalpha() and not text[s - 1].isupper():
+            continue  # 'and6m' noise vs legit 'I92yo' / 'MeZ69yo'
         if (
             _ctx(text, s, e, "AGE_STRONG")
             or _ctx_fuzzy2(text, s, e, "AGE_STRONG")
@@ -672,7 +671,7 @@ def format_candidates(text: str) -> list[Candidate]:
             if len(w) >= 5
         )
 
-    for m in re.finditer(r"\((\d{1,2}\s?[MFmf]?)\)", text):
+    for m in re.finditer(r"\(([MFmf]?\d{1,2}\s?[MFmf]?)\)", text):
         after = text[m.end() : m.end() + 14].lower()
         if _appliedish(after):
             if m.start() > 0 and text[m.start() - 1] == "(":
@@ -710,16 +709,25 @@ def format_candidates(text: str) -> list[Candidate]:
             if after.isalpha():
                 continue  # fragment of a digit-prefixed username
             if before.isalpha():
-                # leading glued letter ('phone:A1441') — only trust with
-                # phone context; otherwise a username fragment
-                if _ctx(text, s, e, "PHONE"):
-                    out.append(Candidate(s, e, "PHONE", 0.65))
+                # leading glued letter: trust a nearby label
+                # ('phone:A1441' / 'AddreSsL1103')
+                ad4 = _ctx_dist(text, s, e, "ADDRESS", width=14)
+                if ad4 is not None and ad4[0] == 0:
+                    out.append(Candidate(s, e, "ADDRESS", 0.65))
+                elif _ctx(text, s, e, "PHONE") or _ctx_fuzzy2(text, s, e, "ADDRESS"):
+                    if _ctx_fuzzy2(text, s, e, "ADDRESS") and not _ctx(text, s, e, "PHONE"):
+                        out.append(Candidate(s, e, "ADDRESS", 0.62))
+                    else:
+                        out.append(Candidate(s, e, "PHONE", 0.65))
                 continue
             if 1950 <= int(run) <= 2039:
                 out.append(Candidate(s, e, "DATE", 0.88))
             elif s > 0 and text[s - 1] == "(" and e < len(text) \
                     and text[e] == ")":
                 out.append(Candidate(s, e, "PHONE", 0.72))  # "(1497)"
+            elif "|" in text[max(0, s - 3) : s] and "|" not in text[e : e + 7]:
+                # "{…} | {address} | {phone}" csv: last pipe field = phone
+                out.append(Candidate(s, e, "PHONE", 0.70))
             else:
                 # phone last-4 vs building number: nearest context wins
                 # ("at 8040, callback:" → 'at' before beats 'call' after)
@@ -733,9 +741,10 @@ def format_candidates(text: str) -> list[Candidate]:
                     out.append(Candidate(s, e, "ADDRESS", 0.55))
         elif n == 5:
             if (
-                e + 1 < len(text)
+                e + 2 < len(text)
                 and text[e].isalpha()
                 and text[e + 1].isdigit()
+                and text[e + 2].isdigit()
             ):
                 continue  # '96976L44…' — noised longer number
             # a long letter run glued right before the digits is a
@@ -746,6 +755,8 @@ def format_candidates(text: str) -> list[Candidate]:
             conf5 = 0.55 if s - k >= 3 else 0.90
             out.append(Candidate(s, e, "ADDRESS", conf5))  # postcode
         elif n == 6:
+            if s > 0 and text[s - 1].isalpha():
+                continue  # fragment of '[A-Z]\\d{6}' person ids
             ad6 = _ctx_dist(text, s, e, "ADDRESS", width=14)
             if (
                 (ad6 is not None and ad6[0] == 0)
@@ -1108,7 +1119,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 conf = 0.91 if tk.text[0].isupper() else 0.55
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", conf))
         for gaz1, conf1 in ((CITY_1, 0.92), (COUNTRY_1, 0.90), (STATE_1, None)):
-            sp = _gaz_span(tk, gaz1)
+            sp = None if in_handle(i) else _gaz_span(tk, gaz1)
             if sp:
                 if conf1 is None:  # state full names
                     conf1 = 0.89 if tk.text[0].isupper() else 0.55

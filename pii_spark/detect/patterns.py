@@ -84,7 +84,7 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
     (_c(rf"call me at (?:\+?1\s)?{_CORE_ANY}"), 0.97),
     (_c(rf"ends in \d{{4}}{_D1}"), 0.97),
     (_c(rf"(?:xxx{_ANY}xxx|\*\*\*{_ANY}\*\*\*){_ANY}\d{{4}}{_D1}"), 0.97),
-    (_c(rf"\+\d{{1,7}}(?:{_ANY}\d{{2,4}}){{1,4}}\d?{_D1}"), 0.96),  # international (+1 glued digit)
+    (_c(rf"\+\d{{1,7}}(?:{_ANY}\d{{2,4}}(?![a-z]{{2}})){{1,4}}\d?{_D1}"), 0.96),  # international
     (_c(rf"{_D0}\+?1\s{_CORE_ANY}"), 0.95),
     (_c(_CORE_DASH), 0.95),                                        # NNN-NNN-NNNN
     (_c(rf"{_D0}0\d{{3,4}}(?:\s?[-.]\s?\d{{3,4}}){{2,3}}{_D1}"), 0.95),
@@ -97,8 +97,8 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # (never letter-glued — that would swallow a following '95ruth…')
     (_c(rf"{_D0}\d(?: \d){{3,15}}(?: \d\d(?![A-Za-z0-9]))?{_D1}"), 0.95),
     (_c(rf"{_D0}(?:\d{{3}}\s?-\s?){{1,5}}\d{{1,3}}{_D1}"), 0.89),  # 3-groups
-    (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{1,3}}{_D1}"), 0.90),          # 3-3-{1..3}
-    (_c(rf"{_D0}\d{{3}} \d{{3}} \d{{5,7}}{_D1}"), 0.90),          # 3-3-{5..7}
+    (_c(rf"\d{{3}} \d{{3}} \d{{1,3}}{_D1}"), 0.90),               # 3-3-{1..3}
+    (_c(rf"\d{{3}} \d{{3}} \d{{5,9}}{_D1}"), 0.96),               # 3-3-{5..9} (beats bare 9-digit SSN)
     (_c(rf"{_D0}\d{{3}} \d{{1,2}}{_D1}"), 0.70),                  # obf "975 6"
     (_c(rf"{_D0}\d{{3}}\s?-\s?\d{{4}}{_D1}"), 0.84),              # last-8 "123-4567"
 ]
@@ -112,11 +112,11 @@ SSN_PATTERNS: list[tuple[re.Pattern, float]] = [
         rf"\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?\d{{2}}\s?\.\s?"
         rf"[A-Z]\d{{2}}\s?\.\s?\d{_D1}"
     ), 0.97),  # 27.01.06.52.N67.7 (left glue ok)
-    (_c(rf"[A-Za-z]\d{{7,8}}{_D1}"), 0.90),  # letter + 7/8 digits
+    (_c(rf"(?<![A-Za-z][A-Za-z])[A-Za-z]\d{{7,8}}{_D1}"), 0.90),  # letter + 7/8 digits
 ]
 # dotted/spaced 3-3-4: PHONE vs SSN, resolved by context in candidates.py
-AMBIG_334_DOT = _c(rf"{_D0}\d{{3}}\s?\.\s?\d{{3}}\s?\.\s?\d{{4}}{_D1}")
-AMBIG_334_SPACE = _c(rf"{_D0}\d{{3}} \d{{3}} \d{{4}}{_D1}")
+AMBIG_334_DOT = _c(rf"\d{{3}}\s?\.\s?\d{{3}}\s?\.\s?\d{{4}}{_D1}")
+AMBIG_334_SPACE = _c(rf"\d{{3}} \d{{3}} \d{{4}}{_D1}")
 
 # bare digit runs, classified by length in candidates.py
 DIGIT_RUN = re.compile(rf"{_D0}\d{{4,19}}{_D1}")
@@ -180,7 +180,7 @@ AGE_PATTERNS: list[tuple[re.Pattern, float]] = [
     # before 'F'/'M' would otherwise manufacture ages out of prose
     (re.compile(rf"(?<![A-Za-z0-9]){_A}[MF]{_G1}"), 0.90),          # 23M
     (re.compile(rf"(?<![A-Za-z0-9])\d{{1,2}}[mf](?![A-Za-z0-9])"), 0.90),  # 23m
-    (re.compile(rf"(?<![A-Za-z0-9])\d{{1,2}} [MF](?![A-Za-z0-9])"), 0.90),  # 23 M
+    (re.compile(rf"(?<![A-Za-z])\d{{1,2}} [MF](?![a-z0-9])"), 0.90),  # 23 M (glue-tolerant)
     (re.compile(rf"(?<![A-Za-z0-9])[MF]{_A}{_G1}"), 0.90),          # M23
 ]
 # lowercase glued form with a letter-glued edge ("Agej81m", "13fw",
@@ -200,6 +200,6 @@ ZIP4_RE = re.compile(rf"{_D0}\d{{5}}-\d{{4}}{_D1}")
 
 # ----------------------------------------------------------------- guards
 
-GUARD_MISSING_DIGIT = _c(r"^\s?\(missing digit\)")
+GUARD_MISSING_DIGIT = _c(r"^\s?\(missing digit\)")  # exact form
 GUARD_CHECKSUM = _c(r"^\s?checksum pending")
 GUARD_ACCT_BEFORE = _c(r"(?:acct|account)\s*$")
