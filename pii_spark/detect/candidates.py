@@ -1027,9 +1027,11 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
                 return (0.85, 0, len(alpha))
             return (0.90 if not trail else 0.85, 0, tight)
         if alpha in FILLERS:
-            # word+NN usernames (generation.py:63) have exactly 2 digits;
-            # a single noise-made digit after a filler word is not one
-            return (0.90, 0, tight) if len(digits) == 2 else (0.0, 0, 0)
+            # word+NN usernames (generation.py:63) have 2 digits (3 with
+            # a glued one); a single noise-made digit is not one
+            if len(digits) in (2, 3):
+                return (0.90, 0, tight)
+            return (0.0, 0, 0)
         if len(alpha) >= 6 and len(digits) >= 2:
             # prefer a tight gazetteer core behind 1-2 glued chars
             # ('Inathan334' → 'nathan334')
@@ -1383,6 +1385,12 @@ def token_candidates(text: str) -> list[Candidate]:
             if stem in FIRSTS or (ym and stem in LASTS):
                 stem_start = tk.start + strip
                 break
+        if stem_start < 0:
+            # arbitrary glue ending before a trailing first name
+            # ('Thanks5kelly.adams' → 'kelly')
+            mt = re.search(r"([a-z]+)$", tk.low)
+            if mt and mt.group(1) in FIRSTS and mt.start() > 0:
+                stem_start = tk.start + mt.start()
         if (
             stem_start >= 0
             and i + 2 < n
@@ -1495,6 +1503,24 @@ def token_candidates(text: str) -> list[Candidate]:
         # (SNS/ODB from adjacent swaps); 2-3 letter blocklist words match
         # exactly/anagram only — edit-1 there would swallow most of the
         # random-initials space.
+        fused_m = re.match(r"^([A-Za-z][a-z]{2,11})([A-Z]{2,4})$", tk.text)
+        if fused_m and prev_char(i) != "@":
+            pfx = fused_m.group(1).lower()
+            caps = fused_m.group(2)
+            if (
+                any(
+                    pfx == w or (len(w) >= 4 and _edit1(pfx, w))
+                    or (len(pfx) >= 5 and w in pfx)
+                    for w in _CTX_WORDS["PERSON"]
+                )
+                and caps not in INITIALS_BLOCKLIST
+                and caps not in STATE_ABBRS
+                and caps not in COUNTRY_CODES
+            ):
+                out.append(
+                    Candidate(tk.end - len(caps), tk.end, "PERSON", 0.70)
+                )
+
         ini_m = _RE_INI.match(tk.text)
         nxt_ns = text[tk.end : tk.end + 3].lstrip()[:1]
         ini_formlabel = ini_m and (

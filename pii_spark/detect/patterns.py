@@ -84,7 +84,7 @@ PHONE_PATTERNS: list[tuple[re.Pattern, float]] = [
     (_c(rf"call me at (?:\+?1\s)?{_CORE_ANY}"), 0.97),
     (_c(rf"ends in \d{{4}}{_D1}"), 0.97),
     (_c(rf"(?:xxx{_ANY}xxx|\*\*\*{_ANY}\*\*\*){_ANY}\d{{4}}{_D1}"), 0.97),
-    (_c(rf"\+\d{{1,7}}(?:{_ANY}\d{{2,4}}(?![a-z]{{2}})){{1,4}}\d?{_D1}"), 0.96),  # international
+    (_c(rf"\+\d{{1,7}}(?:{_ANY}\d{{2,4}}(?![a-z]{{2}})){{1,4}}(?:\d(?![a-z]{{2}}))?{_D1}"), 0.96),  # international
     (_c(rf"{_D0}\+?1\s{_CORE_ANY}"), 0.95),
     (_c(_CORE_DASH), 0.95),                                        # NNN-NNN-NNNN
     (_c(rf"{_D0}0\d{{3,4}}(?:\s?[-.]\s?\d{{3,4}}){{2,3}}{_D1}"), 0.95),
