@@ -26,10 +26,28 @@ from typing import NamedTuple
 
 import numpy as np
 
+from pathlib import Path
+
 from ..config import CONFIDENCE_THRESHOLD, ID2LABEL, LABEL2ID, NUM_LABELS
 from ..labeling import decode_bilou, spans_to_token_labels
 from ..tokenizer import tokenize_with_offsets
 from .candidates import Candidate, detect_spans
+
+# frozen trained head (scripts/train_head.py): hashed-feature softmax
+# weights, loaded lazily ONCE per interpreter — the executor-singleton
+# pattern the reference needs for its model artifact (SURVEY §4)
+_HEAD_PATH = Path(__file__).resolve().parents[2] / "artifacts" / "token_head.npz"
+_HEAD_W = None
+_HEAD_TRIED = False
+
+
+def _head_weights():
+    global _HEAD_W, _HEAD_TRIED
+    if not _HEAD_TRIED:
+        _HEAD_TRIED = True
+        if _HEAD_PATH.exists():
+            _HEAD_W = np.load(_HEAD_PATH)["W"].astype(np.float32)
+    return _HEAD_W
 
 # logit placed on the winning BILOU tag such that softmax over 37 labels
 # yields exactly the candidate's confidence: L = ln(c*(K-1)/(1-c))
@@ -72,9 +90,36 @@ def _logits_for_doc(
 def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
     tokens, offsets, _ = tokenize_with_offsets(text)
     cands = detect_spans(text)
-    if not scrub_ip:
-        cands = [c for c in cands if c.label != "IP"]
-    logits = _logits_for_doc(text, offsets, cands)
+    ip_cands = [c for c in cands if c.label == "IP"]
+    W = _head_weights()
+    if W is not None:
+        # trained head (primary model): per-token logits from hashed
+        # sparse features, with the rule candidates as input features —
+        # measurably better recall than the rule overlay alone
+        from .features import featurize_doc
+
+        non_ip = [c for c in cands if c.label != "IP"]
+        cand_spans = [
+            {"start": c.start, "end": c.end, "label": c.label}
+            for c in non_ip
+        ]
+        cand_tags, _ = spans_to_token_labels(offsets, cand_spans)
+        confs = [0.0] * len(tokens)
+        for c in non_ip:
+            for t, (ts, te) in enumerate(offsets):
+                if not (ts == te == 0) and te > c.start and ts < c.end:
+                    confs[t] = max(confs[t], c.conf)
+        feats = featurize_doc(text, tokens, offsets, cand_tags, confs)
+        logits = np.zeros((len(tokens), NUM_LABELS), dtype=np.float32)
+        for i, f in enumerate(feats):
+            if len(f):
+                logits[i] = W[f].sum(axis=0)
+            else:
+                logits[i, LABEL2ID["O"]] = 10.0  # specials
+    else:
+        # rule-only fallback (artifact not shipped)
+        use = cands if scrub_ip else [c for c in cands if c.label != "IP"]
+        logits = _logits_for_doc(text, offsets, use)
 
     # softmax + confidence threshold (model_evaluation.py:253-269)
     z = logits - logits.max(axis=1, keepdims=True)
@@ -94,6 +139,22 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
     entities = [
         (lab, a, b, offsets[a][0], offsets[b][1]) for lab, a, b in ents
     ]
+    if scrub_ip and W is not None:
+        # the head covers the 9 entity labels; IP spans (north-rule
+        # scrub type) come from the regex stage directly
+        for c in ip_cands:
+            toks_in = [
+                t
+                for t, (ts, te) in enumerate(offsets)
+                if not (ts == te == 0) and te > c.start and ts < c.end
+            ]
+            if toks_in and not any(
+                a <= toks_in[-1] and b >= toks_in[0]
+                for _l, a, b, _cs, _ce in entities
+            ):
+                entities.append(
+                    ("IP", toks_in[0], toks_in[-1], c.start, c.end)
+                )
     return DocResult(tokens, offsets, tags, entities)
 
 

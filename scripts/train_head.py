@@ -28,7 +28,7 @@ from pii_spark.labeling import spans_to_token_labels  # noqa: E402
 from pii_spark.textgrammar.generator import build_example  # noqa: E402
 from pii_spark.tokenizer import tokenize_with_offsets  # noqa: E402
 
-TRAIN_LO, TRAIN_HI = 20_000, 60_000
+TRAIN_LO, TRAIN_HI = 20_000, 140_000
 
 
 def doc_examples(doc_id: int):
@@ -101,7 +101,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--docs", type=int, default=120000)
     ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
     main(n_docs=args.docs, epochs=args.epochs)
