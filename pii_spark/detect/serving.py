@@ -45,8 +45,14 @@ def _head_weights():
     global _HEAD_W, _HEAD_TRIED
     if not _HEAD_TRIED:
         _HEAD_TRIED = True
-        if _HEAD_PATH.exists():
-            _HEAD_W = np.load(_HEAD_PATH)["W"].astype(np.float32)
+        for cand in (_HEAD_PATH, Path("token_head.npz"),
+                     Path("artifacts/token_head.npz")):
+            try:
+                if cand.exists():
+                    _HEAD_W = np.load(cand)["W"].astype(np.float32)
+                    break
+            except (OSError, ValueError):
+                continue
     return _HEAD_W
 
 # logit placed on the winning BILOU tag such that softmax over 37 labels

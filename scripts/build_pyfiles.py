@@ -1,16 +1,17 @@
 """Package pii_spark for spark-submit --py-files.
 
-Builds dist/pii_spark.zip containing the pure-Python package (word
-lists + models are built deterministically at import, so the zip is the
-complete artifact — no side files to ship). Cluster usage:
+Builds dist/pii_spark.zip (pure-Python package; word lists + the
+langid/perplexity models build deterministically at import). The
+trained token head (artifacts/token_head.npz) ships via --files and is
+picked up from the executor working dir. Cluster usage:
 
     spark-submit --py-files dist/pii_spark.zip \\
-        --conf spark.sql.adaptive.enabled=true \\
+        --files artifacts/token_head.npz \\
         jobs/run_quality.py --input s3://corpus --output s3://out
 
-Executors import pii_spark from the zip; every UDF closure references
-module-level functions only (no driver-captured state), which is what
-makes the shipped artifact sufficient.
+Without the artifact the detector falls back to rule-only serving —
+functional, a point of F1 lower. Every UDF closure references
+module-level functions only (no driver-captured state).
 """
 
 from __future__ import annotations
