@@ -36,11 +36,21 @@ DIM = 1 << 17
 _MASK = DIM - 1
 
 
+_H_CACHE: dict[str, int] = {}
+
+
 def _h(s: str) -> int:
+    v = _H_CACHE.get(s)
+    if v is not None:
+        return v
     h = 2166136261
     for ch in s.encode("utf-8"):
         h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-    return h & _MASK
+    v = h & _MASK
+    if len(_H_CACHE) > 2_000_000:
+        _H_CACHE.clear()
+    _H_CACHE[s] = v
+    return v
 
 
 _SHAPE_RE = [

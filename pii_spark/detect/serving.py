@@ -117,11 +117,16 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
                     confs[t] = max(confs[t], c.conf)
         feats = featurize_doc(text, tokens, offsets, cand_tags, confs)
         logits = np.zeros((len(tokens), NUM_LABELS), dtype=np.float32)
-        for i, f in enumerate(feats):
-            if len(f):
-                logits[i] = W[f].sum(axis=0)
-            else:
-                logits[i, LABEL2ID["O"]] = 10.0  # specials
+        lens = np.fromiter((len(f) for f in feats), dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([f for f in feats if len(f)])
+            gathered = W[flat]
+            bounds = np.zeros(len(feats), dtype=np.int64)
+            np.cumsum(lens[:-1], out=bounds[1:])
+            nonzero = lens > 0
+            summed = np.add.reduceat(gathered, bounds[nonzero], axis=0)
+            logits[nonzero] = summed
+        logits[lens == 0, LABEL2ID["O"]] = 10.0  # specials
     else:
         # rule-only fallback (artifact not shipped)
         use = cands if scrub_ip else [c for c in cands if c.label != "IP"]
