@@ -32,7 +32,8 @@ from .gazetteer import (
     STREET_SUFFIXES_L,
 )
 
-DIM = 1 << 17
+DIM = 1 << 18
+FEATURE_VERSION = 2  # bump on ANY change to hashing/feature families
 _MASK = DIM - 1
 
 
@@ -121,6 +122,8 @@ def featurize_doc(
         f: list[str] = ["b"]
         f.append(f"t={lows[i]}")
         f.append(f"s={shapes[i]}")
+        f.append(f"tp={lows[i][:4]}")   # prefix/suffix stubs survive
+        f.append(f"ts={lows[i][-4:]}")  # trailing glue better than ids
         f.extend(_grams(tokens[i], "g3="))
         f.extend(_gaz_feats(lows[i]))
         for d, tag in ((-2, "pp"), (-1, "p"), (1, "n"), (2, "nn")):
@@ -128,8 +131,8 @@ def featurize_doc(
             if 0 <= j < n:
                 f.append(f"{tag}={lows[j]}")
                 f.append(f"{tag}s={shapes[j]}")
+                f.extend(_grams(tokens[j], f"{tag}3="))
                 if d in (-1, 1):
-                    f.extend(_grams(tokens[j], f"{tag}3="))
                     f.extend(f"{tag}{x}" for x in _gaz_feats(lows[j]))
             else:
                 f.append(f"{tag}=~")

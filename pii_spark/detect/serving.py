@@ -45,11 +45,16 @@ def _head_weights():
     global _HEAD_W, _HEAD_TRIED
     if not _HEAD_TRIED:
         _HEAD_TRIED = True
+        from .features import FEATURE_VERSION
+
         for cand in (_HEAD_PATH, Path("token_head.npz"),
                      Path("artifacts/token_head.npz")):
             try:
                 if cand.exists():
-                    _HEAD_W = np.load(cand)["W"].astype(np.float32)
+                    z = np.load(cand)
+                    if int(z.get("feature_version", -1)) != FEATURE_VERSION:
+                        continue  # stale artifact → rule fallback
+                    _HEAD_W = z["W"].astype(np.float32)
                     break
             except (OSError, ValueError):
                 continue

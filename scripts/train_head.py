@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pii_spark.config import LABEL2ID, NUM_LABELS  # noqa: E402
 from pii_spark.detect.candidates import detect_spans  # noqa: E402
-from pii_spark.detect.features import DIM, featurize_doc  # noqa: E402
+from pii_spark.detect.features import DIM, FEATURE_VERSION, featurize_doc  # noqa: E402
 from pii_spark.labeling import spans_to_token_labels  # noqa: E402
 from pii_spark.textgrammar.generator import build_example  # noqa: E402
 from pii_spark.tokenizer import tokenize_with_offsets  # noqa: E402
@@ -93,7 +93,8 @@ def main(n_docs: int = TRAIN_HI - TRAIN_LO, epochs: int = 3,
 
     out = Path(__file__).resolve().parents[1] / "artifacts"
     out.mkdir(exist_ok=True)
-    np.savez_compressed(out / "token_head.npz", W=W.astype(np.float16))
+    np.savez_compressed(out / "token_head.npz", W=W.astype(np.float16),
+                        feature_version=np.int64(FEATURE_VERSION))
     print("saved", out / "token_head.npz")
 
 
