@@ -26,9 +26,13 @@ from typing import NamedTuple
 
 import numpy as np
 
+import re
 from pathlib import Path
 
-from ..config import CONFIDENCE_THRESHOLD, ID2LABEL, LABEL2ID, NUM_LABELS
+from ..config import CONFIDENCE_THRESHOLD, ID2LABEL, LABEL2ID, NUM_LABELS, SCRUB_TYPES
+
+# already-scrubbed placeholders must stay inert (scrub idempotence)
+_PLACEHOLDER_RE = re.compile(r"\[(?:" + "|".join(SCRUB_TYPES) + r")\]")
 from ..labeling import decode_bilou, spans_to_token_labels
 from ..tokenizer import tokenize_with_offsets
 from .candidates import Candidate, detect_spans
@@ -68,6 +72,47 @@ _K1 = NUM_LABELS - 1
 def _conf_logit(conf: float) -> float:
     conf = min(max(conf, 1e-4), 1 - 1e-4)
     return math.log(conf * _K1 / (1.0 - conf))
+
+
+def _transition_matrix() -> np.ndarray:
+    """BILOU transition log-prior: hard structure as soft penalties so a
+    single-token blip ('.' tagged PERSON inside an email) cannot break
+    an entity; -8 ≈ 'needs overwhelming evidence'."""
+    T = np.full((NUM_LABELS, NUM_LABELS), -8.0, dtype=np.float32)
+    O = LABEL2ID["O"]
+
+    def lid(prefix, ent):
+        return LABEL2ID[f"{prefix}-{ent}"]
+
+    ents = sorted({lab.split("-", 1)[1] for lab in LABEL2ID if lab != "O"})
+    starts = [O] + [lid(p, e) for e in ents for p in ("B", "U")]
+    for frm in [O] + [lid(p, e) for e in ents for p in ("L", "U")]:
+        for to in starts:
+            T[frm, to] = 0.0
+    for e in ents:
+        for frm in (lid("B", e), lid("I", e)):
+            T[frm, lid("I", e)] = 0.0
+            T[frm, lid("L", e)] = 0.0
+    return T
+
+
+_TRANS = _transition_matrix()
+
+
+def _viterbi(logp: np.ndarray) -> np.ndarray:
+    """Max-sum decode over token log-probs with _TRANS priors."""
+    n = logp.shape[0]
+    back = np.zeros((n, NUM_LABELS), dtype=np.int32)
+    score = logp[0].copy()
+    for t in range(1, n):
+        cand = score[:, None] + _TRANS
+        back[t] = cand.argmax(axis=0)
+        score = cand.max(axis=0) + logp[t]
+    path = np.zeros(n, dtype=np.int32)
+    path[-1] = int(score.argmax())
+    for t in range(n - 1, 0, -1):
+        path[t - 1] = back[t, path[t]]
+    return path
 
 
 class DocResult(NamedTuple):
@@ -137,12 +182,15 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
         use = cands if scrub_ip else [c for c in cands if c.label != "IP"]
         logits = _logits_for_doc(text, offsets, use)
 
-    # softmax + confidence threshold (model_evaluation.py:253-269)
+    # softmax + confidence threshold (model_evaluation.py:253-269),
+    # decoded under BILOU transition constraints (viterbi) so isolated
+    # token blips cannot split an entity
     z = logits - logits.max(axis=1, keepdims=True)
     probs = np.exp(z)
     probs /= probs.sum(axis=1, keepdims=True)
-    pred = probs.argmax(axis=1)
-    maxp = probs.max(axis=1)
+    logp = np.log(probs + 1e-9)
+    pred = _viterbi(logp) if len(logp) else np.zeros(0, dtype=np.int32)
+    maxp = probs[np.arange(len(pred)), pred] if len(pred) else np.zeros(0)
     pred = np.where((maxp < CONFIDENCE_THRESHOLD) & (pred != 0), 0, pred)
 
     tags = [ID2LABEL[int(p)] for p in pred]
@@ -151,6 +199,11 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
         "O" if ts == te == 0 else tag
         for tag, (ts, te) in zip(tags, offsets)
     ]
+    # placeholder regions from a previous scrub pass stay O (idempotence)
+    for m in _PLACEHOLDER_RE.finditer(text):
+        for t, (ts, te) in enumerate(offsets):
+            if not (ts == te == 0) and te > m.start() and ts < m.end():
+                tags[t] = "O"
     ents = decode_bilou(tags)
     entities = [
         (lab, a, b, offsets[a][0], offsets[b][1]) for lab, a, b in ents

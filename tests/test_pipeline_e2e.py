@@ -75,7 +75,7 @@ def test_label_f1_gate(spark, full):
     """Entity-level F1 vs generator ground truth on English docs —
     the seqeval-equivalent protocol (model.ipynb cell 22/24).
 
-    Current detector floor: 0.97 micro (measured 0.982 at 4k docs;
+    Current detector floor: 0.98 micro (trained head; held-out 0.982-0.984;
     target ≥0.99 — the gate ratchets up as the detector improves)."""
     en = full.where("lang = 'en'").select("doc_id", "text", "spans").cache()
     pred = run_pipeline(
@@ -84,5 +84,5 @@ def test_label_f1_gate(spark, full):
         en.select("doc_id", "text"), "doc_id"
     )
     report = f1_report(en, pred)
-    assert report["micro"]["f1"] >= 0.97, report["micro"]
-    assert report["weighted_f1"] >= 0.96, report["weighted_f1"]
+    assert report["micro"]["f1"] >= 0.98, report["micro"]
+    assert report["weighted_f1"] >= 0.97, report["weighted_f1"]
