@@ -28,7 +28,7 @@ from pii_spark.labeling import spans_to_token_labels  # noqa: E402
 from pii_spark.textgrammar.generator import build_example  # noqa: E402
 from pii_spark.tokenizer import tokenize_with_offsets  # noqa: E402
 
-TRAIN_LO, TRAIN_HI = 20_000, 140_000
+TRAIN_LO, TRAIN_HI = 20_000, 260_000
 
 
 def doc_examples(doc_id: int):
