@@ -75,8 +75,8 @@ def test_label_f1_gate(spark, full):
     """Entity-level F1 vs generator ground truth on English docs —
     the seqeval-equivalent protocol (model.ipynb cell 22/24).
 
-    Current detector floor: 0.98 micro (trained head; held-out 0.982-0.984;
-    target ≥0.99 — the gate ratchets up as the detector improves)."""
+    Label-F1 gate at the BASELINE.json target: ≥0.99 on this fixed corpus
+    (trained head + viterbi; held-out 12k-20k ranges measure 0.987-0.988)."""
     en = full.where("lang = 'en'").select("doc_id", "text", "spans").cache()
     pred = run_pipeline(
         full.where("lang = 'en'"), with_doc_id=True
@@ -84,5 +84,5 @@ def test_label_f1_gate(spark, full):
         en.select("doc_id", "text"), "doc_id"
     )
     report = f1_report(en, pred)
-    assert report["micro"]["f1"] >= 0.98, report["micro"]
-    assert report["weighted_f1"] >= 0.97, report["weighted_f1"]
+    assert report["micro"]["f1"] >= 0.99, report["micro"]
+    assert report["weighted_f1"] >= 0.98, report["weighted_f1"]
