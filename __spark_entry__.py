@@ -303,6 +303,37 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed (sign of dims
+    1-3) so each vector is compared only within its bucket — the scale
+    path for near-dup detection over billions of embeddings."""
+    e = _emb(spark, sf_dir)
+    b = (
+        (F.element_at("embedding", 1) >= 0).cast("int") * 4
+        + (F.element_at("embedding", 2) >= 0).cast("int") * 2
+        + (F.element_at("embedding", 3) >= 0).cast("int")
+    )
+    ex = e.select("vec_id", b.alias("b"),
+                  F.posexplode("embedding").alias("i", "v"))           .withColumn("v", F.col("v").cast("double"))
+    a = ex.alias("a")
+    c = ex.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.b") == F.col("c.b"))
+               & (F.col("a.vec_id") < F.col("c.vec_id"))
+               & (F.col("a.i") == F.col("c.i")))
+        .groupBy(F.col("a.vec_id").alias("va"), F.col("c.vec_id").alias("vb"))
+        .agg(
+            F.sum(F.col("a.v") * F.col("c.v")).alias("dot"),
+            F.sqrt(F.sum(F.col("a.v") * F.col("a.v"))).alias("na"),
+            F.sqrt(F.sum(F.col("c.v") * F.col("c.v"))).alias("nb"),
+        )
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return pairs.filter(cos >= 0.42).select(
+        "va", "vb", F.round(cos, 4).alias("cos")
+    )
+
+
 def q_ann_lsh_bucket(spark, sf_dir):
     """LSH-bucketed ANN scale path: sign of dims 0/1/2 → 8 buckets;
     census of bucket sizes + mean first-dim value."""
@@ -539,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_embedding": q_dedup_embedding,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "token_count": q_token_count,
         "langid_stopwords": q_langid_stopwords,
@@ -698,6 +730,30 @@ def oracle_sql() -> dict[str, str]:
             FROM per, qn
             ORDER BY round(dot / (na * nb), 4) DESC, vec_id
             LIMIT 10
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+              SELECT vec_id,
+                     (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS b,
+                     embedding
+              FROM embeddings),
+            x AS (
+              SELECT vec_id, b,
+                     CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM e),
+            pairs AS (
+              SELECT a.vec_id AS va, c.vec_id AS vb,
+                     sum(a.v * c.v) AS dot,
+                     sqrt(sum(a.v * a.v)) AS na,
+                     sqrt(sum(c.v * c.v)) AS nb
+              FROM x a JOIN x c
+                ON a.b = c.b AND a.vec_id < c.vec_id AND a.i = c.i
+              GROUP BY 1, 2)
+            SELECT va, vb, round(dot / (na * nb), 4) AS cos
+            FROM pairs WHERE dot / (na * nb) >= 0.42
         """,
         "ann_lsh_bucket": """
             SELECT (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
