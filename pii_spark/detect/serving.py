@@ -177,6 +177,18 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
             summed = np.add.reduceat(gathered, bounds[nonzero], axis=0)
             logits[nonzero] = summed
         logits[lens == 0, LABEL2ID["O"]] = 10.0  # specials
+        # rule overlay as a soft one-sided prior: add support where a
+        # candidate covers the token (keeps the head from splitting a
+        # matched span at a weak interior token) but never push toward O
+        # where rules are silent — that would tax the head's recall
+        for c in non_ip:
+            if c.conf < 0.9:
+                continue
+            boost = 2.5 if c.conf >= 0.95 else 1.5
+            for t, (ts, te) in enumerate(offsets):
+                if not (ts == te == 0) and te > c.start and ts < c.end:
+                    if cand_tags[t] != "O":
+                        logits[t, LABEL2ID.get(cand_tags[t], 0)] += boost
     else:
         # rule-only fallback (artifact not shipped)
         use = cands if scrub_ip else [c for c in cands if c.label != "IP"]
