@@ -65,18 +65,42 @@ _SHAPE_RE = [
 ]
 
 
+_SHAPE_CACHE: dict[str, str] = {}
+
+
 def _shape(tok: str) -> str:
+    v = _SHAPE_CACHE.get(tok)
+    if v is not None:
+        return v
+    v = None
     for rx, name in _SHAPE_RE:
         if rx.match(tok):
-            return f"{name}{min(len(tok), 9)}"
-    if len(tok) == 1 and not tok.isalnum():
-        return f"p{tok}"
-    return f"m{min(len(tok), 9)}"
+            v = f"{name}{min(len(tok), 9)}"
+            break
+    if v is None:
+        if len(tok) == 1 and not tok.isalnum():
+            v = f"p{tok}"
+        else:
+            v = f"m{min(len(tok), 9)}"
+    if len(_SHAPE_CACHE) > 500_000:
+        _SHAPE_CACHE.clear()
+    _SHAPE_CACHE[tok] = v
+    return v
+
+
+_GRAM_CACHE: dict[tuple[str, str], list[str]] = {}
 
 
 def _grams(tok: str, pre: str) -> list[str]:
-    s = f"^{tok.lower()}$"
-    return [f"{pre}{s[i:i+3]}" for i in range(min(len(s) - 2, 12))]
+    key = (pre, tok)
+    v = _GRAM_CACHE.get(key)
+    if v is None:
+        s = f"^{tok.lower()}$"
+        v = [f"{pre}{s[i:i+3]}" for i in range(min(len(s) - 2, 12))]
+        if len(_GRAM_CACHE) > 500_000:
+            _GRAM_CACHE.clear()
+        _GRAM_CACHE[key] = v
+    return v
 
 
 def _gaz_feats(low: str) -> list[str]:
