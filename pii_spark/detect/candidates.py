@@ -1,5 +1,10 @@
 """PII span candidate generation + overlap resolution.
 
+NOTE: the trained head (artifacts/token_head.npz) consumes this module's
+candidates as input features. Changing candidate behavior shifts the
+feature distribution the head was trained on — retrain with
+scripts/train_head.py after any change here, or serving quality drifts.
+
 This is the feature extractor of the offline "model": a deterministic
 pure function text → [(start, end, label, confidence)], combining
 format regexes (patterns.py) and gazetteer/shape/context token matchers
