@@ -58,7 +58,7 @@ def doc_examples(doc_id: int):
 
 
 def main(n_docs: int = TRAIN_HI - TRAIN_LO, epochs: int = 3,
-         lr: float = 0.25, seed: int = 7) -> None:
+         lr: float = 0.25, seed: int = 7, warm: bool = False) -> None:
     t0 = time.time()
     X: list[np.ndarray] = []
     y: list[int] = []
@@ -72,6 +72,10 @@ def main(n_docs: int = TRAIN_HI - TRAIN_LO, epochs: int = 3,
 
     rng = np.random.default_rng(seed)
     W = np.zeros((DIM, NUM_LABELS), dtype=np.float32)
+    art = Path(__file__).resolve().parents[1] / "artifacts" / "token_head.npz"
+    if warm and art.exists():
+        W = np.load(art)["W"].astype(np.float32)
+        print("warm start from", art)
     for ep in range(epochs):
         order = rng.permutation(n)
         step = lr / (1 + ep)
@@ -93,8 +97,10 @@ def main(n_docs: int = TRAIN_HI - TRAIN_LO, epochs: int = 3,
 
     out = Path(__file__).resolve().parents[1] / "artifacts"
     out.mkdir(exist_ok=True)
-    np.savez_compressed(out / "token_head.npz", W=W.astype(np.float16),
+    tmp = out / ".token_head.npz.tmp"
+    np.savez_compressed(tmp, W=W.astype(np.float16),
                         feature_version=np.int64(FEATURE_VERSION))
+    tmp.rename(out / "token_head.npz")  # atomic publish
     print("saved", out / "token_head.npz")
 
 
@@ -104,5 +110,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120000)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--warm", action="store_true")
+    ap.add_argument("--lr", type=float, default=0.25)
     args = ap.parse_args()
-    main(n_docs=args.docs, epochs=args.epochs)
+    main(n_docs=args.docs, epochs=args.epochs, warm=args.warm, lr=args.lr)
