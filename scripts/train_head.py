@@ -97,7 +97,7 @@ def main(n_docs: int = TRAIN_HI - TRAIN_LO, epochs: int = 3,
 
     out = Path(__file__).resolve().parents[1] / "artifacts"
     out.mkdir(exist_ok=True)
-    tmp = out / ".token_head.npz.tmp"
+    tmp = out / ".token_head.tmp.npz"  # savez appends .npz if missing
     np.savez_compressed(tmp, W=W.astype(np.float16),
                         feature_version=np.int64(FEATURE_VERSION))
     tmp.rename(out / "token_head.npz")  # atomic publish
