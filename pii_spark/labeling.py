@@ -17,10 +17,45 @@ metric calls consume (model_evaluation.py:319-321).
 
 from __future__ import annotations
 
+import numpy as np
+
 from .config import LABEL2ID
 
 Offset = tuple[int, int]
 Entity = tuple[str, int, int]  # (label, first_token_idx, last_token_idx)
+
+
+def _overlap_index(offsets: list[Offset]):
+    """Return idxs(start, end) → token indices with te > start and
+    ts < end. Uses O(log n) searchsorted when the real-token offsets are
+    position-sorted and non-overlapping (always true for
+    tokenize_with_offsets output); falls back to the reference's linear
+    scan otherwise so arbitrary hand-built offsets keep exact semantics."""
+    real = [(t, ts, te) for t, (ts, te) in enumerate(offsets)
+            if not (ts == te == 0)]
+    sorted_ok = all(
+        real[i - 1][1] <= real[i][1] and real[i - 1][2] <= real[i][2]
+        for i in range(1, len(real))
+    )
+    if sorted_ok and len(real) > 8:
+        real_idx = np.fromiter((r[0] for r in real), dtype=np.int64,
+                               count=len(real))
+        ts_arr = np.fromiter((r[1] for r in real), dtype=np.int64,
+                             count=len(real))
+        te_arr = np.fromiter((r[2] for r in real), dtype=np.int64,
+                             count=len(real))
+
+        def idxs(start: int, end: int) -> list[int]:
+            lo = int(np.searchsorted(te_arr, start, side="right"))
+            hi = int(np.searchsorted(ts_arr, end, side="left"))
+            return [int(t) for t in real_idx[lo:hi]]
+
+        return idxs
+
+    def idxs_scan(start: int, end: int) -> list[int]:
+        return [t for t, ts, te in real if te > start and ts < end]
+
+    return idxs_scan
 
 
 def spans_to_token_labels(
@@ -29,13 +64,10 @@ def spans_to_token_labels(
     """Char spans → per-token BILOU tags + label ids (-100 for specials)."""
     n = len(offsets)
     tags = ["O"] * n
+    overlap = _overlap_index(offsets) if spans else None
     for ent in spans:
         e_start, e_end, ent_label = ent["start"], ent["end"], ent["label"]
-        idxs = [
-            t
-            for t, (ts, te) in enumerate(offsets)
-            if not (ts == te == 0) and te > e_start and ts < e_end
-        ]
+        idxs = overlap(e_start, e_end)
         if not idxs:
             continue
         if len(idxs) == 1:
