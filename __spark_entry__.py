@@ -186,21 +186,36 @@ def q_dedup_fingerprint(spark, sf_dir):  # document fingerprinting
 
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH skeleton: char shingles (len 12, stride 5) → 4 banded
-    min-hashes → bucket-collision census per band."""
+    min-hashes → bucket-collision census per band.
+
+    Single-pass plan (VERDICT r1 #2): ONE shingle explode + ONE groupBy
+    computing all 4 band minima as separate aggregates, then an
+    unpivot to (band, mh) rows — the exploded shingle relation (the
+    dominant shuffle input at scale) is scanned once instead of once
+    per band."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)), F.lit(5))
     ).alias("i")
     sh = d.select("doc_id", pos, "text").select(
-        "doc_id", F.substring_index(F.lit(""), "", 1).alias("_"),  # no-op
-        F.expr("substring(text, i, 12)").alias("shingle"),
+        "doc_id", F.expr("substring(text, i, 12)").alias("shingle"),
     )
-    bands = None
-    for b in range(4):
-        mh = sh.groupBy("doc_id").agg(
-            F.min(F.md5(F.concat(F.lit(str(b)), F.col("shingle")))).alias("mh")
-        ).select(F.lit(b).alias("band"), "mh")
-        bands = mh if bands is None else bands.unionByName(mh)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(b)), F.col("shingle"))))
+            .alias(f"mh{b}")
+            for b in range(4)
+        ]
+    )
+    bands = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("mh"))
+                for b in range(4)
+            ])
+        ).alias("bm"),
+    ).select(F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
     return (
         bands.groupBy("band", "mh")
         .agg(F.count("*").alias("bucket_size"))
@@ -213,11 +228,27 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+_JACCARD_T = 0.6
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Word-set Jaccard near-dup pairs among short English docs."""
+    """Word-set Jaccard near-dup pairs among English docs — EXACT result
+    via prefix filtering (PPJoin-style), scale-safe join keys.
+
+    r1 joined full token postings on a.w == b.w, which makes every
+    common word ('the') a quadratic hot key (VERDICT r1 anti-pattern
+    #1). Prefix filtering is exact: order each doc's token set by
+    global document frequency (rarest first) and keep only the first
+    n - floor(t*n) + 1 tokens; any pair with Jaccard >= t provably
+    shares a token within both prefixes, so joining ONLY prefix tokens
+    loses no pairs, and prefix tokens are by construction the rarest —
+    no hot keys. Candidates are then verified with exact Jaccard via
+    array_intersect on the full per-doc token arrays. The DuckDB oracle
+    keeps the brute-force all-pairs formulation: identical output is
+    the exactness proof."""
     toks = (
         _docs(spark, sf_dir)
-        .filter((F.col("lang") == "en") & (F.col("n_chars") <= 100))
+        .filter(F.col("lang") == "en")
         .select(
             "doc_id",
             F.explode(
@@ -230,21 +261,49 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             ).alias("w"),
         )
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("inter"))
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    docs = (
+        toks.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "w"))).alias("sw"))
+        .select(
+            "doc_id",
+            F.expr("transform(sw, s -> s.w)").alias("toks"),
+            F.size("sw").alias("n"),
+        )
+        .withColumn(
+            "plen",
+            (F.col("n") - F.floor(F.lit(_JACCARD_T) * F.col("n"))).cast("int")
+            + F.lit(1),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    pre = docs.select(
+        "doc_id", F.explode(F.expr("slice(toks, 1, plen)")).alias("w")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    left = docs.select(
+        F.col("doc_id").alias("da"), F.col("toks").alias("atoks"),
+        F.col("n").alias("na"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("db"), F.col("toks").alias("btoks"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("atoks", "btoks"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(sa, "da").join(sb, "db")
-        .filter(jac >= 0.6)
+        cand.join(left, "da")
+        .join(right, "db")
+        .filter(jac >= _JACCARD_T)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -303,53 +362,135 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
-def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, LSH-bucketed (sign of dims
-    1-3) so each vector is compared only within its bucket — the scale
-    path for near-dup detection over billions of embeddings."""
-    e = _emb(spark, sf_dir)
-    b = (
-        (F.element_at("embedding", 1) >= 0).cast("int") * 4
-        + (F.element_at("embedding", 2) >= 0).cast("int") * 2
-        + (F.element_at("embedding", 3) >= 0).cast("int")
+# ---- banded hyperplane LSH over embeddings (VERDICT r1 #1b) ----
+# 16 bands x 8 Rademacher-sign random projections. Signs derive from
+# md5(band_bit_dim) so Spark and DuckDB build the identical hyperplanes
+# with zero shipped state. At the operator's design threshold
+# (cos >= 0.9, true near-dups) a band matches with p = 0.856^8 = 0.287
+# and 16 bands give recall 1 - (1-0.287)^16 = 0.9955 while a random
+# pair collides with p = 16/2^8 = 6% — real pruning. At the testdata's
+# exploratory threshold 0.42 recall vs brute force is measured by
+# tests/test_lsh_recall.py (LSH at such low similarity is
+# physics-limited: rho = ln p1 / ln p2 = 0.65).
+_LSH_BANDS = 16
+_LSH_BITS = 8
+_EMB_DIM = 64
+_COS_T = 0.42
+
+
+def _lsh_parts(spark, sf_dir):
+    """Returns (ex, sig): the 1-based posexploded embedding relation and
+    the per-(vec_id, band) integer signature relation."""
+    signs = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)))
+                .alias("b"))
+        .select("b", F.explode(F.sequence(F.lit(0), F.lit(_LSH_BITS - 1)))
+                .alias("j"))
+        .select("b", "j",
+                F.explode(F.sequence(F.lit(1), F.lit(_EMB_DIM))).alias("i"))
+        .withColumn(
+            "s",
+            F.when(
+                F.substring(F.md5(F.concat_ws("_", "b", "j", "i")), 1, 1)
+                >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
     )
-    ex = e.select("vec_id", b.alias("b"),
-                  F.posexplode("embedding").alias("i", "v"))           .withColumn("v", F.col("v").cast("double"))
-    a = ex.alias("a")
-    c = ex.alias("c")
+    ex = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    proj = (
+        ex.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "b", "j")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("p"))
+    )
+    sig = proj.groupBy("vec_id", "b").agg(
+        F.sum(
+            F.when(F.col("p") >= 0, F.expr("CAST(pow(2, j) AS BIGINT)"))
+            .otherwise(F.lit(0))
+        ).alias("sig")
+    )
+    return ex, sig
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH:
+    candidate pairs share a full 8-bit signature in >=1 of 16 bands;
+    exact cosine is computed on candidates only. Replaces r1's 3-sign-
+    bit bucketing (8 buckets -> O(n^2/8) all-pairs, VERDICT
+    anti-pattern #2) with per-band join keys of expected size n/256."""
+    ex, sig = _lsh_parts(spark, sf_dir)
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.sig") == F.col("c.sig"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("c.vec_id").alias("vb"))
+        .distinct()
+    )
+    x = ex.select(F.col("vec_id").alias("va"), "i", F.col("v").alias("xv"))
+    y = ex.select(F.col("vec_id").alias("vb"), "i", F.col("v").alias("yv"))
     pairs = (
-        a.join(c, (F.col("a.b") == F.col("c.b"))
-               & (F.col("a.vec_id") < F.col("c.vec_id"))
-               & (F.col("a.i") == F.col("c.i")))
-        .groupBy(F.col("a.vec_id").alias("va"), F.col("c.vec_id").alias("vb"))
+        cand.join(x, "va")
+        .join(y, ["vb", "i"])
+        .groupBy("va", "vb")
         .agg(
-            F.sum(F.col("a.v") * F.col("c.v")).alias("dot"),
-            F.sqrt(F.sum(F.col("a.v") * F.col("a.v"))).alias("na"),
-            F.sqrt(F.sum(F.col("c.v") * F.col("c.v"))).alias("nb"),
+            F.sum(F.col("xv") * F.col("yv")).alias("dot"),
+            F.sqrt(F.sum(F.col("xv") * F.col("xv"))).alias("na"),
+            F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nb"),
         )
     )
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    return pairs.filter(cos >= 0.42).select(
+    return pairs.filter(cos >= _COS_T).select(
         "va", "vb", F.round(cos, 4).alias("cos")
     )
 
 
 def q_ann_lsh_bucket(spark, sf_dir):
-    """LSH-bucketed ANN scale path: sign of dims 0/1/2 → 8 buckets;
-    census of bucket sizes + mean first-dim value."""
-    e = _emb(spark, sf_dir)
-    b = (
-        (F.element_at("embedding", 1) >= 0).cast("int") * 4
-        + (F.element_at("embedding", 2) >= 0).cast("int") * 2
-        + (F.element_at("embedding", 3) >= 0).cast("int")
+    """ANN scale path answering a real query: top-10 neighbors of
+    vec_id=0 among its LSH band-bucket candidates (exact cosine on the
+    candidate set only). r1's version was only a bucket census
+    (VERDICT: 'no actual within-bucket top-k query yet')."""
+    ex, sig = _lsh_parts(spark, sf_dir)
+    qsig = sig.filter(F.col("vec_id") == 0).select(
+        "b", F.col("sig").alias("qsig")
     )
-    return (
-        e.groupBy(b.alias("bucket"))
+    cand = (
+        sig.join(F.broadcast(qsig), "b")
+        .filter((F.col("sig") == F.col("qsig")) & (F.col("vec_id") != 0))
+        .select("vec_id")
+        .distinct()
+    )
+    q = ex.filter(F.col("vec_id") == 0).select(
+        F.col("i"), F.col("v").alias("qv")
+    )
+    per = (
+        cand.join(ex, "vec_id")
+        .join(F.broadcast(q), "i")
+        .groupBy("vec_id")
         .agg(
-            F.count("*").alias("n_vecs"),
-            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4)
-            .alias("mean_d0"),
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("na"),
         )
+    )
+    qn = q.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        per.crossJoin(F.broadcast(qn))
+        .select("vec_id", F.round(cos, 4).alias("cos"))
+        .orderBy(F.round(cos, 4).desc(), "vec_id")
+        .limit(10)
     )
 
 
@@ -589,6 +730,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# DuckDB twin of _lsh_parts: identical md5-derived hyperplane signs,
+# projections, and per-(vec_id, band) integer signatures.
+_LSH_SQL_CTES = f"""signs AS (
+              SELECT b, j, i,
+                     CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_'
+                               || CAST(j AS VARCHAR) || '_'
+                               || CAST(i AS VARCHAR)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM (SELECT unnest(generate_series(0, {_LSH_BANDS - 1})) AS b),
+                   (SELECT unnest(generate_series(0, {_LSH_BITS - 1})) AS j),
+                   (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i)),
+            ex AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            proj AS (
+              SELECT ex.vec_id, signs.b, signs.j, sum(signs.s * ex.v) AS p
+              FROM ex JOIN signs ON ex.i = signs.i
+              GROUP BY 1, 2, 3),
+            sig AS (
+              SELECT vec_id, b,
+                     sum(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT)
+                         ELSE 0 END) AS sig
+              FROM proj GROUP BY 1, 2)"""
+
+
 def oracle_sql() -> dict[str, str]:
     simhash_votes = ", ".join(
         "sum(CASE WHEN substr(h, {i}, 1) IN "
@@ -676,6 +844,9 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS n_collided_docs
             FROM buckets GROUP BY band
         """,
+        # brute-force all-pairs formulation on purpose: the Spark side
+        # uses exact prefix filtering, so identical output proves the
+        # optimization lossless
         "dedup_ngram_jaccard": """
             WITH toks AS (
               SELECT DISTINCT doc_id, w
@@ -684,7 +855,7 @@ def oracle_sql() -> dict[str, str]:
                                string_split_regex(lower(text), '[^a-z0-9]+'),
                                x -> x <> '')) AS w
                     FROM documents
-                    WHERE lang = 'en' AND n_chars <= 100)),
+                    WHERE lang = 'en')),
             sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
             pairs AS (
               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -731,37 +902,43 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(dot / (na * nb), 4) DESC, vec_id
             LIMIT 10
         """,
-        "dedup_embedding": """
-            WITH e AS (
-              SELECT vec_id,
-                     (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS b,
-                     embedding
-              FROM embeddings),
-            x AS (
-              SELECT vec_id, b,
-                     CAST(unnest(embedding) AS DOUBLE) AS v,
-                     generate_subscripts(embedding, 1) AS i
-              FROM e),
+        "dedup_embedding": f"""
+            WITH {_LSH_SQL_CTES}
+            , cand AS (
+              SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+              FROM sig a JOIN sig c
+                ON a.b = c.b AND a.sig = c.sig AND a.vec_id < c.vec_id),
             pairs AS (
-              SELECT a.vec_id AS va, c.vec_id AS vb,
-                     sum(a.v * c.v) AS dot,
-                     sqrt(sum(a.v * a.v)) AS na,
-                     sqrt(sum(c.v * c.v)) AS nb
-              FROM x a JOIN x c
-                ON a.b = c.b AND a.vec_id < c.vec_id AND a.i = c.i
+              SELECT va, vb, sum(x.v * y.v) AS dot,
+                     sqrt(sum(x.v * x.v)) AS na,
+                     sqrt(sum(y.v * y.v)) AS nb
+              FROM cand
+              JOIN ex x ON x.vec_id = va
+              JOIN ex y ON y.vec_id = vb AND y.i = x.i
               GROUP BY 1, 2)
             SELECT va, vb, round(dot / (na * nb), 4) AS cos
-            FROM pairs WHERE dot / (na * nb) >= 0.42
+            FROM pairs WHERE dot / (na * nb) >= {_COS_T}
         """,
-        "ann_lsh_bucket": """
-            SELECT (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
-                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-                  + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket,
-                   count(*) AS n_vecs,
-                   round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS mean_d0
-            FROM embeddings GROUP BY 1
+        "ann_lsh_bucket": f"""
+            WITH {_LSH_SQL_CTES}
+            , qsig AS (SELECT b, sig AS qsig FROM sig WHERE vec_id = 0),
+            cand AS (
+              SELECT DISTINCT sig.vec_id
+              FROM sig JOIN qsig ON sig.b = qsig.b AND sig.sig = qsig.qsig
+              WHERE sig.vec_id <> 0),
+            q AS (SELECT i AS qi, v AS qv FROM ex WHERE vec_id = 0),
+            per AS (
+              SELECT ex.vec_id,
+                     sum(ex.v * q.qv) AS dot,
+                     sqrt(sum(ex.v * ex.v)) AS na
+              FROM cand JOIN ex ON ex.vec_id = cand.vec_id
+              JOIN q ON ex.i = q.qi
+              GROUP BY ex.vec_id),
+            qn AS (SELECT sqrt(sum(qv * qv)) AS nb FROM q)
+            SELECT vec_id, round(dot / (na * nb), 4) AS cos
+            FROM per, qn
+            ORDER BY round(dot / (na * nb), 4) DESC, vec_id
+            LIMIT 10
         """,
         "token_count": """
             SELECT lang,
