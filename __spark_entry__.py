@@ -646,6 +646,54 @@ def q_events_hourly(spark, sf_dir):  # tumbling-window agg (batch form)
     )
 
 
+def q_max_label_id(spark, sf_dir):
+    """W2 (model.ipynb cell 8, synth_checks.ipynb cell 10): label-id
+    bound sanity agg. Per doc, the max BILOU label id implied by the
+    regex detector's hits (U-EMAIL/U-PHONE/U-SSN ids from the 37-label
+    space, config_and_labels.py:38-45); max + census over the corpus."""
+    from pii_spark.config import LABEL2ID
+
+    u_email = LABEL2ID["U-EMAIL"]   # 4
+    u_phone = LABEL2ID["U-PHONE"]   # 8
+    u_ssn = LABEL2ID["U-SSN"]       # 12
+    per_doc = F.greatest(
+        F.when(F.col("text").rlike(_EMAIL_RE), u_email).otherwise(0),
+        F.when(F.col("text").rlike(_PHONE_RE), u_phone).otherwise(0),
+        F.when(F.col("text").rlike(_SSN_RE), u_ssn).otherwise(0),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(per_doc.alias("doc_max"))
+        .agg(
+            F.max("doc_max").cast("long").alias("max_label_id"),
+            F.sum((F.col("doc_max") > 0).cast("long")).cast("long")
+            .alias("n_docs_with_entity"),
+        )
+    )
+
+
+def q_over_under_prediction(spark, sf_dir):
+    """Over/under-prediction totals (model_evaluation.py:346-352): the
+    stopword language-ID predictor's positive count vs the true lang
+    column — sum(true), sum(pred), difference, ratio."""
+    hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")),
+                             F.lit(rf"\b{_STOPWORDS}\b"), F.lit(0))
+    )
+    return _docs(spark, sf_dir).agg(
+        F.sum((F.col("lang") == "en").cast("long")).cast("long")
+        .alias("n_true"),
+        F.sum((hits >= 3).cast("long")).cast("long").alias("n_pred"),
+        (F.sum((hits >= 3).cast("long"))
+         - F.sum((F.col("lang") == "en").cast("long"))).cast("long")
+        .alias("over_prediction"),
+        F.round(
+            F.sum((hits >= 3).cast("long"))
+            / F.sum((F.col("lang") == "en").cast("long")), 4
+        ).alias("pred_ratio"),
+    )
+
+
 def q_topk_longest(spark, sf_dir):  # W1: deterministic top-k
     return (
         _docs(spark, sf_dir)
@@ -686,6 +734,17 @@ def q_pii_f1(spark, sf_dir):
     return entity_confusion(entity_rows(truth), entity_rows(pred))
 
 
+def q_eval_confusion(spark, sf_dir):
+    """EP3 real-world-style eval (model_evaluation.py end to end) over
+    the deterministic ai4privacy-shaped fixture: per-label TP/FP/FN
+    entity confusion rows. Committed artifact from the same job:
+    evaluation/evaluation_results.json (see evaluation/COMPARISON.md)."""
+    from pii_spark.spark.eval_fixture import eval_fixture_df
+    from pii_spark.spark.evaljob import evaluate
+
+    return evaluate(eval_fixture_df(spark, 150), limit_n=150).orderBy("label")
+
+
 def q_synth_corpus(spark, sf_dir):
     """Distributed corpus generation (EP1): mix + span census."""
     from pii_spark.spark.gen_job import generate_full
@@ -723,9 +782,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cohorts": q_union_cohorts,
         "deterministic_limit": q_deterministic_limit,
         "events_hourly": q_events_hourly,
+        "max_label_id": q_max_label_id,
+        "over_under_prediction": q_over_under_prediction,
         "topk_longest": q_topk_longest,
         "pii_pipeline": q_pii_pipeline,
         "pii_f1": q_pii_f1,
+        "eval_confusion": q_eval_confusion,
         "synth_corpus": q_synth_corpus,
     }
 
@@ -1043,6 +1105,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "max_label_id": f"""
+            WITH per AS (
+              SELECT greatest(
+                       CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                            THEN 4 ELSE 0 END,
+                       CASE WHEN regexp_matches(text, '{_PHONE_RE}')
+                            THEN 8 ELSE 0 END,
+                       CASE WHEN regexp_matches(text, '{_SSN_RE}')
+                            THEN 12 ELSE 0 END) AS doc_max
+              FROM documents)
+            SELECT CAST(max(doc_max) AS BIGINT) AS max_label_id,
+                   CAST(sum(CASE WHEN doc_max > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_with_entity
+            FROM per
+        """,
+        "over_under_prediction": f"""
+            WITH s AS (
+              SELECT (lang = 'en') AS is_en,
+                     len(regexp_extract_all(lower(text),
+                         '\\b{_STOPWORDS}\\b')) >= 3 AS pred_en
+              FROM documents)
+            SELECT CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true,
+                   CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pred,
+                   CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS over_prediction,
+                   round(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) * 1.0
+                       / sum(CASE WHEN is_en THEN 1 ELSE 0 END), 4)
+                       AS pred_ratio
+            FROM s
         """,
         "topk_longest": """
             SELECT doc_id, n_chars, lang

@@ -61,9 +61,12 @@ def convert_eval_table(df: DataFrame, limit_n: int = 300) -> DataFrame:
     return out
 
 
-def evaluate(df: DataFrame, limit_n: int = 300) -> DataFrame:
-    """Full EP3: converted truth vs pipeline predictions → per-label
-    TP/FP/FN confusion rows."""
+def evaluate_full(
+    df: DataFrame, limit_n: int = 300
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full EP3: returns (confusion_rows, truth, pred) so callers can
+    also compute token accuracy (model_evaluation.py:322) over the same
+    aligned frames."""
     truth = convert_eval_table(df, limit_n).cache()
     corpus = truth.select(
         "doc_id",
@@ -78,12 +81,21 @@ def evaluate(df: DataFrame, limit_n: int = 300) -> DataFrame:
         run_pipeline(corpus, with_doc_id=True)
         .select("doc_id", "spans")
         .join(truth.select("doc_id", "text"), "doc_id")
-    )
-    return entity_confusion(entity_rows(truth), entity_rows(pred))
+    ).cache()
+    conf = entity_confusion(entity_rows(truth), entity_rows(pred))
+    return conf, truth, pred
+
+
+def evaluate(df: DataFrame, limit_n: int = 300) -> DataFrame:
+    """Converted truth vs pipeline predictions → per-label TP/FP/FN."""
+    return evaluate_full(df, limit_n)[0]
 
 
 def save_results(confusion_rows, path: str, num_examples: int,
-                 model: str = "pii_spark.detect (deterministic)") -> dict:
+                 model: str = "pii_spark.detect (deterministic)",
+                 test_dataset: str | None = None,
+                 accuracy: float | None = None,
+                 per_label: bool = True) -> dict:
     """Metrics JSON sink, shaped like the reference's
     evaluation/evaluation_results.json (model_evaluation.py:360-378)."""
     import json
@@ -94,12 +106,25 @@ def save_results(confusion_rows, path: str, num_examples: int,
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    metrics = {"precision": precision, "recall": recall, "f1": f1}
+    if accuracy is not None:
+        metrics["accuracy"] = accuracy
     out = {
         "model": model,
+        **({"test_dataset": test_dataset} if test_dataset else {}),
         "num_examples": num_examples,
-        "metrics": {"precision": precision, "recall": recall, "f1": f1},
+        "metrics": metrics,
         "entity_counts": {"true_total": tp + fn, "predicted_total": tp + fp},
     }
+    if per_label:
+        out["per_label"] = {
+            r.label: {
+                "tp": r.tp, "fp": r.fp, "fn": r.fn,
+                "precision": r.tp / (r.tp + r.fp) if r.tp + r.fp else 0.0,
+                "recall": r.tp / (r.tp + r.fn) if r.tp + r.fn else 0.0,
+            }
+            for r in sorted(confusion_rows, key=lambda r: r.label)
+        }
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     return out
