@@ -16,6 +16,7 @@ byte-identical for identical inputs.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..icelite.catalog import IceliteTable
 from ..schema import CORPUS
@@ -40,6 +41,13 @@ def run_streaming_job(
     stream = reader.parquet(corpus_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # foreachBatch gives at-least-once delivery: if the driver dies
+        # after our append but before the checkpoint offset commit,
+        # Structured Streaming replays the batch on restart. The icelite
+        # snapshot summary doubles as the dedup ledger (same pattern as
+        # jobs.py group commits), making the append exactly-once.
+        if int(batch_id) in out.committed_groups("stream_batch"):
+            return
         result = run_pipeline(batch_df, partitions=partitions)
         out.append(result, summary={"stream_batch": int(batch_id)})
 
@@ -51,3 +59,55 @@ def run_streaming_job(
     )
     q.awaitTermination()
     return out
+
+
+def run_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> None:
+    """Watermarked tumbling-window aggregation over an events stream
+    (SURVEY §2.9): late rows older than the watermark are dropped, each
+    window is emitted exactly once when the watermark passes its end
+    (append mode), and the checkpoint makes restarts resume from the
+    last committed offset. Batch twin: __spark_entry__.q_events_hourly.
+
+    At cluster scale this is the canonical Structured Streaming shape —
+    state store keyed by (window, event_type), partial aggregation
+    map-side, watermark bounding state size.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # event-time watermarks require TIMESTAMP (pandas-written parquet
+    # often carries TIMESTAMP_NTZ)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

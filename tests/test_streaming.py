@@ -36,3 +36,122 @@ def test_streaming_matches_batch_and_checkpoints(spark, tmp_path):
     )
     assert out2.read(spark).count() == 120
     assert out2.current_version() == v_before  # no duplicate commits
+
+
+def _write_events(path, rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    # microsecond unit: Spark cannot read pandas' default nanos parquet
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df.to_parquet(path, index=False)
+
+
+def test_watermarked_window_drops_late_rows(spark, tmp_path):
+    """SURVEY §2.9: withWatermark + window. A row arriving after the
+    watermark passed its window's end is dropped; closed windows emit
+    exactly once; restart with the same checkpoint emits nothing new."""
+    from pii_spark.spark.streaming import run_events_stream
+
+    events = tmp_path / "events"
+    events.mkdir()
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    # batch 1: events 12:00..12:30 → watermark after batch = 12:20
+    _write_events(events / "a.parquet", [
+        ("2026-01-01 12:01:00", "click", 1.0),
+        ("2026-01-01 12:02:00", "click", 2.0),
+        ("2026-01-01 12:11:00", "view", 3.0),
+        ("2026-01-01 12:30:00", "click", 4.0),
+    ])
+    run_events_stream(spark, str(events), out, ckpt)
+    first = {
+        ((r.window_start.minute, r.window_end.minute), r.event_type):
+            (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows ending at/before the 12:20 watermark have emitted
+    assert first[((0, 5), "click")] == (2, 3.0)
+    assert first[((10, 15), "view")] == (1, 3.0)
+    assert ((30, 35), "click") not in first  # still open
+
+    # batch 2: one LATE event into the already-closed 12:00-12:05 window
+    # plus an on-time event at 12:50 (advances watermark to 12:40,
+    # closing the 12:30-12:35 window)
+    _write_events(events / "b.parquet", [
+        ("2026-01-01 12:01:30", "click", 100.0),   # late → dropped
+        ("2026-01-01 12:50:00", "view", 5.0),
+    ])
+    run_events_stream(spark, str(events), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    by_key = {}
+    for r in rows:
+        k = ((r.window_start.minute, r.window_end.minute), r.event_type)
+        by_key.setdefault(k, []).append((r.n_events, r.sum_value))
+    # the closed window was NOT re-emitted and the late row vanished
+    assert by_key[((0, 5), "click")] == [(2, 3.0)]
+    # the 12:30 window closed once the watermark reached 12:30
+    assert by_key[((30, 35), "click")] == [(1, 4.0)]
+
+    # restart with nothing new: no additional rows
+    n_before = len(rows)
+    run_events_stream(spark, str(events), out, ckpt)
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r1 (medium): simulate a driver crash BETWEEN the icelite
+    append and the streaming offset commit by deleting the checkpoint's
+    commit marker for the last batch, then restarting in a FRESH driver
+    process (the realistic crash: the old driver is gone; a same-session
+    restart trips Spark's concurrent-checkpoint guard). Structured
+    Streaming replays that batch; the stream_batch ledger must skip it
+    so the output table gains no duplicate rows."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from pii_spark.icelite.catalog import IceliteTable
+    from pii_spark.spark.gen_job import generate_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    generate_corpus(spark, 60, partitions=2).write.parquet(corpus_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+
+    driver = (
+        "import sys; sys.path.insert(0, {root!r});\n"
+        "from pii_spark.spark.session import get_spark\n"
+        "from pii_spark.spark.streaming import run_streaming_job\n"
+        "s = get_spark(app='replay', master='local[2]', shuffle_partitions=2)\n"
+        "s.sparkContext.setLogLevel('ERROR')\n"
+        "run_streaming_job(s, {corpus!r}, {out!r}, {ckpt!r},\n"
+        "                  max_files_per_trigger=1, partitions=2)\n"
+        "s.stop()\n"
+    ).format(root=str(Path(__file__).resolve().parents[1]),
+             corpus=corpus_dir, out=out_dir, ckpt=str(ckpt))
+
+    subprocess.run([sys.executable, "-c", driver], check=True,
+                   capture_output=True, timeout=300)
+    out = IceliteTable(out_dir)
+    baseline = {r.url for r in out.read(spark).collect()}
+    assert len(baseline) == 60
+    v_before = out.current_version()
+
+    # crash simulation: offsets for the last batch exist, commit doesn't
+    # (also drop the local-FS checksum shadow, or the replayed commit's
+    # rename fails and Spark reports a bogus concurrent-query error)
+    commits = sorted((ckpt / "commits").iterdir(), key=lambda p: p.name)
+    last = [p for p in commits if not p.name.startswith(".")][-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+
+    subprocess.run([sys.executable, "-c", driver], check=True,
+                   capture_output=True, timeout=300)
+    replay = [r.url for r in out.read(spark).collect()]
+    assert len(replay) == len(baseline)          # no duplicate append
+    assert set(replay) == baseline
+    assert out.current_version() == v_before     # ledger skipped replay
