@@ -745,6 +745,24 @@ def q_eval_confusion(spark, sf_dir):
     return evaluate(eval_fixture_df(spark, 150), limit_n=150).orderBy("label")
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (VERDICT r1 #8): binary media column →
+    mapInPandas decode (deterministic fake — no image libs offline) →
+    per-item features. Real Spark shape: struct<binary,...> column,
+    Arrow batches, stable across partitionings."""
+    from pii_spark.multimodal import media_features, with_fake_media
+
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    feats = media_features(with_fake_media(d), fake_decode=True)
+    return feats.select(
+        "doc_id", "n_bytes", "sha",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.size("feat").alias("feat_dim"),
+    )
+
+
 def q_synth_corpus(spark, sf_dir):
     """Distributed corpus generation (EP1): mix + span census."""
     from pii_spark.spark.gen_job import generate_full
@@ -788,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pipeline": q_pii_pipeline,
         "pii_f1": q_pii_f1,
         "eval_confusion": q_eval_confusion,
+        "media_features": q_media_features,
         "synth_corpus": q_synth_corpus,
     }
 

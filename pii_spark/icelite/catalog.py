@@ -53,10 +53,25 @@ class IceliteTable:
     # ------------------------------------------------------------ read side
 
     def current_version(self) -> int | None:
-        hint = self.meta / "version-hint.text"
-        if not hint.exists():
-            return None
-        return int(hint.read_text().strip())
+        """Max of the hint and a manifest scan: the hint is a fast-path
+        pointer, but under concurrent commits the last hint writer may
+        not be the last manifest publisher, so the scan is authoritative
+        (manifests are immutable and O_EXCL-published)."""
+        versions = [
+            int(p.stem[1:])
+            for p in self.meta.glob("v*.json")
+            if p.stem[1:].isdigit()
+        ]
+        scan = max(versions) if versions else None
+        hint_path = self.meta / "version-hint.text"
+        if hint_path.exists():
+            try:
+                hint = int(hint_path.read_text().strip())
+            except ValueError:
+                hint = None
+            if hint is not None:
+                return max(hint, scan) if scan is not None else hint
+        return scan
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
         version = version if version is not None else self.current_version()
@@ -95,29 +110,45 @@ class IceliteTable:
     # ----------------------------------------------------------- write side
 
     def _commit(self, operation: str, new_dirs: list[str], summary: dict) -> Snapshot:
+        """Optimistic-concurrency commit (ADVICE r1): the manifest is
+        published with os.link (O_EXCL semantics — fails if the version
+        already exists), so a committer that lost the race retries with
+        a fresh parent instead of silently overwriting the winner's
+        snapshot. Same protocol as Iceberg's atomic swap."""
         self.meta.mkdir(parents=True, exist_ok=True)
-        parent = self.snapshot()
-        if operation == "append" and parent is not None:
-            data_dirs = parent.data_dirs + new_dirs
-        else:
-            data_dirs = new_dirs
-        version = (parent.version if parent else 0) + 1
-        snap = {
-            "version": version,
-            "snapshot_id": uuid.uuid4().int >> 96,
-            "parent_id": parent.snapshot_id if parent else None,
-            "operation": operation,
-            "data_dirs": data_dirs,
-            "summary": summary,
-            "committed_at_ms": int(time.time() * 1000),
-        }
-        tmp = self.meta / f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}"
-        tmp.write_text(json.dumps(snap, indent=1))
-        os.rename(tmp, self.meta / f"v{version}.json")
-        tmp_hint = self.meta / f".hint.tmp-{uuid.uuid4().hex[:8]}"
-        tmp_hint.write_text(str(version))
-        os.rename(tmp_hint, self.meta / "version-hint.text")  # atomic publish
-        return self.snapshot(version)
+        for _ in range(64):
+            parent = self.snapshot()
+            if operation == "append" and parent is not None:
+                data_dirs = parent.data_dirs + new_dirs
+            else:
+                data_dirs = new_dirs
+            version = (parent.version if parent else 0) + 1
+            snap = {
+                "version": version,
+                "snapshot_id": uuid.uuid4().int >> 96,
+                "parent_id": parent.snapshot_id if parent else None,
+                "operation": operation,
+                "data_dirs": data_dirs,
+                "summary": summary,
+                "committed_at_ms": int(time.time() * 1000),
+            }
+            tmp = self.meta / f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}"
+            tmp.write_text(json.dumps(snap, indent=1))
+            try:
+                os.link(tmp, self.meta / f"v{version}.json")
+            except FileExistsError:
+                continue  # lost the race — re-read parent and retry
+            finally:
+                tmp.unlink()
+            # hint is a fast-path pointer; current_version() scans too,
+            # so a concurrent hint regression cannot hide this snapshot
+            tmp_hint = self.meta / f".hint.tmp-{uuid.uuid4().hex[:8]}"
+            tmp_hint.write_text(str(version))
+            os.rename(tmp_hint, self.meta / "version-hint.text")
+            return self.snapshot(version)
+        raise RuntimeError(
+            f"icelite commit contention: 64 retries exhausted on {self.dir}"
+        )
 
     def _write_data(self, df: DataFrame) -> str:
         snap_dir = self.data / f"snap-{uuid.uuid4().hex[:16]}"

@@ -116,7 +116,7 @@ def save_results(confusion_rows, path: str, num_examples: int,
         "metrics": metrics,
         "entity_counts": {"true_total": tp + fn, "predicted_total": tp + fp},
     }
-    if per_label:
+    if per_label and all(hasattr(r, "label") for r in confusion_rows):
         out["per_label"] = {
             r.label: {
                 "tp": r.tp, "fp": r.fp, "fn": r.fn,

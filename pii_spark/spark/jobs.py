@@ -32,6 +32,53 @@ from ..icelite.catalog import IceliteTable
 from .pipeline import run_pipeline
 
 
+def _backfill_missing_audit(spark, out: IceliteTable, audit: IceliteTable,
+                            done: set, run_id: str) -> None:
+    """ADVICE r1: a crash between the output commit and the audit
+    append would permanently lose that group's lineage (the group is in
+    committed_groups, so resume skips it). On every start, detect
+    output-committed groups with no audit rows and backfill a
+    reconciliation row (partition_id = -1) recomputed from the
+    committed snapshot's own data files."""
+    missing = done - audit.committed_groups()
+    if not missing:
+        return
+    from ..schema import AUDIT
+
+    by_group = {
+        s.summary.get("group"): s
+        for s in out.snapshots()
+        if "group" in s.summary
+    }
+    for g in sorted(missing):
+        snap = by_group[g]
+        parent_dirs = set()
+        if snap.version > 1:
+            parent = out.snapshot(snap.version - 1)
+            parent_dirs = set(parent.data_dirs)
+        new_dirs = [d for d in snap.data_dirs if d not in parent_dirs]
+        stats = (
+            spark.read.parquet(*new_dirs)
+            .agg(
+                F.count("*").alias("docs_in"),
+                F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+                F.sum(F.size("spans").cast("long")).alias("spans_scrubbed"),
+            )
+            .collect()[0]
+        )
+        adf = spark.createDataFrame(
+            [(
+                run_id, snap.snapshot_id, -1, [f"group={g}", "backfill"],
+                int(stats.docs_in), int(stats.docs_kept or 0),
+                int(stats.docs_in - (stats.docs_kept or 0)),
+                int(stats.spans_scrubbed or 0), 0, None,
+            )],
+            schema=AUDIT,
+        ).withColumn("committed_at", F.current_timestamp())
+        audit.append(adf, summary={"group": g, "run_id": run_id,
+                                   "backfill": True})
+
+
 def run_quality_job(
     spark: SparkSession,
     corpus: DataFrame,
@@ -49,6 +96,7 @@ def run_quality_job(
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
     done = out.committed_groups()
+    _backfill_missing_audit(spark, out, audit, done, run_id)
 
     grp = F.pmod(F.xxhash64(F.col("url")), F.lit(groups))
     processed = 0

@@ -74,8 +74,20 @@ def main(n_docs: int = TRAIN_HI - TRAIN_LO, epochs: int = 3,
     W = np.zeros((DIM, NUM_LABELS), dtype=np.float32)
     art = Path(__file__).resolve().parents[1] / "artifacts" / "token_head.npz"
     if warm and art.exists():
-        W = np.load(art)["W"].astype(np.float32)
-        print("warm start from", art)
+        # ADVICE r1: a stale artifact (feature-space change or DIM bump)
+        # must not silently seed training with weights from a different
+        # feature space — validate like serving.py does, else cold-start
+        z = np.load(art)
+        w_old = z["W"]
+        if (int(z.get("feature_version", -1)) == FEATURE_VERSION
+                and w_old.shape == (DIM, NUM_LABELS)):
+            W = w_old.astype(np.float32)
+            print("warm start from", art)
+        else:
+            print(f"WARNING: artifact feature_version="
+                  f"{int(z.get('feature_version', -1))} shape={w_old.shape} "
+                  f"does not match current ({FEATURE_VERSION}, "
+                  f"{(DIM, NUM_LABELS)}); cold start")
     for ep in range(epochs):
         order = rng.permutation(n)
         step = lr / (1 + ep)

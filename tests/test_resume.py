@@ -77,3 +77,82 @@ def test_time_travel(spark, tmp_path):
     v1 = t.read(spark, version=1).count()
     v2 = t.read(spark, version=2).count()
     assert v1 < v2 == 40  # snapshot 1 = first group only
+
+
+def test_concurrent_commits_never_lost(tmp_path):
+    """ADVICE r1: two committers racing on the same table must never
+    silently overwrite each other's snapshot — the O_EXCL manifest link
+    forces the loser to retry on a fresh parent."""
+    import threading
+
+    from pii_spark.icelite.catalog import IceliteTable
+
+    table = IceliteTable(tmp_path / "race")
+    errs = []
+
+    def committer(tag):
+        try:
+            for i in range(25):
+                table._commit("append", [f"{tag}-{i}"], {tag: i})
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=committer, args=(t,))
+               for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    snaps = table.snapshots()
+    assert table.current_version() == 50 and len(snaps) == 50
+    # every commit made it: 25 per committer, no overwrites
+    seen = {("a", s.summary.get("a")) for s in snaps if "a" in s.summary}
+    seen |= {("b", s.summary.get("b")) for s in snaps if "b" in s.summary}
+    assert seen == {(t, i) for t in ("a", "b") for i in range(25)}
+    # the final snapshot's data_dirs accumulated every append exactly once
+    assert sorted(snaps[-1].data_dirs) == sorted(
+        f"{t}-{i}" for t in ("a", "b") for i in range(25)
+    )
+
+
+def test_audit_backfill_on_resume(spark, tmp_path):
+    """ADVICE r1: crash between output commit and audit append loses the
+    group's lineage forever (resume skips the group). The backfill pass
+    reconstructs a reconciliation row from the committed snapshot."""
+    from pii_spark.icelite.catalog import IceliteTable
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.jobs import run_quality_job
+
+    corpus = generate_corpus(spark, 80, partitions=4)
+    out_dir = str(tmp_path / "out")
+    audit_dir = str(tmp_path / "audit")
+    run_quality_job(spark, corpus, out_dir, audit_dir, groups=4,
+                    partitions=4, run_id="r1")
+
+    # simulate the crash window: drop the LAST audit snapshot (its
+    # output group commit survived)
+    audit = IceliteTable(audit_dir)
+    v = audit.current_version()
+    lost_group = audit.snapshot(v).summary["group"]
+    (audit.meta / f"v{v}.json").unlink()
+    (audit.meta / "version-hint.text").write_text(str(v - 1))
+    assert lost_group not in audit.committed_groups()
+
+    # resume: nothing to reprocess, but the audit hole must be healed
+    out = run_quality_job(spark, corpus, out_dir, audit_dir, groups=4,
+                          partitions=4, run_id="r2")
+    assert lost_group in audit.committed_groups()
+    rows = [r for r in audit.read(spark).collect()
+            if "backfill" in (r.input_files or [])]
+    assert len(rows) == 1 and rows[0].partition_id == -1
+    # reconciliation totals recomputed from the committed snapshot data
+    grp_rows = out.read(spark).count()
+    total_in = sum(r.docs_in for r in audit.read(spark).collect()
+                   if f"group={lost_group}" in r.input_files)
+    assert rows[0].docs_in == total_in - sum(
+        r.docs_in for r in audit.read(spark).collect()
+        if f"group={lost_group}" in r.input_files
+        and "backfill" not in (r.input_files or [])
+    )
+    assert grp_rows == 80
