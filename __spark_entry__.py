@@ -494,6 +494,91 @@ def q_ann_lsh_bucket(spark, sf_dir):
     )
 
 
+# nprobe=4 of k=10 cells: recall@10 = 0.7 vs brute force on the
+# driver's near-random embeddings (max pairwise cos 0.48 — weak cluster
+# structure, so the coarse quantizer is physics-limited here). On
+# genuinely clustered vectors the same plan reaches >0.9 recall at
+# nprobe=2 (tests/test_neardup_scale.py::test_ivf_recall_on_clustered).
+_IVF_NPROBE = 4
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: the embeddings table's label column defines the
+    inverted-list cells (centroid = per-label mean vector — a k-means
+    with converged assignment). Query vec 0 probes its _IVF_NPROBE
+    nearest centroids and computes exact cosine ONLY against vectors
+    assigned to those cells — the classic two-level ANN scale path
+    (coarse quantizer + within-list exact scan) complementing the
+    hyperplane-LSH path. At 10^9 vectors the centroid table stays tiny
+    (broadcast) and the scan touches nprobe/k of the data."""
+    ex = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            "vec_id", "label",
+            (F.col("i0") + 1).alias("i"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    cent = ex.groupBy(F.col("label").alias("c"), F.col("i")).agg(
+        F.avg("v").alias("cv")
+    )
+    score = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nc"),
+        )
+        .select(
+            "vec_id", "c",
+            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("ccos"),
+        )
+    )
+    # argmax via window rank, NOT a float-equality self-join: engines
+    # may recompute ccos with different summation order on each CTE
+    # reference, so `ccos == max(ccos)` is not portable
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("c"))
+    assign = (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c")
+    )
+    qcells = (
+        score.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("ccos").desc(), F.col("c"))
+        .limit(_IVF_NPROBE)
+        .select("c")
+    )
+    cand = (
+        assign.join(F.broadcast(qcells), "c")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    q = ex.filter(F.col("vec_id") == 0).select("i", F.col("v").alias("qv"))
+    per = (
+        cand.join(ex, "vec_id")
+        .join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("na"),
+        )
+    )
+    qn = q.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        per.crossJoin(F.broadcast(qn))
+        .select("vec_id", F.round(cos, 4).alias("cos"))
+        .orderBy(F.round(cos, 4).desc(), "vec_id")
+        .limit(10)
+    )
+
+
 def q_token_count(spark, sf_dir):  # token counting (whitespace)
     ntok = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
@@ -790,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh_bucket": q_ann_lsh_bucket,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "token_count": q_token_count,
         "langid_stopwords": q_langid_stopwords,
         "quality_heuristics": q_quality_heuristics,
@@ -1007,6 +1093,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT sig.vec_id
               FROM sig JOIN qsig ON sig.b = qsig.b AND sig.sig = qsig.qsig
               WHERE sig.vec_id <> 0),
+            q AS (SELECT i AS qi, v AS qv FROM ex WHERE vec_id = 0),
+            per AS (
+              SELECT ex.vec_id,
+                     sum(ex.v * q.qv) AS dot,
+                     sqrt(sum(ex.v * ex.v)) AS na
+              FROM cand JOIN ex ON ex.vec_id = cand.vec_id
+              JOIN q ON ex.i = q.qi
+              GROUP BY ex.vec_id),
+            qn AS (SELECT sqrt(sum(qv * qv)) AS nb FROM q)
+            SELECT vec_id, round(dot / (na * nb), 4) AS cos
+            FROM per, qn
+            ORDER BY round(dot / (na * nb), 4) DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH ex AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            cent AS (
+              SELECT label AS c, i, avg(v) AS cv
+              FROM ex GROUP BY 1, 2),
+            score AS (
+              SELECT ex.vec_id, cent.c,
+                     sum(ex.v * cent.cv)
+                       / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(cent.cv * cent.cv)))
+                       AS ccos
+              FROM ex JOIN cent ON ex.i = cent.i
+              GROUP BY 1, 2),
+            assign AS (
+              SELECT vec_id, c FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, c) AS rn
+                FROM score) WHERE rn = 1),
+            qcells AS (
+              SELECT c FROM score WHERE vec_id = 0
+              ORDER BY ccos DESC, c LIMIT {_IVF_NPROBE}),
+            cand AS (
+              SELECT DISTINCT assign.vec_id
+              FROM assign JOIN qcells ON assign.c = qcells.c
+              WHERE assign.vec_id <> 0),
             q AS (SELECT i AS qi, v AS qv FROM ex WHERE vec_id = 0),
             per AS (
               SELECT ex.vec_id,

@@ -190,7 +190,7 @@ def _ctx_fuzzy2(text: str, start: int, end: int, label: str,
             continue
         for kw in kws:
             if abs(len(w) - len(kw)) <= 2 and (
-                difflib.SequenceMatcher(None, w, kw).ratio() >= 0.63
+                _ratio(w, kw) >= 0.63
             ):
                 return True
     return False
@@ -198,6 +198,25 @@ def _ctx_fuzzy2(text: str, start: int, end: int, label: str,
 
 _PHONEISH = ("phone", "contact", "call", "callback", "tel", "dial")
 _SSNISH = ("ssn", "social", "socialnumber")
+
+# difflib ratio memo: every call site compares a window word against a
+# FIXED keyword list, and the word vocabulary repeats massively across
+# docs — caching collapses ~0.7s/400 docs of SequenceMatcher work (the
+# profile's top non-loop entry) into dict hits. Pure function of (a, b).
+_RATIO_CACHE: dict[tuple[str, str], float] = {}
+
+
+def _ratio(a: str, b: str) -> float:
+    key = (a, b)
+    v = _RATIO_CACHE.get(key)
+    if v is None:
+        import difflib
+
+        v = difflib.SequenceMatcher(None, a, b).ratio()
+        if len(_RATIO_CACHE) > 1_000_000:
+            _RATIO_CACHE.clear()
+        _RATIO_CACHE[key] = v
+    return v
 
 
 def _label_word_vote(text: str, start: int) -> str | None:
@@ -216,8 +235,8 @@ def _label_word_vote(text: str, start: int) -> str | None:
     w = words[-1].lstrip("0123456789")  # shed glued digits ('960Cnalp')
     if len(w) < 3:
         return None
-    pr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _PHONEISH)
-    sr = max(difflib.SequenceMatcher(None, w, k).ratio() for k in _SSNISH)
+    pr = max(_ratio(w, k) for k in _PHONEISH)
+    sr = max(_ratio(w, k) for k in _SSNISH)
     if max(pr, sr) < 0.55 or abs(pr - sr) < 0.08:
         return None
     return "PHONE" if pr > sr else "SSN"
@@ -430,7 +449,7 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
                     or (
                         len(low1) >= 4
                         and any(
-                            _dl.SequenceMatcher(None, low1, w).ratio() >= 0.7
+                            _ratio(low1, w) >= 0.7
                             for w in _EMAIL_GLUE_WORDS
                         )
                     )
@@ -468,7 +487,7 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
                 or (
                     len(low) >= 4
                     and any(
-                        difflib.SequenceMatcher(None, low, w).ratio() >= 0.7
+                        _ratio(low, w) >= 0.7
                         for w in _EMAIL_GLUE_WORDS
                     )
                 )
@@ -671,7 +690,7 @@ def format_candidates(text: str) -> list[Candidate]:
         if "applied" in after or "appli" in after:
             return True
         return any(
-            difflib.SequenceMatcher(None, w, "applied").ratio() >= 0.65
+            _ratio(w, "applied") >= 0.65
             for w in _WORD_RE.findall(after)[:2]
             if len(w) >= 5
         )
@@ -876,7 +895,7 @@ def _template_wordish(alpha: str) -> bool:
 
         return any(
             abs(len(alpha) - len(w)) <= 2
-            and difflib.SequenceMatcher(None, alpha, w).ratio() >= 0.8
+            and _ratio(alpha, w) >= 0.8
             for w in _TEMPLATE_WORDS
         )
     return False

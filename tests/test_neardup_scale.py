@@ -210,3 +210,48 @@ def test_lsh_topk_finds_true_neighbors(spark, tmp_path, planted_embeddings):
     cos0 = E @ E[0]
     brute_top3 = set(np.argsort(-cos0[1:])[:3] + 1)
     assert set(lsh_top[:3]) == {int(x) for x in brute_top3}
+
+
+def _write_clustered_embeddings(tmp_path, n_clusters=10, per=40, seed=23):
+    """Genuinely clustered embeddings: cluster = centroid + small noise,
+    label column = cluster id (the IVF cell key). vec 0 is in cluster 0."""
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = cents[c] + rng.normal(scale=0.25, size=64)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            labels.append(c)
+    # interleave so vec_id 0 is cluster 0 but ids aren't cluster-sorted
+    order = rng.permutation(len(vecs))
+    zero = next(i for i in order if labels[i] == 0)
+    order = [zero] + [i for i in order if i != zero]
+    df = pd.DataFrame(
+        {
+            "vec_id": range(len(order)),
+            "embedding": [vecs[i] for i in order],
+            "label": np.array([labels[i] for i in order], dtype=np.int32),
+        }
+    )
+    df.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path), df
+
+
+def test_ivf_recall_on_clustered(spark, tmp_path):
+    """IVF (per-label centroids + nprobe probing) reaches high recall on
+    clustered data even at nprobe << k — the property that makes it the
+    scale path. The driver testdata is near-random, where recall@10 is
+    pinned at 0.7 by the oracle-checked query instead."""
+    sf, df = _write_clustered_embeddings(tmp_path)
+    ivf = [r.vec_id for r in entry.q_ann_ivf_topk(spark, sf).collect()]
+    # brute-force truth in numpy
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    cos0 = E @ E[0]
+    brute = list(np.argsort(-cos0[1:])[:10] + 1)
+    recall = len(set(ivf) & {int(b) for b in brute}) / 10
+    assert recall >= 0.9, (recall, ivf, brute)
+    # and the scan fraction is honest: nprobe cells of k
+    assert entry._IVF_NPROBE < 10
