@@ -1144,8 +1144,9 @@ def token_candidates(text: str) -> list[Candidate]:
                 # the embedded country "Mexico"
                 conf = 0.91 if tk.text[0].isupper() else 0.55
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", conf))
+        handle_tok = in_handle(i)  # gaz-independent: compute once, not 3x
         for gaz1, conf1 in ((CITY_1, 0.92), (COUNTRY_1, 0.90), (STATE_1, None)):
-            sp = None if in_handle(i) else _gaz_span(tk, gaz1)
+            sp = None if handle_tok else _gaz_span(tk, gaz1)
             if sp:
                 if conf1 is None:  # state full names
                     conf1 = 0.89 if tk.text[0].isupper() else 0.55

@@ -125,6 +125,66 @@ def _gaz_feats(low: str) -> list[str]:
     return out
 
 
+# block caches: the self/neighbor feature strings are pure functions of
+# the token (resp. (tag, token)), and the token vocabulary repeats
+# massively across documents — precomputing each block's hash array
+# collapses most of the per-token string formatting + FNV hashing into
+# one dict hit. FEATURE ORDER inside each block matches the original
+# inline construction exactly, so the concatenated index array — and
+# therefore the reduceat float summation order in serving — is
+# byte-identical to the uncached path (FEATURE_VERSION unchanged).
+_SELF_F: dict[str, np.ndarray] = {}
+_CTX_F: dict[tuple[str, str], np.ndarray] = {}
+_MISS_F = {
+    tag: None for tag in ("pp", "p", "n", "nn")
+}
+
+
+def _hash_arr(strs: list[str]) -> np.ndarray:
+    return np.fromiter((_h(x) for x in strs), dtype=np.int32,
+                       count=len(strs))
+
+
+def _self_feats(tok: str) -> np.ndarray:
+    v = _SELF_F.get(tok)
+    if v is None:
+        low = tok.lower()
+        f = ["b", f"t={low}", f"s={_shape(tok)}",
+             f"tp={low[:4]}",   # prefix/suffix stubs survive
+             f"ts={low[-4:]}"]  # trailing glue better than ids
+        f.extend(_grams(tok, "g3="))
+        f.extend(_gaz_feats(low))
+        v = _hash_arr(f)
+        if len(_SELF_F) > 500_000:
+            _SELF_F.clear()
+        _SELF_F[tok] = v
+    return v
+
+
+def _ctx_feats(tag: str, tok: str, with_gaz: bool) -> np.ndarray:
+    key = (tag, tok)
+    v = _CTX_F.get(key)
+    if v is None:
+        low = tok.lower()
+        f = [f"{tag}={low}", f"{tag}s={_shape(tok)}"]
+        f.extend(_grams(tok, f"{tag}3="))
+        if with_gaz:
+            f.extend(f"{tag}{x}" for x in _gaz_feats(low))
+        v = _hash_arr(f)
+        if len(_CTX_F) > 2_000_000:
+            _CTX_F.clear()
+        _CTX_F[key] = v
+    return v
+
+
+def _miss_feats(tag: str) -> np.ndarray:
+    v = _MISS_F[tag]
+    if v is None:
+        v = _hash_arr([f"{tag}=~"])
+        _MISS_F[tag] = v
+    return v
+
+
 def featurize_doc(
     text: str,
     tokens: list[str],
@@ -136,44 +196,35 @@ def featurize_doc(
     BOS/EOS specials (offset (0,0)); cand_tags is the rule detector's
     BILOU overlay with '' where no candidate covers the token."""
     n = len(tokens)
-    lows = [t.lower() for t in tokens]
-    shapes = [_shape(t) for t in tokens]
     out = []
     for i in range(n):
         if offsets[i] == (0, 0):
             out.append(np.empty(0, dtype=np.int32))
             continue
-        f: list[str] = ["b"]
-        f.append(f"t={lows[i]}")
-        f.append(f"s={shapes[i]}")
-        f.append(f"tp={lows[i][:4]}")   # prefix/suffix stubs survive
-        f.append(f"ts={lows[i][-4:]}")  # trailing glue better than ids
-        f.extend(_grams(tokens[i], "g3="))
-        f.extend(_gaz_feats(lows[i]))
+        parts = [_self_feats(tokens[i])]
         for d, tag in ((-2, "pp"), (-1, "p"), (1, "n"), (2, "nn")):
             j = i + d
             if 0 <= j < n:
-                f.append(f"{tag}={lows[j]}")
-                f.append(f"{tag}s={shapes[j]}")
-                f.extend(_grams(tokens[j], f"{tag}3="))
-                if d in (-1, 1):
-                    f.extend(f"{tag}{x}" for x in _gaz_feats(lows[j]))
+                parts.append(_ctx_feats(tag, tokens[j], d in (-1, 1)))
             else:
-                f.append(f"{tag}=~")
+                parts.append(_miss_feats(tag))
         # adjacent raw characters (separator signals: ':', '#', '@', '|')
         s0, e0 = offsets[i]
-        f.append(f"pc={text[s0-1] if s0 > 0 else '^'}")
-        f.append(f"nc={text[e0] if e0 < len(text) else '$'}")
+        tail = [f"pc={text[s0-1] if s0 > 0 else '^'}",
+                f"nc={text[e0] if e0 < len(text) else '$'}"]
         # rule-candidate overlay
         if cand_tags[i]:
-            f.append(f"c={cand_tags[i]}")
-            f.append(f"cl={cand_tags[i].split('-')[-1]}")
-            f.append(f"cc={cand_tags[i]}:{'hi' if cand_confs[i] >= 0.8 else 'lo'}")
+            tail.append(f"c={cand_tags[i]}")
+            tail.append(f"cl={cand_tags[i].split('-')[-1]}")
+            tail.append(
+                f"cc={cand_tags[i]}:{'hi' if cand_confs[i] >= 0.8 else 'lo'}"
+            )
         else:
-            f.append("c=~")
+            tail.append("c=~")
         prev_tag = cand_tags[i - 1] if i > 0 else "^"
         next_tag = cand_tags[i + 1] if i + 1 < n else "$"
-        f.append(f"cp={prev_tag or '~'}")
-        f.append(f"cn={next_tag or '~'}")
-        out.append(np.fromiter((_h(x) for x in f), dtype=np.int32))
+        tail.append(f"cp={prev_tag or '~'}")
+        tail.append(f"cn={next_tag or '~'}")
+        parts.append(_hash_arr(tail))
+        out.append(np.concatenate(parts))
     return out
