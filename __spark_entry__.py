@@ -731,6 +731,112 @@ def q_events_hourly(spark, sf_dir):  # tumbling-window agg (batch form)
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream shape (the
+    window-function operator family the engine needs for behavioral
+    data): a >30-min silence starts a new session per user. Plan: one
+    shuffle on user_id, lag + running sum inside the window — the
+    canonical scale-safe sessionization (no self-join)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ cannot cast to long directly; go via timestamp. Only
+    # DIFFERENCES of the epoch are used, so the session-tz offset cancels
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        _events(spark, sf_dir)
+        .withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.max(F.col("ts").cast("timestamp").cast("long"))
+             - F.min(F.col("ts").cast("timestamp").cast("long")))
+            .alias("duration_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        )
+        .filter(F.col("user_id") < 50)
+    )
+
+
+_BPE_RE = (
+    r"'[a-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting (SURVEY's second token-counting mode):
+    GPT-2-style pretokenizer classes — contractions, letter runs, short
+    digit runs, punctuation runs — as a regex census. Native
+    regexp_extract_all keeps it whole-stage-codegen."""
+    ntok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    ) - F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\s+"), F.lit(0))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(ntok).cast("long").alias("sum_bpe_tokens"),
+            F.round(F.avg(ntok), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg(ntok / F.greatest(F.col("n_chars"), F.lit(1))), 4)
+            .alias("tokens_per_char"),
+        )
+    )
+
+
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing-style rolling fingerprint (document fingerprinting,
+    SURVEY training-data ops): k-gram shingles (k=8, stride 1 within a
+    window), per-window minimum hash selected as the fingerprint —
+    identical docs share all fingerprints, near-identical share most.
+    Census: distinct fingerprints per doc + global collision count."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)),
+                   F.lit(1))
+    ).alias("i")
+    grams = d.select("doc_id", pos, "text").select(
+        "doc_id",
+        # explicit floor: int/int is double in both engines but a bare
+        # CAST rounds half-even in DuckDB while Spark truncates
+        F.floor((F.col("i") - 1) / 16).cast("long").alias("win"),
+        F.md5(F.expr("substring(text, i, 8)")).alias("h"),
+    )
+    fps = grams.groupBy("doc_id", "win").agg(F.min("h").alias("fp"))
+    per_doc = fps.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("long").alias("n_fp")
+    )
+    shared = (
+        fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+    )
+    return (
+        per_doc.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_fp"), 4).alias("avg_fp_per_doc"),
+        )
+        .crossJoin(shared)
+    )
+
+
 def q_max_label_id(spark, sf_dir):
     """W2 (model.ipynb cell 8, synth_checks.ipynb cell 10): label-id
     bound sanity agg. Per doc, the max BILOU label id implied by the
@@ -886,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cohorts": q_union_cohorts,
         "deterministic_limit": q_deterministic_limit,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint_winnow": q_fingerprint_winnow,
         "max_label_id": q_max_label_id,
         "over_under_prediction": q_over_under_prediction,
         "topk_longest": q_topk_longest,
@@ -1253,6 +1362,73 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (
+              -- floor-epoch: Spark's cast-to-long truncates sub-second
+              SELECT user_id, event_id, ts, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                              IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                             > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, es, value,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM e),
+            per AS (
+              SELECT user_id, session_no, count(*) AS n_events,
+                     round(sum(value), 4) AS sum_value,
+                     max(es) - min(es) AS duration_s
+              FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n_events) AS BIGINT) AS max_session_events,
+                   round(avg(duration_s), 4) AS avg_duration_s
+            FROM per WHERE user_id < 50 GROUP BY user_id
+        """,
+        "token_count_bpe": f"""
+            WITH s AS (
+              SELECT source, n_chars,
+                     len(regexp_extract_all(text,
+                         '{_BPE_RE.replace("'", "''")}'))
+                   - len(regexp_extract_all(text, '\\s+')) AS ntok
+              FROM documents)
+            SELECT source,
+                   CAST(sum(ntok) AS BIGINT) AS sum_bpe_tokens,
+                   round(avg(ntok), 4) AS avg_bpe_tokens,
+                   round(avg(ntok * 1.0 / greatest(n_chars, 1)), 4)
+                       AS tokens_per_char
+            FROM s GROUP BY source
+        """,
+        "fingerprint_winnow": """
+            WITH grams AS (
+              SELECT doc_id,
+                     CAST(floor((i - 1) / 16) AS BIGINT) AS win,
+                     md5(substring(text, i, 8)) AS h
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(length(text) - 7, 1), 1)) AS i) t),
+            fps AS (
+              SELECT doc_id, win, min(h) AS fp
+              FROM grams GROUP BY 1, 2),
+            per_doc AS (
+              SELECT doc_id, count(DISTINCT fp) AS n_fp
+              FROM fps GROUP BY doc_id),
+            shared AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_shared_fp
+              FROM (SELECT fp FROM fps GROUP BY fp
+                    HAVING count(DISTINCT doc_id) > 1))
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_fp), 4) AS avg_fp_per_doc,
+                   n_shared_fp
+            FROM per_doc, shared GROUP BY n_shared_fp
         """,
         "max_label_id": f"""
             WITH per AS (
