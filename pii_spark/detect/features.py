@@ -185,6 +185,74 @@ def _miss_feats(tag: str) -> np.ndarray:
     return v
 
 
+def featurize_doc_flat(
+    text: str,
+    tokens: list[str],
+    offsets: list[tuple[int, int]],
+    cand_tags: list[str],
+    cand_confs: list[float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed feature indices for the whole doc as ONE flat array plus
+    per-token lengths — the layout serving's W-gather + reduceat wants,
+    skipping a per-token fromiter/concatenate (the fresh-doc profile's
+    top numpy cost). Feature order per token is identical to the
+    original per-token construction. tokens/offsets include the BOS/EOS
+    specials (offset (0,0)), which get length 0; cand_tags is the rule
+    detector's BILOU overlay with '' where no candidate covers the
+    token."""
+    n = len(tokens)
+    lens = np.zeros(n, dtype=np.int64)
+    parts: list[np.ndarray] = []
+    tail_strs: list[str] = []
+    block_rows: list[list[np.ndarray] | None] = []
+    tail_counts = [0] * n
+    for i in range(n):
+        if offsets[i] == (0, 0):
+            block_rows.append(None)
+            continue
+        row = [_self_feats(tokens[i])]
+        for d, tag in ((-2, "pp"), (-1, "p"), (1, "n"), (2, "nn")):
+            j = i + d
+            if 0 <= j < n:
+                row.append(_ctx_feats(tag, tokens[j], d in (-1, 1)))
+            else:
+                row.append(_miss_feats(tag))
+        block_rows.append(row)
+        # adjacent raw characters (separator signals: ':', '#', '@', '|')
+        s0, e0 = offsets[i]
+        t0 = len(tail_strs)
+        tail_strs.append(f"pc={text[s0-1] if s0 > 0 else '^'}")
+        tail_strs.append(f"nc={text[e0] if e0 < len(text) else '$'}")
+        # rule-candidate overlay
+        if cand_tags[i]:
+            tail_strs.append(f"c={cand_tags[i]}")
+            tail_strs.append(f"cl={cand_tags[i].split('-')[-1]}")
+            tail_strs.append(
+                f"cc={cand_tags[i]}:{'hi' if cand_confs[i] >= 0.8 else 'lo'}"
+            )
+        else:
+            tail_strs.append("c=~")
+        prev_tag = cand_tags[i - 1] if i > 0 else "^"
+        next_tag = cand_tags[i + 1] if i + 1 < n else "$"
+        tail_strs.append(f"cp={prev_tag or '~'}")
+        tail_strs.append(f"cn={next_tag or '~'}")
+        tail_counts[i] = len(tail_strs) - t0
+    tail_hashes = _hash_arr(tail_strs)
+    pos = 0
+    for i in range(n):
+        row = block_rows[i]
+        if row is None:
+            continue
+        tl = tail_counts[i]
+        parts.extend(row)
+        parts.append(tail_hashes[pos:pos + tl])
+        pos += tl
+        lens[i] = sum(a.shape[0] for a in row) + tl
+    flat = (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int32))
+    return flat, lens
+
+
 def featurize_doc(
     text: str,
     tokens: list[str],
@@ -192,39 +260,12 @@ def featurize_doc(
     cand_tags: list[str],
     cand_confs: list[float],
 ) -> list[np.ndarray]:
-    """Per-token hashed feature-index arrays. tokens/offsets include the
-    BOS/EOS specials (offset (0,0)); cand_tags is the rule detector's
-    BILOU overlay with '' where no candidate covers the token."""
-    n = len(tokens)
-    out = []
-    for i in range(n):
-        if offsets[i] == (0, 0):
-            out.append(np.empty(0, dtype=np.int32))
-            continue
-        parts = [_self_feats(tokens[i])]
-        for d, tag in ((-2, "pp"), (-1, "p"), (1, "n"), (2, "nn")):
-            j = i + d
-            if 0 <= j < n:
-                parts.append(_ctx_feats(tag, tokens[j], d in (-1, 1)))
-            else:
-                parts.append(_miss_feats(tag))
-        # adjacent raw characters (separator signals: ':', '#', '@', '|')
-        s0, e0 = offsets[i]
-        tail = [f"pc={text[s0-1] if s0 > 0 else '^'}",
-                f"nc={text[e0] if e0 < len(text) else '$'}"]
-        # rule-candidate overlay
-        if cand_tags[i]:
-            tail.append(f"c={cand_tags[i]}")
-            tail.append(f"cl={cand_tags[i].split('-')[-1]}")
-            tail.append(
-                f"cc={cand_tags[i]}:{'hi' if cand_confs[i] >= 0.8 else 'lo'}"
-            )
-        else:
-            tail.append("c=~")
-        prev_tag = cand_tags[i - 1] if i > 0 else "^"
-        next_tag = cand_tags[i + 1] if i + 1 < n else "$"
-        tail.append(f"cp={prev_tag or '~'}")
-        tail.append(f"cn={next_tag or '~'}")
-        parts.append(_hash_arr(tail))
-        out.append(np.concatenate(parts))
+    """Per-token hashed feature-index arrays (views into the flat doc
+    array) — the training-side layout."""
+    flat, lens = featurize_doc_flat(text, tokens, offsets, cand_tags,
+                                    cand_confs)
+    out, pos = [], 0
+    for ln in lens:
+        out.append(flat[pos:pos + ln])
+        pos += int(ln)
     return out

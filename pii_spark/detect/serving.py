@@ -183,7 +183,7 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
         # trained head (primary model): per-token logits from hashed
         # sparse features, with the rule candidates as input features —
         # measurably better recall than the rule overlay alone
-        from .features import featurize_doc
+        from .features import featurize_doc_flat
 
         cand_spans = [
             {"start": c.start, "end": c.end, "label": c.label}
@@ -194,13 +194,12 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
         for c in non_ip:
             for t in tindex.overlapping(c.start, c.end):
                 confs[t] = max(confs[t], c.conf)
-        feats = featurize_doc(text, tokens, offsets, cand_tags, confs)
+        flat, lens = featurize_doc_flat(text, tokens, offsets, cand_tags,
+                                        confs)
         logits = np.zeros((len(tokens), NUM_LABELS), dtype=np.float32)
-        lens = np.fromiter((len(f) for f in feats), dtype=np.int64)
-        if lens.sum():
-            flat = np.concatenate([f for f in feats if len(f)])
+        if flat.size:
             gathered = W[flat]
-            bounds = np.zeros(len(feats), dtype=np.int64)
+            bounds = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=bounds[1:])
             nonzero = lens > 0
             summed = np.add.reduceat(gathered, bounds[nonzero], axis=0)
