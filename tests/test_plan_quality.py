@@ -77,3 +77,36 @@ def test_explicit_partition_count_survives_aqe(spark, corpus_path):
     pids = out.withColumn("pid", F.spark_partition_id()) \
         .select("pid").distinct().count()
     assert pids == 8
+
+
+def test_new_query_plans_are_scale_safe(spark):
+    """Round-2 operators: column pruning reaches the scan, no cartesian
+    products (the only BroadcastNestedLoopJoin allowed is the 1-row
+    norm crossJoin in the top-k queries), sessionization is join-free
+    (single window shuffle)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = _plan(entry.queries()["sessionize"](spark, sf))
+    assert not re.search(r"Join|CartesianProduct", plan), plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("props" not in ln and "event_type" not in ln
+                         for ln in scans)  # unused cols pruned
+
+    plan = _plan(entry.queries()["dedup_ngram_jaccard"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("source" not in ln for ln in scans)
+
+    plan = _plan(entry.queries()["ann_ivf_topk"](spark, sf))
+    assert "CartesianProduct" not in plan
+    # exactly the one intentional 1-row qn broadcast NLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    plan = _plan(entry.queries()["dedup_embedding"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

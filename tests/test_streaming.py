@@ -155,3 +155,45 @@ def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     assert len(replay) == len(baseline)          # no duplicate append
     assert set(replay) == baseline
     assert out.current_version() == v_before     # ledger skipped replay
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: urls deduplicate across micro-batches AND
+    across restarts (state recovered from the checkpoint)."""
+    import pandas as pd
+
+    from pii_spark.spark.streaming import run_stream_dedup
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                     ).assign(warc_ts=pd.Timestamp("2026-01-01")
+                              ).astype({"warc_ts": "datetime64[us]"}
+                     ).to_parquet(corpus / name, index=False)
+
+    # batch 1: u1 duplicated in-file, u2 once
+    write("a.parquet", [
+        ("u1", None, b"", "first copy", "en"),
+        ("u1", None, b"", "dup in same file", "en"),
+        ("u2", None, b"", "two", "en"),
+    ])
+    run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
+    got = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"] == "first copy"  # first occurrence wins
+
+    # batch 2 (separate run = restart): u1/u2 again + new u3
+    write("b.parquet", [
+        ("u1", None, b"", "late duplicate", "en"),
+        ("u2", None, b"", "late duplicate", "en"),
+        ("u3", None, b"", "three", "en"),
+    ])
+    run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # u3 appended once; u1/u2 suppressed by state
+    assert {r.url for r in rows} == {"u1", "u2", "u3"}
+    assert [r.text for r in rows if r.url == "u3"] == ["three"]
