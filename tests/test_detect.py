@@ -129,3 +129,19 @@ def test_fallback_path_scrubs_ip(monkeypatch):
     # scrub_ip=False still suppresses IP on the fallback path
     res2 = serving.serve_doc(text, scrub_ip=False)
     assert all(lab != "IP" for lab, *_ in res2.entities)
+
+
+def test_digit_free_prefilter():
+    """format_candidates' digit prefilter: digit-free text still detects
+    digit-free forms (obfuscated email), and by construction no numeric
+    family can fire without a digit."""
+    from pii_spark.detect.candidates import format_candidates
+
+    text = "reach me at jane dot doe at gmail dot com thanks"
+    labs = {c.label for c in format_candidates(text)}
+    assert "EMAIL" in labs
+    assert not labs & {"SSN", "PHONE", "CREDIT_CARD", "DATE", "AGE", "IP"}
+    # canonical email with digits around still fully detected
+    text2 = "mail jane.doe2@gmail.com ssn 123-45-6789 on 01/02/1999"
+    labs2 = {c.label for c in format_candidates(text2)}
+    assert {"EMAIL", "SSN", "DATE"} <= labs2

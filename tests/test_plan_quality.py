@@ -110,3 +110,21 @@ def test_new_query_plans_are_scale_safe(spark):
     plan = _plan(entry.queries()["dedup_embedding"](spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_date_layout(spark, tmp_path):
+    """SURVEY §4: partition the corpus by warc date and a date filter
+    must prune partitions at the scan (PartitionFilters), not scan-all."""
+    p = str(tmp_path / "bydate")
+    (generate_corpus(spark, 300, partitions=4)
+     .withColumn("dt", F.to_date("warc_ts"))
+     .write.partitionBy("dt").parquet(p))
+    df = spark.read.parquet(p).filter(F.col("dt") == "2026-01-03")
+    plan = _plan(df.select("url"))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    assert "PartitionFilters" in plan and "isnotnull(dt" in plan, plan
+    # and the filter actually prunes: matching rows only
+    n_all = spark.read.parquet(p).count()
+    n_day = df.count()
+    assert 0 < n_day < n_all
