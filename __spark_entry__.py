@@ -885,6 +885,45 @@ def q_over_under_prediction(spark, sf_dir):
     )
 
 
+def q_rollup_lang_source(spark, sf_dir):
+    """Grouping-sets surface: lang × source rollup with subtotal and
+    grand-total rows (the reference's per-class report + macro rollup,
+    A6, as one relational op)."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs", "avg_chars",
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT surface over two cohorts: English docs vs
+    long docs (>= 300 chars)."""
+    d = _docs(spark, sf_dir)
+    en = d.filter(F.col("lang") == "en").select("doc_id")
+    long_ = d.filter(F.col("n_chars") >= 300).select("doc_id")
+    return (
+        en.intersect(long_).agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("en_and_long").alias("cohort"), "n")
+        .unionByName(
+            en.exceptAll(long_).agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit("en_not_long").alias("cohort"), "n")
+        )
+        .unionByName(
+            long_.exceptAll(en).agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit("long_not_en").alias("cohort"), "n")
+        )
+    )
+
+
 def q_topk_longest(spark, sf_dir):  # W1: deterministic top-k
     return (
         _docs(spark, sf_dir)
@@ -997,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "max_label_id": q_max_label_id,
         "over_under_prediction": q_over_under_prediction,
+        "rollup_lang_source": q_rollup_lang_source,
+        "set_ops": q_set_ops,
         "topk_longest": q_topk_longest,
         "pii_pipeline": q_pii_pipeline,
         "pii_f1": q_pii_f1,
@@ -1462,6 +1503,31 @@ def oracle_sql() -> dict[str, str]:
                        / sum(CASE WHEN is_en THEN 1 ELSE 0 END), 4)
                        AS pred_ratio
             FROM s
+        """,
+        "rollup_lang_source": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "set_ops": """
+            WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            lng AS (SELECT doc_id FROM documents WHERE n_chars >= 300)
+            SELECT 'en_and_long' AS cohort,
+                   CAST((SELECT count(*) FROM
+                         (SELECT * FROM en INTERSECT SELECT * FROM lng))
+                        AS BIGINT) AS n
+            UNION ALL
+            SELECT 'en_not_long',
+                   CAST((SELECT count(*) FROM
+                         (SELECT * FROM en EXCEPT ALL SELECT * FROM lng))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'long_not_en',
+                   CAST((SELECT count(*) FROM
+                         (SELECT * FROM lng EXCEPT ALL SELECT * FROM en))
+                        AS BIGINT)
         """,
         "topk_longest": """
             SELECT doc_id, n_chars, lang
