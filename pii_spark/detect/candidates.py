@@ -427,7 +427,7 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
     while s < e and not text[s].isalnum():
         s += 1
     # 'at.'/'me.' template fragments fused by a noised space
-    m_frag = re.match(r"(?:at|me|to)[-.](?=[A-Za-z])", text[s:e])
+    m_frag = _RX_FRAG.match(text[s:e])
     if m_frag:
         s += m_frag.end()
 
@@ -522,10 +522,10 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
     # a fused '<token><X><local>@' (noised space) — trim to the upper
     # transition, keeping it, when the tail is a gazetteer name
     # ('…_mendezRkatherine.martinez@…')
-    m_at = re.search(r"\s*\[at\]|\s*\(at\)|\s+at\s|@", text[s:e])
+    m_at = _RX_AT_SPLIT.search(text[s:e])
     at = s + m_at.start() if m_at else -1
     if at > 0:
-        m3 = re.search(r"[a-z0-9_][A-Z](?=[a-z]{3})", text[s:at])
+        m3 = _RX_CAMEL_GLUE.search(text[s:at])
         if m3:
             tail = text[s + m3.end() : at].lower()
             tail_first = tail.split(".")[0].split("_")[0]
@@ -539,6 +539,31 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
 
 
 _DIGIT_SEARCH = re.compile(r"\d").search
+
+# precompiled hot-loop patterns (string-form re.match went through
+# re._compile's dict probe 147k times per 800 docs in the profile)
+_RX_FRAG = re.compile(r"(?:at|me|to)[-.](?=[A-Za-z])")
+_RX_AT_SPLIT = re.compile(r"\s*\[at\]|\s*\(at\)|\s+at\s|@")
+_RX_CAMEL_GLUE = re.compile(r"[a-z0-9_][A-Z](?=[a-z]{3})")
+_RX_DMF = re.compile(r"^\d[MF]$")
+_RX_MFD = re.compile(r"^[MF]\d{1,2}$")
+_RX_PAREN_AGE = re.compile(r"\(([MFmf]?\d{1,2}\s?[MFmf]?)\)")
+_RX_BARE3 = re.compile(r"(?<![A-Za-z0-9])\d{3}(?![A-Za-z0-9])")
+_RX_LOWER_RUNS = re.compile(r"[a-z]+")
+_RX_D4_ALPHA = re.compile(r"^(\d{4})([a-z]+)(\d{0,6})")
+_RX_ALPHA_DIG = re.compile(r"^([a-z]+)(\d{1,6})")
+_RX_D24_ALPHA = re.compile(r"^(\d{2,4})([a-z]+)(\d{0,6})")
+_RX_ZIP5_PP = re.compile(r"^(\D{0,2})(\d{5})$")
+_RX_STATE_ABBR = re.compile(r"^([a-z]?\d?|\d?[a-z]?)([A-Z]{2,3})[a-z]?\d?$")
+_RX_SPACE_WORD = re.compile(r" [a-z]{4,}")
+_RX_TRAIL_ALPHA = re.compile(r"([a-z]+)$")
+_RX_ALPHA_D_ALPHA = re.compile(r"^([a-z]+)(\d{0,4})([a-z]{0,2})$")
+_RX_LEAD_ALPHA = re.compile(r"^([a-z]+)")
+_RX_FUSED_ORG = re.compile(r"^([A-Za-z][a-z]{2,11})([A-Z]{2,4})$")
+_RX_DOBISH = re.compile(r"(?i)\d|birthday|born|jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec")
+_RX_MEY = re.compile(r"(?i)[.!]?\s?m[ey]\b")
+_RX_TRUSTISH = re.compile(r"(?i)\s?\w{0,8}(trust|tryst|rust)")
+
 
 
 def format_candidates(text: str) -> list[Candidate]:
@@ -656,11 +681,11 @@ def format_candidates(text: str) -> list[Candidate]:
                 continue  # 'F4' inside a MAC, '50' inside an IP, …
             if e - s <= 5 and _blocked_number(text, s, e):
                 continue  # 'Ref #X281F'
-            if e - s == 2 and re.match(r"^\d[MF]$", text[s:e]) and not (
+            if e - s == 2 and _RX_DMF.match(text[s:e]) and not (
                 _ctx(text, s, e, "AGE")
             ):
                 continue  # '4F' ← noised 'if'; real 1-digit ages are rare
-            if re.match(r"^[MF]\d{1,2}$", text[s:e]):
+            if _RX_MFD.match(text[s:e]):
                 # a strong-age word RIGHT AFTER means this is a noised
                 # 'My'/'Me' before 'boyfriend …', not an age value
                 nxt_w = _WORD_RE.findall(text[e : e + 14].lower())[:1]
@@ -707,7 +732,7 @@ def format_candidates(text: str) -> list[Candidate]:
             if len(w) >= 5
         )
 
-    for m in re.finditer(r"\(([MFmf]?\d{1,2}\s?[MFmf]?)\)", text):
+    for m in _RX_PAREN_AGE.finditer(text):
         after = text[m.end() : m.end() + 14].lower()
         if _appliedish(after):
             if m.start() > 0 and text[m.start() - 1] == "(":
@@ -854,7 +879,7 @@ def format_candidates(text: str) -> list[Candidate]:
 
     # standalone 3-digit number → building-number address component
     # (generate_address branch str(randint(1,999)); AGE caps at 2 digits)
-    for m in re.finditer(r"(?<![A-Za-z0-9])\d{3}(?![A-Za-z0-9])", text):
+    for m in _RX_BARE3.finditer(text):
         s, e = m.start(), m.end()
         dotted = e < len(text) - 1 and text[e] == "." and text[e + 1].isalnum()
         if (
@@ -887,7 +912,7 @@ from ..textgrammar.templates import TEMPLATES as _TPL  # noqa: E402
 _TEMPLATE_WORDS = frozenset(
     w
     for t in _TPL
-    for w in re.findall(r"[a-z]+", t.lower())
+    for w in _RX_LOWER_RUNS.findall(t.lower())
     if len(w) >= 5
 )
 
@@ -1032,7 +1057,7 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
     # behind a year beats any generic shape match on the glued prefix
     m = _YEAR_USER_RE.search(low)
     if m and not low[: m.start()].isdigit():
-        inner = re.match(r"^(\d{4})([a-z]+)(\d{0,6})", m.group())
+        inner = _RX_D4_ALPHA.match(m.group())
         alpha = inner.group(2)
         if (
             alpha in FIRSTS
@@ -1042,7 +1067,7 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
         ):
             conf = 0.85 if m.start() == 0 else 0.83
             return (conf, m.start(), m.end())
-    m = re.match(r"^([a-z]+)(\d{1,6})", low)
+    m = _RX_ALPHA_DIG.match(low)
     if m:
         alpha, digits = m.group(1), m.group(2)
         trail = low[m.end() :]
@@ -1078,7 +1103,7 @@ def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, in
                 return (0.0, 0, 0)  # 'registereda2027' = glued literal
             return (0.88, 0, tight)  # random-letter usernames
         return (0.0, 0, 0)
-    m = re.match(r"^(\d{2,4})([a-z]+)(\d{0,6})", low)
+    m = _RX_D24_ALPHA.match(low)
     if m:  # digit-prefixed usernames ('29summikota', '15ccook');
         # random-alpha cores only follow YEAR prefixes (handled above) —
         # allowing them here would turn '28Ftdon't'-style noise into hits
@@ -1240,7 +1265,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
 
         # ---- postcode pair "12345, 67890-1234" as ONE span (addr branch 17)
-        pp_m = re.match(r"^(\D{0,2})(\d{5})$", tk.text)
+        pp_m = _RX_ZIP5_PP.match(tk.text)
         if pp_m:
             pp_s = tk.start + len(pp_m.group(1))
             j = i + 1
@@ -1271,7 +1296,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # context — noise uppercases ordinary 2-letter words often enough
         # that a bare closed-list hit is not trustworthy on its own.
         # A single glued digit is tolerated ('TN4', '7PL') — tight span.
-        abbr_m = re.match(r"^([a-z]?\d?|\d?[a-z]?)([A-Z]{2,3})[a-z]?\d?$", tk.text)
+        abbr_m = _RX_STATE_ABBR.match(tk.text)
         if abbr_m:
             up = abbr_m.group(2)
             a_off = len(abbr_m.group(1))
@@ -1308,7 +1333,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 # — unless an address label sits immediately before
                 # ('Address OR aplpi…')
                 and (
-                    not re.match(r" [a-z]{4,}", text[tk.end : tk.end + 10])
+                    not _RX_SPACE_WORD.match(text[tk.end : tk.end + 10])
                     or (ad is not None and ad[0] == 0 and ad[1] <= 10)
                 )
             ):
@@ -1425,7 +1450,7 @@ def token_candidates(text: str) -> list[Candidate]:
         if stem_start < 0:
             # arbitrary glue ending before a trailing first name
             # ('Thanks5kelly.adams' → 'kelly')
-            mt = re.search(r"([a-z]+)$", tk.low)
+            mt = _RX_TRAIL_ALPHA.search(tk.low)
             if mt and mt.group(1) in FIRSTS and mt.start() > 0:
                 stem_start = tk.start + mt.start()
         if (
@@ -1446,7 +1471,7 @@ def token_candidates(text: str) -> list[Candidate]:
             )
             and prev_char(i) != "@"
         ):
-            m2 = re.match(r"^([a-z]+)(\d{0,4})([a-z]{0,2})$", toks[i + 2].low)
+            m2 = _RX_ALPHA_D_ALPHA.match(toks[i + 2].low)
             if m2 and (
                 m2.group(1) in LASTS
                 or m2.group(1)[:-1] in LASTS
@@ -1489,7 +1514,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 # shape-only hits (no gazetteer evidence): reject when
                 # the token's full alpha prefix is a noised template word
                 # glued to a value ('ContactJ2875', 'addRsesK29127')
-                m0 = re.match(r"^([a-z]+)", tk.low)
+                m0 = _RX_LEAD_ALPHA.match(tk.low)
                 if m0 and len(m0.group(1)) >= 5 and _template_wordish(m0.group(1)):
                     conf = 0.0
             if conf > 0:
@@ -1540,7 +1565,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # (SNS/ODB from adjacent swaps); 2-3 letter blocklist words match
         # exactly/anagram only — edit-1 there would swallow most of the
         # random-initials space.
-        fused_m = re.match(r"^([A-Za-z][a-z]{2,11})([A-Z]{2,4})$", tk.text)
+        fused_m = _RX_FUSED_ORG.match(tk.text)
         if fused_m and prev_char(i) != "@":
             pfx = fused_m.group(1).lower()
             caps = fused_m.group(2)
@@ -1591,8 +1616,7 @@ def token_candidates(text: str) -> list[Candidate]:
             # ('COB Oct 20th', 'OB birthday:', 'GZSN: 9652-') is a form
             # label, not initials
             dateish_next = bool(
-                re.match(r"(?i)\d|birthday|born|jan|feb|mar|apr|may|jun|"
-                         r"jul|aug|sep|oct|nov|dec", after4)
+                _RX_DOBISH.match(after4)
             )
             numish_soon = any(c.isdigit() for c in text[tk.end : tk.end + 4])
             if dateish_next and any(
@@ -1607,7 +1631,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 after_raw.startswith("'t") or after_raw.startswith("'n")
             ):
                 conf = 0.0  # "DUN't" / "DO'NT" contractions ('s/'w = possessive)
-            elif re.match(r"(?i)[.!]?\s?m[ey]\b", after4):
+            elif _RX_MEY.match(after4):
                 conf = 0.0  # noised 'DM me at' / 'hit me up' connectors
             elif (
                 ini_formlabel
@@ -1619,7 +1643,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
             ):
                 conf = 0.0  # 'RD:' ≈ noised 'ID:' form label
-            elif re.match(r"(?i)\s?\w{0,8}(trust|tryst|rust)", after4):
+            elif _RX_TRUSTISH.match(after4):
                 conf = 0.0  # noised "PSA don't trust" anchor
             elif _ctx(text, tk.start, tk.end, "PERSON", width=52):
                 conf = 0.75
