@@ -975,6 +975,15 @@ def q_eval_confusion(spark, sf_dir):
     return evaluate(eval_fixture_df(spark, 150), limit_n=150).orderBy("label")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table (iterative
+    algorithm — genuinely non-SQL-expressible, rows-only check):
+    deterministic init, 5 iterations, per-cluster size + inertia."""
+    from pii_spark.spark.kmeans import kmeans_summary
+
+    return kmeans_summary(_emb(spark, sf_dir), k=8, iters=5)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (VERDICT r1 #8): binary media column →
     mapInPandas decode (deterministic fake — no image libs offline) →
@@ -1042,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pipeline": q_pii_pipeline,
         "pii_f1": q_pii_f1,
         "eval_confusion": q_eval_confusion,
+        "kmeans_clusters": q_kmeans_clusters,
         "media_features": q_media_features,
         "synth_corpus": q_synth_corpus,
     }

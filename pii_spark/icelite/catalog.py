@@ -95,7 +95,11 @@ class IceliteTable:
         cur = self.current_version()
         if cur is None:
             return []
-        return [self.snapshot(v) for v in range(1, cur + 1)]
+        # expired snapshots leave holes below the retention horizon
+        return [
+            s for v in range(1, cur + 1)
+            if (s := self.snapshot(v)) is not None
+        ]
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the table at a snapshot (time travel via ``version``)."""
@@ -160,6 +164,42 @@ class IceliteTable:
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
         return self._commit("overwrite", [self._write_data(df)], summary or {})
+
+    # ------------------------------------------------------ maintenance
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Iceberg-style snapshot expiry: drop manifests older than the
+        newest ``keep_last`` snapshots and delete data directories no
+        retained snapshot references (only overwrites orphan dirs —
+        appends accumulate). Returns the deleted data dirs. Time travel
+        below the retention horizon stops working, by design."""
+        import shutil
+
+        cur = self.current_version()
+        if cur is None or keep_last < 1:
+            return []
+        cutoff = cur - keep_last + 1
+        if cutoff <= 1:
+            return []
+        keep_dirs: set[str] = set()
+        for v in range(cutoff, cur + 1):
+            snap = self.snapshot(v)
+            if snap:
+                keep_dirs.update(snap.data_dirs)
+        removed: list[str] = []
+        expired_dirs: set[str] = set()
+        for v in range(1, cutoff):
+            snap = self.snapshot(v)
+            if snap:
+                expired_dirs.update(snap.data_dirs)
+            manifest = self.meta / f"v{v}.json"
+            if manifest.exists():
+                manifest.unlink()
+        for d in sorted(expired_dirs - keep_dirs):
+            if Path(d).exists():
+                shutil.rmtree(d)
+                removed.append(d)
+        return removed
 
     # ------------------------------------------------------------- ledger
 

