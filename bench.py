@@ -62,8 +62,13 @@ def main() -> None:
     corpus.count()
 
     # warmup: force Python-worker module imports + model builds once per
-    # worker so the timed run measures steady-state throughput
-    warm = generate_corpus(spark, 1_000, partitions=CPUS * 2)
+    # worker AND saturate the per-worker detection caches (gazetteer /
+    # ratio / feature-block memos over the closed template vocabulary).
+    # Sized so every reused worker sees thousands of docs at ANY
+    # parallelism — a 1k warmup left high-CPU runs measuring cache
+    # warm-up and low-CPU runs measuring steady state, which skewed the
+    # N->4N efficiency ratio.
+    warm = generate_corpus(spark, 8_000, partitions=CPUS * 2)
     run_pipeline(warm).agg(F.count("*")).collect()
 
     timed("pipeline", lambda: run_pipeline(corpus, partitions=CPUS)
