@@ -232,7 +232,19 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
     probs = np.exp(z)
     probs /= probs.sum(axis=1, keepdims=True)
     logp = np.log(probs + 1e-9)
-    pred = _viterbi(logp) if len(logp) else np.zeros(0, dtype=np.int32)
+    if len(logp) == 0:
+        pred = np.zeros(0, dtype=np.int32)
+    else:
+        am = logp.argmax(axis=1).astype(np.int32)
+        if not am.any():
+            # every token's argmax is O: the all-O path is provably
+            # Viterbi-optimal (emissions maximized per token; every
+            # transition is <= 0 while O->O costs 0), and both argmax
+            # and _viterbi break ties toward label 0 — skip the decode.
+            # ~50% of web docs carry no PII candidates at all.
+            pred = am
+        else:
+            pred = _viterbi(logp)
     maxp = probs[np.arange(len(pred)), pred] if len(pred) else np.zeros(0)
     pred = np.where((maxp < CONFIDENCE_THRESHOLD) & (pred != 0), 0, pred)
 
