@@ -213,7 +213,7 @@ def _ratio(a: str, b: str) -> float:
         import difflib
 
         v = difflib.SequenceMatcher(None, a, b).ratio()
-        if len(_RATIO_CACHE) > 1_000_000:
+        if len(_RATIO_CACHE) > 300_000:
             _RATIO_CACHE.clear()
         _RATIO_CACHE[key] = v
     return v
@@ -991,7 +991,7 @@ def _gaz_span(tok: _Tok, gaz: frozenset) -> tuple[int, int] | None:
         rel = _GAZ_CACHE[key]
     except KeyError:
         rel = _gaz_span_rel(tok.text, tok.low, gaz)
-        if len(_GAZ_CACHE) > 1_000_000:
+        if len(_GAZ_CACHE) > 300_000:
             _GAZ_CACHE.clear()
         _GAZ_CACHE[key] = rel
     if rel is None:

@@ -33,6 +33,10 @@ from .gazetteer import (
 )
 
 DIM = 1 << 18
+# memo caps sized for OPEN vocabulary (real web text): with dict/key/
+# ndarray overhead the worst case stays ~100-200 MB per Python worker;
+# the closed template corpus never reaches them. Wholesale clear() at
+# the cap is deliberate — an LRU would put bookkeeping on every hit.
 FEATURE_VERSION = 2  # bump on ANY change to hashing/feature families
 _MASK = DIM - 1
 
@@ -48,7 +52,7 @@ def _h(s: str) -> int:
     for ch in s.encode("utf-8"):
         h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
     v = h & _MASK
-    if len(_H_CACHE) > 2_000_000:
+    if len(_H_CACHE) > 1_000_000:
         _H_CACHE.clear()
     _H_CACHE[s] = v
     return v
@@ -82,7 +86,7 @@ def _shape(tok: str) -> str:
             v = f"p{tok}"
         else:
             v = f"m{min(len(tok), 9)}"
-    if len(_SHAPE_CACHE) > 500_000:
+    if len(_SHAPE_CACHE) > 200_000:
         _SHAPE_CACHE.clear()
     _SHAPE_CACHE[tok] = v
     return v
@@ -97,7 +101,7 @@ def _grams(tok: str, pre: str) -> list[str]:
     if v is None:
         s = f"^{tok.lower()}$"
         v = [f"{pre}{s[i:i+3]}" for i in range(min(len(s) - 2, 12))]
-        if len(_GRAM_CACHE) > 500_000:
+        if len(_GRAM_CACHE) > 200_000:
             _GRAM_CACHE.clear()
         _GRAM_CACHE[key] = v
     return v
@@ -155,7 +159,7 @@ def _self_feats(tok: str) -> np.ndarray:
         f.extend(_grams(tok, "g3="))
         f.extend(_gaz_feats(low))
         v = _hash_arr(f)
-        if len(_SELF_F) > 500_000:
+        if len(_SELF_F) > 150_000:
             _SELF_F.clear()
         _SELF_F[tok] = v
     return v
@@ -171,7 +175,7 @@ def _ctx_feats(tag: str, tok: str, with_gaz: bool) -> np.ndarray:
         if with_gaz:
             f.extend(f"{tag}{x}" for x in _gaz_feats(low))
         v = _hash_arr(f)
-        if len(_CTX_F) > 2_000_000:
+        if len(_CTX_F) > 400_000:
             _CTX_F.clear()
         _CTX_F[key] = v
     return v

@@ -172,7 +172,13 @@ class IceliteTable:
         newest ``keep_last`` snapshots and delete data directories no
         retained snapshot references (only overwrites orphan dirs —
         appends accumulate). Returns the deleted data dirs. Time travel
-        below the retention horizon stops working, by design."""
+        below the retention horizon stops working, by design.
+
+        The expired snapshots' ledger summaries are CARRIED into
+        metadata/ledger.json first: committed_groups() is the resume /
+        exactly-once dedup ledger, and forgetting a committed group
+        whose data rows remain in the table would make a resumed job
+        reprocess and DUPLICATE it (review r2 finding)."""
         import shutil
 
         cur = self.current_version()
@@ -188,25 +194,44 @@ class IceliteTable:
                 keep_dirs.update(snap.data_dirs)
         removed: list[str] = []
         expired_dirs: set[str] = set()
+        carry = self._ledger_carry()
         for v in range(1, cutoff):
             snap = self.snapshot(v)
             if snap:
                 expired_dirs.update(snap.data_dirs)
+                for key, val in snap.summary.items():
+                    carry.setdefault(key, [])
+                    if val not in carry[key]:
+                        carry[key].append(val)
             manifest = self.meta / f"v{v}.json"
             if manifest.exists():
                 manifest.unlink()
+        tmp = self.meta / f".ledger.tmp-{uuid.uuid4().hex[:8]}"
+        tmp.write_text(json.dumps(carry, indent=1))
+        os.rename(tmp, self.meta / "ledger.json")
         for d in sorted(expired_dirs - keep_dirs):
             if Path(d).exists():
                 shutil.rmtree(d)
                 removed.append(d)
         return removed
 
+    def _ledger_carry(self) -> dict:
+        path = self.meta / "ledger.json"
+        if not path.exists():
+            return {}
+        try:
+            return json.loads(path.read_text())
+        except ValueError:
+            return {}
+
     # ------------------------------------------------------------- ledger
 
     def committed_groups(self, key: str = "group") -> set:
-        """Union of ``summary[key]`` values across committed snapshots —
-        the resume ledger: groups present here are never reprocessed."""
-        done = set()
+        """Union of ``summary[key]`` values across committed snapshots
+        PLUS the expiry carry file — the resume ledger: groups present
+        here are never reprocessed, even after expire_snapshots dropped
+        their manifests."""
+        done = set(self._ledger_carry().get(key, []))
         for snap in self.snapshots():
             if key in snap.summary:
                 done.add(snap.summary[key])

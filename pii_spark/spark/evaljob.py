@@ -87,8 +87,15 @@ def evaluate_full(
 
 
 def evaluate(df: DataFrame, limit_n: int = 300) -> DataFrame:
-    """Converted truth vs pipeline predictions → per-label TP/FP/FN."""
-    return evaluate_full(df, limit_n)[0]
+    """Converted truth vs pipeline predictions → per-label TP/FP/FN.
+    Materializes the (tiny) confusion table and releases the cached
+    truth/pred frames so repeated calls don't pin storage memory."""
+    conf, truth, pred = evaluate_full(df, limit_n)
+    conf = conf.cache()
+    conf.count()
+    truth.unpersist()
+    pred.unpersist()
+    return conf
 
 
 def save_results(confusion_rows, path: str, num_examples: int,

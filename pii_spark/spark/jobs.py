@@ -51,10 +51,16 @@ def _backfill_missing_audit(spark, out: IceliteTable, audit: IceliteTable,
         if "group" in s.summary
     }
     for g in sorted(missing):
-        snap = by_group[g]
+        snap = by_group.get(g)
+        if snap is None:
+            continue  # group's manifest was expired; stats unrecoverable
         parent_dirs = set()
         if snap.version > 1:
             parent = out.snapshot(snap.version - 1)
+            if parent is None:
+                # parent manifest expired: cannot attribute which data
+                # dirs this commit added — skip rather than mis-count
+                continue
             parent_dirs = set(parent.data_dirs)
         new_dirs = [d for d in snap.data_dirs if d not in parent_dirs]
         stats = (

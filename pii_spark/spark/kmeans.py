@@ -10,9 +10,10 @@ iteration is one Spark job over the same cached explode; at 10^9
 vectors the centroid relation stays broadcast-sized and the shuffle is
 one hash-agg per iteration.
 
-Determinism: init = the k lowest vec_ids (no sampling), fixed iteration
-count — identical output for any partitioning/retry, which is what lets
-the driver's rows-only check re-run it.
+Determinism: farthest-point init seeded at the lowest vec_id (no
+sampling; first-k seeding merged true clusters), fixed iteration count —
+identical output for any partitioning/retry, which is what lets the
+driver's rows-only check re-run it.
 """
 
 from __future__ import annotations
@@ -85,33 +86,50 @@ def kmeans_fit(
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster")
         )
+        prev_cents = cents
         cents = (
             ex.join(assign, "vec_id")
             .groupBy("cluster", "i")
             .agg(F.avg("v").alias("cv"))
         )
         # materialize per iteration: Lloyd's is inherently sequential,
-        # and leaving 5 iterations lazy would replay the whole lineage
+        # and leaving 5 iterations lazy would replay the whole lineage;
+        # release the previous iteration's centroid cache once the new
+        # one is live (review r2: stale cents pinned storage memory)
         cents = cents.cache()
         cents.count()
+        if hasattr(prev_cents, "unpersist"):
+            prev_cents.unpersist()
     sqdist = (
         ex.join(assign, "vec_id")
         .join(F.broadcast(cents), ["cluster", "i"])
         .groupBy("vec_id", "cluster")
         .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("sqdist"))
     )
+    # materialize the RESULT before dropping the exploded cache: the
+    # returned frames are lazy, and unpersisting ex first would make
+    # the caller's first action replay the full explode twice
+    sqdist = sqdist.cache()
+    sqdist.count()
     ex.unpersist()
     return sqdist, cents
 
 
 def kmeans_summary(df: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
-    """(cluster, n_vecs, inertia) census — the rows-only driver view."""
-    assign, _ = kmeans_fit(df, k, iters)
-    return (
+    """(cluster, n_vecs, inertia) census — the rows-only driver view.
+    Materializes the k-row census and releases the fit's cached frames
+    so repeated calls don't accumulate storage."""
+    assign, cents = kmeans_fit(df, k, iters)
+    out = (
         assign.groupBy("cluster")
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
             F.round(F.sum("sqdist"), 4).alias("inertia"),
         )
         .orderBy("cluster")
+        .cache()
     )
+    out.count()
+    assign.unpersist()
+    cents.unpersist()
+    return out

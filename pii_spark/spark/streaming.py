@@ -40,16 +40,22 @@ def run_streaming_job(
     )
     stream = reader.parquet(corpus_dir)
 
+    # ledger read ONCE per run, maintained in memory per batch —
+    # re-scanning every manifest per micro-batch would make ledger
+    # maintenance O(n^2) over the stream's lifetime (review r2)
+    done = out.committed_groups("stream_batch")
+
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
         # after our append but before the checkpoint offset commit,
         # Structured Streaming replays the batch on restart. The icelite
         # snapshot summary doubles as the dedup ledger (same pattern as
         # jobs.py group commits), making the append exactly-once.
-        if int(batch_id) in out.committed_groups("stream_batch"):
+        if int(batch_id) in done:
             return
         result = run_pipeline(batch_df, partitions=partitions)
         out.append(result, summary={"stream_batch": int(batch_id)})
+        done.add(int(batch_id))
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

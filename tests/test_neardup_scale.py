@@ -268,8 +268,6 @@ def test_kmeans_recovers_clusters(spark, tmp_path):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     assign, cents = kmeans_fit(emb, k=6, iters=5)
     rows = assign.collect()
-    true = {int(r.vec_id): int(l) for r, l in
-            zip(df.itertuples(index=False), df["label"])}
     true = dict(zip(df["vec_id"], df["label"]))
     # purity: for each fitted cluster, the dominant true label share
     by_cluster = {}

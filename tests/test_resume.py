@@ -146,16 +146,15 @@ def test_audit_backfill_on_resume(spark, tmp_path):
     rows = [r for r in audit.read(spark).collect()
             if "backfill" in (r.input_files or [])]
     assert len(rows) == 1 and rows[0].partition_id == -1
-    # reconciliation totals recomputed from the committed snapshot data
-    grp_rows = out.read(spark).count()
-    total_in = sum(r.docs_in for r in audit.read(spark).collect()
-                   if f"group={lost_group}" in r.input_files)
-    assert rows[0].docs_in == total_in - sum(
-        r.docs_in for r in audit.read(spark).collect()
-        if f"group={lost_group}" in r.input_files
-        and "backfill" not in (r.input_files or [])
-    )
-    assert grp_rows == 80
+    # reconciliation totals recomputed from the committed snapshot data:
+    # the backfill docs_in must equal the lost group's TRUE row count in
+    # the output table (recount it independently here)
+    from pyspark.sql import functions as F
+
+    grp = F.pmod(F.xxhash64(F.col("url")), F.lit(4))
+    true_in = out.read(spark).where(grp == lost_group).count()
+    assert rows[0].docs_in == true_in > 0
+    assert out.read(spark).count() == 80
 
 
 def test_expire_snapshots(spark, tmp_path):
@@ -184,6 +183,8 @@ def test_expire_snapshots(spark, tmp_path):
     assert t.current_version() == 4
     assert t.read(spark).count() == 8  # overwrite(3) + append(5)
     assert t.read(spark, version=3).count() == 3  # retained time travel
-    assert t.committed_groups() == {2, 3}  # ledger over retained tail
+    # the ledger SURVIVES expiry (carried to metadata/ledger.json):
+    # forgetting committed groups would make a resumed job duplicate them
+    assert t.committed_groups() == {0, 1, 2, 3}
     # expiring again is a no-op
     assert t.expire_snapshots(keep_last=2) == []
