@@ -632,6 +632,33 @@ def q_quality_heuristics(spark, sf_dir):  # C4/Gopher scores, native SQL
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → text extraction (the Common-Crawl step upstream of the
+    quality filter), as pure codegen expressions: each doc's text is
+    wrapped into a deterministic page (script/style blocks, entities,
+    block tags) and the extractor must recover it. md5 of the extracted
+    text proves byte equality across engines."""
+    from pii_spark.spark.html import html_text_expr
+
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>t</title><script>var x=1;</script>"
+                  "<style>p{color:red}</style></head><body>"
+                  "<!-- comment --><h1>Title &amp; more</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>footer &lt;tag&gt; &quot;q&quot;</div>"
+                  "</body></html>"),
+        ),
+        "utf-8",
+    )
+    extracted = html_text_expr(html)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(extracted).alias("text_md5"),
+        F.contains(extracted, F.col("text")).alias("payload_intact"),
+    )
+
+
 def q_regex_scrub(spark, sf_dir):
     """North-rule regex scrub stage (email/phone/ssn/ip) as a pure SQL
     rewrite; fingerprint of scrubbed text proves byte equality."""
@@ -1033,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "langid_stopwords": q_langid_stopwords,
         "quality_heuristics": q_quality_heuristics,
+        "html_extract": q_html_extract,
         "regex_scrub": q_regex_scrub,
         "regex_hit_counts": q_regex_hit_counts,
         "json_extract": q_json_extract,
@@ -1353,6 +1381,39 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(rep), 4) AS avg_rep,
                    round(avg(n_ns * 1.0 / n_words), 4) AS avg_word_len
             FROM s GROUP BY lang
+        """,
+        "html_extract": """
+            WITH page AS (
+              SELECT doc_id, text,
+                     '<html><head><title>t</title><script>var x=1;</script>'
+                     || '<style>p{color:red}</style></head><body>'
+                     || '<!-- comment --><h1>Title &amp; more</h1><p>'
+                     || text
+                     || '</p><div>footer &lt;tag&gt; &quot;q&quot;</div>'
+                     || '</body></html>' AS html
+              FROM documents),
+            x AS (
+              SELECT doc_id, text,
+                trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(html,
+                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)[^>]*>',
+                      chr(10), 'g'),
+                    '(?s)<[^>]+>', ' ', 'g'),
+                  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                  '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                  '[ \\t\\r\\f]+', ' ', 'g'),
+                  ' ?\\n ?', chr(10), 'g'),
+                  '\\n{2,}', chr(10), 'g'),
+                  '^\\n+|\\n+$', '', 'g')) AS extracted
+              FROM page)
+            SELECT doc_id, md5(extracted) AS text_md5,
+                   contains(extracted, text) AS payload_intact
+            FROM x
         """,
         "regex_scrub": f"""
             WITH s AS (
