@@ -308,6 +308,64 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact near-dup pairs — the step
+    that turns pairwise dedup output into keep/drop decisions: each
+    cluster keeps its min-doc_id canonical and drops the rest.
+
+    Spark side: iterative min-label propagation (label(v) = min over
+    neighbors ∪ self, driver loop until fixpoint — O(diameter)
+    iterations, each one shuffle; the scale-safe alternative to
+    materializing a transitive closure). Oracle: DuckDB recursive CTE
+    reachability + min — two different fixpoint algorithms agreeing
+    byte-for-byte is the correctness argument."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("da", "db").cache()
+    edges = (
+        pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
+        .unionByName(pairs.select(F.col("db").alias("u"),
+                                  F.col("da").alias("v")))
+        .distinct()
+        .cache()
+    )
+    # eager localCheckpoint per iteration: caching alone leaves the
+    # logical plan growing with every join round and the driver OOMs on
+    # plan analysis after a few fixpoint iterations (hit at sf0.01)
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl")))
+                .alias("lbl"),
+                (F.coalesce(F.col("nl"), F.col("lbl")) < F.col("lbl"))
+                .alias("chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "lbl")
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy(F.col("lbl").alias("canonical"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("canonical")
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    return out
+
+
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash over word hashes → collision census."""
     toks = _docs(spark, sf_dir).select(
@@ -1052,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_embedding": q_dedup_embedding,
@@ -1083,6 +1142,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "synth_corpus": q_synth_corpus,
     }
+
+
+# brute-force all-pairs Jaccard (the exactness oracle for the
+# prefix-filtered Spark plan); also reused as the edge set of the
+# dedup_clusters connected-components oracle
+_NGRAM_JACCARD_SQL = """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, w
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                               string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS w
+                    FROM documents
+                    WHERE lang = 'en')),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+              FROM toks a JOIN toks b
+                ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da, db,
+                   round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6
+        """
 
 
 # DuckDB twin of _lsh_parts: identical md5-derived hyperplane signs,
@@ -1202,27 +1288,29 @@ def oracle_sql() -> dict[str, str]:
         # brute-force all-pairs formulation on purpose: the Spark side
         # uses exact prefix filtering, so identical output proves the
         # optimization lossless
-        "dedup_ngram_jaccard": """
-            WITH toks AS (
-              SELECT DISTINCT doc_id, w
-              FROM (SELECT doc_id,
-                           unnest(list_filter(
-                               string_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> '')) AS w
-                    FROM documents
-                    WHERE lang = 'en')),
-            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-            pairs AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-              FROM toks a JOIN toks b
-                ON a.w = b.w AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT da, db,
-                   round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = da
-            JOIN sizes sb ON sb.doc_id = db
-            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # connected components: recursive-CTE reachability + min label,
+        # a DIFFERENT fixpoint algorithm than Spark's iterative min-label
+        # propagation — byte agreement is the correctness argument
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+            e AS (
+              SELECT da AS u, db AS v FROM pairs
+              UNION
+              SELECT db AS u, da AS v FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM e),
+            reach(a, b) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b),
+            lab AS (
+              SELECT n.node,
+                     least(n.node, coalesce(min(r.b), n.node)) AS lbl
+              FROM nodes n LEFT JOIN reach r ON r.a = n.node
+              GROUP BY n.node)
+            SELECT lbl AS canonical,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY lbl ORDER BY lbl
         """,
         "dedup_simhash": f"""
             WITH toks AS (

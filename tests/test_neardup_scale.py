@@ -282,3 +282,17 @@ def test_kmeans_recovers_clusters(spark, tmp_path):
     a1 = sorted((r.vec_id, r.cluster) for r in rows)
     a2 = sorted((r.vec_id, r.cluster) for r in assign2.collect())
     assert a1 == a2
+
+
+def test_dedup_clusters_on_sparse(spark, tmp_path, sparse_docs):
+    """Connected components over near-dup pairs: on the sparse corpus
+    each planted (src, dup) pair is its own 2-member component with the
+    src doc as canonical; singletons don't appear (no edges)."""
+    texts, truth_pairs = sparse_docs
+    sf = _write_documents(tmp_path, texts)
+    comps = {r.canonical: r.n_members
+             for r in entry.q_dedup_clusters(spark, sf).collect()}
+    # every planted pair forms exactly the component {src: 2}
+    for src, dup in truth_pairs:
+        assert comps.get(src) == 2, (src, comps.get(src))
+    assert len(comps) == len(truth_pairs)
