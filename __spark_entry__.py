@@ -325,7 +325,6 @@ def q_dedup_clusters(spark, sf_dir):
         .unionByName(pairs.select(F.col("db").alias("u"),
                                   F.col("da").alias("v")))
         .distinct()
-        .cache()
     )
     # eager localCheckpoint per iteration: caching alone leaves the
     # logical plan growing with every join round and the driver OOMs on
@@ -1492,8 +1491,8 @@ def oracle_sql() -> dict[str, str]:
                       '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)[^>]*>',
                       chr(10), 'g'),
                     '(?s)<[^>]+>', ' ', 'g'),
-                  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                  '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                   '[ \\t\\r\\f]+', ' ', 'g'),
                   ' ?\\n ?', chr(10), 'g'),
                   '\\n{2,}', chr(10), 'g'),

@@ -181,39 +181,64 @@ class IceliteTable:
         reprocess and DUPLICATE it (review r2 finding)."""
         import shutil
 
-        cur = self.current_version()
-        if cur is None or keep_last < 1:
-            return []
-        cutoff = cur - keep_last + 1
-        if cutoff <= 1:
-            return []
-        keep_dirs: set[str] = set()
-        for v in range(cutoff, cur + 1):
-            snap = self.snapshot(v)
-            if snap:
-                keep_dirs.update(snap.data_dirs)
-        removed: list[str] = []
-        expired_dirs: set[str] = set()
-        carry = self._ledger_carry()
-        for v in range(1, cutoff):
-            snap = self.snapshot(v)
-            if snap:
-                expired_dirs.update(snap.data_dirs)
+        # single-expirer lock (O_EXCL): two racing expiries would
+        # read-modify-write ledger.json and the loser's carry could drop
+        # committed groups; fail loudly instead (review r2b)
+        self.meta.mkdir(parents=True, exist_ok=True)
+        lock = self.meta / ".expire.lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"another expire_snapshots is running on {self.dir} "
+                f"(stale? remove {lock})"
+            ) from None
+        os.close(fd)
+        try:
+            cur = self.current_version()
+            if cur is None or keep_last < 1:
+                return []
+            cutoff = cur - keep_last + 1
+            if cutoff <= 1:
+                return []
+            keep_dirs: set[str] = set()
+            for v in range(cutoff, cur + 1):
+                snap = self.snapshot(v)
+                if snap:
+                    keep_dirs.update(snap.data_dirs)
+            # PASS 1 (read-only): collect expired summaries + dirs and
+            # publish the carried ledger BEFORE deleting anything — a
+            # crash mid-expiry must never forget a committed group
+            # (that is the duplicate-reprocessing bug this file fixes)
+            expired: list[Snapshot] = []
+            for v in range(1, cutoff):
+                snap = self.snapshot(v)
+                if snap:
+                    expired.append(snap)
+            carry = self._ledger_carry()
+            for snap in expired:
                 for key, val in snap.summary.items():
                     carry.setdefault(key, [])
                     if val not in carry[key]:
                         carry[key].append(val)
-            manifest = self.meta / f"v{v}.json"
-            if manifest.exists():
-                manifest.unlink()
-        tmp = self.meta / f".ledger.tmp-{uuid.uuid4().hex[:8]}"
-        tmp.write_text(json.dumps(carry, indent=1))
-        os.rename(tmp, self.meta / "ledger.json")
-        for d in sorted(expired_dirs - keep_dirs):
-            if Path(d).exists():
-                shutil.rmtree(d)
-                removed.append(d)
-        return removed
+            tmp = self.meta / f".ledger.tmp-{uuid.uuid4().hex[:8]}"
+            tmp.write_text(json.dumps(carry, indent=1))
+            os.rename(tmp, self.meta / "ledger.json")
+            # PASS 2 (destructive): manifests, then orphaned data dirs
+            removed: list[str] = []
+            expired_dirs: set[str] = set()
+            for snap in expired:
+                expired_dirs.update(snap.data_dirs)
+                manifest = self.meta / f"v{snap.version}.json"
+                if manifest.exists():
+                    manifest.unlink()
+            for d in sorted(expired_dirs - keep_dirs):
+                if Path(d).exists():
+                    shutil.rmtree(d)
+                    removed.append(d)
+            return removed
+        finally:
+            lock.unlink()
 
     def _ledger_carry(self) -> dict:
         path = self.meta / "ledger.json"

@@ -91,11 +91,12 @@ def evaluate(df: DataFrame, limit_n: int = 300) -> DataFrame:
     Materializes the (tiny) confusion table and releases the cached
     truth/pred frames so repeated calls don't pin storage memory."""
     conf, truth, pred = evaluate_full(df, limit_n)
-    conf = conf.cache()
-    conf.count()
+    # re-create the tiny table from collected rows: releases the cached
+    # inputs AND leaves no storage entry behind (repeated calls clean)
+    rows = conf.collect()
     truth.unpersist()
     pred.unpersist()
-    return conf
+    return df.sparkSession.createDataFrame(rows, conf.schema)
 
 
 def save_results(confusion_rows, path: str, num_examples: int,

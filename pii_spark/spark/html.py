@@ -31,13 +31,16 @@ _BLOCK_TAGS = (
     r"footer|blockquote)[^>]*>"
 )
 
+# &amp; decodes LAST: decoding it first turns escaped entities
+# ('&amp;lt;' — a page showing the literal text '&lt;') into '&lt;'
+# which the later pass double-decodes to '<' (review r2b)
 _ENTITIES = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&amp;", "&"),
 ]
 
 

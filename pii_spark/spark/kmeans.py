@@ -98,8 +98,7 @@ def kmeans_fit(
         # one is live (review r2: stale cents pinned storage memory)
         cents = cents.cache()
         cents.count()
-        if hasattr(prev_cents, "unpersist"):
-            prev_cents.unpersist()
+        prev_cents.unpersist()  # no-op on the uncached seed frame
     sqdist = (
         ex.join(assign, "vec_id")
         .join(F.broadcast(cents), ["cluster", "i"])
@@ -127,9 +126,11 @@ def kmeans_summary(df: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
             F.round(F.sum("sqdist"), 4).alias("inertia"),
         )
         .orderBy("cluster")
-        .cache()
     )
-    out.count()
+    # k collected rows -> fresh frame: releases the fit's caches with no
+    # storage entry left behind per call
+    rows = out.collect()
+    schema = out.schema
     assign.unpersist()
     cents.unpersist()
-    return out
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -43,3 +43,12 @@ def test_nested_and_attributed_tags(spark):
     out = _extract(spark, '<div class="x" data-y="1"><span>inner'
                           "</span></div><br/>tail")
     assert out == "inner\ntail"
+
+
+def test_escaped_entities_not_double_decoded(spark):
+    """'&amp;lt;' is a page DISPLAYING the literal text '&lt;' — it must
+    decode to '&lt;', not be double-decoded to '<'."""
+    out = _extract(spark, "<p>use &amp;lt; to write a less-than sign</p>")
+    assert out == "use &lt; to write a less-than sign"
+    out2 = _extract(spark, "<p>&amp;quot; and &amp;nbsp; stay escaped</p>")
+    assert out2 == "&quot; and &nbsp; stay escaped"
