@@ -432,6 +432,11 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
         s += m_frag.end()
 
     for _pass in range(3):  # may cross '_'/'.' between glue atoms
+        # re-skip separators each pass: crossing a glue atom can land on
+        # another separator ('email-.anderson' → after dropping 'email-'
+        # the cursor sits on '.', which must not survive as the start)
+        while s < e and not text[s].isalnum():
+            s += 1
         atom_end = s
         while atom_end < e and text[atom_end].isalnum():
             atom_end += 1
