@@ -192,18 +192,23 @@ def q_dedup_minhash(spark, sf_dir):
     computing all 4 band minima as separate aggregates, then an
     unpivot to (band, mh) rows — the exploded shingle relation (the
     dominant shuffle input at scale) is scanned once instead of once
-    per band."""
+    per band.
+
+    Single-hash (VERDICT r2 #1): each shingle is md5-hashed ONCE and
+    the 4 band values are disjoint 8-hex-char substrings of that one
+    digest (md5's 128 bits give 4 independent 32-bit min-hashes) —
+    r2 hashed every shingle 4× with per-band salts, 4× the hashing
+    work on the dominant relation for no statistical gain."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)), F.lit(5))
     ).alias("i")
     sh = d.select("doc_id", pos, "text").select(
-        "doc_id", F.expr("substring(text, i, 12)").alias("shingle"),
+        "doc_id", F.md5(F.expr("substring(text, i, 12)")).alias("h"),
     )
     per_doc = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(str(b)), F.col("shingle"))))
-            .alias(f"mh{b}")
+            F.min(F.substring("h", 1 + 8 * b, 8)).alias(f"mh{b}")
             for b in range(4)
         ]
     )
@@ -1198,6 +1203,11 @@ _LSH_SQL_CTES = f"""signs AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    # interpolate label ids from the single source of truth so a
+    # label-space reorder cannot desynchronize engine and oracle
+    # (ADVICE r2: the r2 oracle hardcoded 4/8/12)
+    from pii_spark.config import LABEL2ID as _L2I
+
     simhash_votes = ", ".join(
         "sum(CASE WHEN substr(h, {i}, 1) IN "
         "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"
@@ -1266,13 +1276,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": """
             WITH sh AS (
-              SELECT doc_id, substr(text, i, 12) AS shingle
+              SELECT doc_id, md5(substr(text, i, 12)) AS h
               FROM documents,
                    LATERAL (SELECT unnest(generate_series(
                        1, greatest(length(text) - 11, 1), 5)) AS i) t),
             mh AS (
               SELECT b.band, sh.doc_id,
-                     min(md5(CAST(b.band AS VARCHAR) || sh.shingle)) AS mh
+                     min(substr(sh.h, 1 + 8 * b.band, 8)) AS mh
               FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
               GROUP BY b.band, sh.doc_id),
             buckets AS (
@@ -1633,11 +1643,11 @@ def oracle_sql() -> dict[str, str]:
             WITH per AS (
               SELECT greatest(
                        CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
-                            THEN 4 ELSE 0 END,
+                            THEN {_L2I["U-EMAIL"]} ELSE 0 END,
                        CASE WHEN regexp_matches(text, '{_PHONE_RE}')
-                            THEN 8 ELSE 0 END,
+                            THEN {_L2I["U-PHONE"]} ELSE 0 END,
                        CASE WHEN regexp_matches(text, '{_SSN_RE}')
-                            THEN 12 ELSE 0 END) AS doc_max
+                            THEN {_L2I["U-SSN"]} ELSE 0 END) AS doc_max
               FROM documents)
             SELECT CAST(max(doc_max) AS BIGINT) AS max_label_id,
                    CAST(sum(CASE WHEN doc_max > 0 THEN 1 ELSE 0 END)

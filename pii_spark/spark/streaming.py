@@ -72,51 +72,76 @@ def run_stream_dedup(
     corpus_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    groups: int = 16,
-) -> None:
+    groups: int = 16,  # kept for API compat; state is keyed per-url now
+) -> dict:
     """Custom stateful streaming operator via applyInPandasWithState:
-    exact URL-dedup ACROSS micro-batches. Rows hash-partition into
-    ``groups`` state keys (same salting idea as the batch pipeline);
-    each group's state holds the md5 set of urls already emitted, so a
-    url seen in any earlier batch — or an earlier file of this run — is
-    dropped. State lives in the checkpoint: a restarted job keeps
-    deduplicating against everything emitted before the restart.
+    exact URL-dedup ACROSS micro-batches.
 
-    Scale notes: state size is bounded by distinct-url count / groups;
-    at 10^12 docs this runs on the RocksDB state store with the same
-    code, and the md5 set becomes the natural candidate for a TTL or
-    bloom-filter compaction — the operator shape (hash-keyed groups +
-    applyInPandasWithState) is the part that carries over."""
-    import hashlib
+    State design (r3 rewrite, VERDICT r2 #3): state is keyed by the URL
+    ITSELF, one boolean entry per distinct url — the same state shape
+    Spark's built-in streaming ``dropDuplicates`` uses. Two properties
+    the r2 bucket-keyed design lacked:
 
+    * **O(new urls) state I/O per batch.** ``applyInPandasWithState``
+      rewrites a key's whole state tuple on every ``update``, so the r2
+      design (16 bucket keys, each holding the full accumulated md5
+      set) re-serialized EVERY url ever seen on EVERY micro-batch —
+      O(total²) cumulative bytes over a long stream. With per-url keys,
+      only keys present in the current batch are touched; untouched
+      state rows cost nothing. The returned ``numRowsUpdated`` state
+      metric makes this driver-observable (pinned in tests).
+    * **Exact, not hash-exact.** The r2 state stored md5(url)[:16] —
+      64 bits, so ~10^4 silent birthday collisions at the 10^12-doc
+      scale this targets (ADVICE r2). Keying by the url string has no
+      collision mode; Spark's state store hashes internally but
+      verifies the full key bytes.
+
+    State size grows with distinct-url count — inherent to exact dedup;
+    at 10^12 keys this runs unchanged on the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass``), which keeps
+    state on disk per partition. Per-group Python dispatch is the cost
+    of the *custom* operator shape; a production job wanting only plain
+    url-dedup should use the built-in ``dropDuplicates(["url"])``,
+    which is this exact plan JVM-side — this operator exists to carry
+    custom per-key logic (first-wins payload selection here; TTLs,
+    counters, or richer keep/drop policies in general).
+
+    Returns a metrics dict: ``{"updated_state_rows": total
+    numUpdatedStateRows across this run's micro-batches}``.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(corpus_dir).schema
     stream = (
         spark.readStream.schema(schema).parquet(corpus_dir)
         .select("url", "text")
-        .withColumn("g", F.pmod(F.xxhash64("url"), F.lit(groups)))
     )
 
     def dedup(key, pdfs, state):
         import pandas as pd
 
-        seen = set(state.get[0]) if state.exists else set()
-        urls, texts = [], []
+        if state.exists:
+            # url already emitted in an earlier batch: drain and drop.
+            # No state.update → zero state bytes written for this key.
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame(
+                {"url": pd.Series(dtype=object),
+                 "text": pd.Series(dtype=object)})
+            return
+        first = None
         for pdf in pdfs:
-            for url, text in zip(pdf["url"], pdf["text"]):
-                h = hashlib.md5((url or "").encode()).hexdigest()[:16]
-                if h not in seen:
-                    seen.add(h)
-                    urls.append(url)
-                    texts.append(text)
-        state.update((sorted(seen),))
-        yield pd.DataFrame({"url": urls, "text": texts})
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][["url", "text"]]
+        state.update((True,))
+        yield first if first is not None else pd.DataFrame(
+            {"url": pd.Series(dtype=object),
+             "text": pd.Series(dtype=object)})
 
-    deduped = stream.groupBy("g").applyInPandasWithState(
+    deduped = stream.groupBy("url").applyInPandasWithState(
         dedup,
         outputStructType="url string, text string",
-        stateStructType="seen array<string>",
+        stateStructType="emitted boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -129,6 +154,11 @@ def run_stream_dedup(
         .start()
     )
     q.awaitTermination()
+    updated = 0
+    for p in q.recentProgress:
+        for op in (p.get("stateOperators") or []):
+            updated += int(op.get("numRowsUpdated") or 0)
+    return {"updated_state_rows": updated}
 
 
 def run_events_stream(

@@ -181,10 +181,12 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
         ("u1", None, b"", "dup in same file", "en"),
         ("u2", None, b"", "two", "en"),
     ])
-    run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
+    m1 = run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
     got = {r.url: r.text for r in spark.read.parquet(out).collect()}
     assert set(got) == {"u1", "u2"}
     assert got["u1"] == "first copy"  # first occurrence wins
+    # state writes are O(new urls): 2 distinct urls → 2 state rows
+    assert m1["updated_state_rows"] == 2
 
     # batch 2 (separate run = restart): u1/u2 again + new u3
     write("b.parquet", [
@@ -192,8 +194,11 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
         ("u2", None, b"", "late duplicate", "en"),
         ("u3", None, b"", "three", "en"),
     ])
-    run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
+    m2 = run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3  # u3 appended once; u1/u2 suppressed by state
     assert {r.url for r in rows} == {"u1", "u2", "u3"}
     assert [r.text for r in rows if r.url == "u3"] == ["three"]
+    # only the ONE new url wrote state; u1/u2's existing rows untouched
+    # (the r2 design re-serialized the full accumulated set every batch)
+    assert m2["updated_state_rows"] == 1
