@@ -958,6 +958,12 @@ _SEQ2_INDEX = {
 }
 
 
+# hoisted: building this union per token defeated _GAZ_CACHE (the cache
+# keys on id(gaz), fresh per union) and allocated a large frozenset in
+# the hot loop
+_PLACE_1 = CITY_1 | STATE_1 | COUNTRY_1
+
+
 class _Tok(NamedTuple):
     text: str
     low: str
@@ -1051,12 +1057,110 @@ def _last_span_loose(tok: _Tok) -> tuple[int, int] | None:
 _YEAR_USER_RE = re.compile(r"(?:19|20)\d{2}[a-z]+\d{0,6}")
 
 
+_INI_BLOCKED_CACHE: dict[tuple[str, bool], bool] = {}
+
+
+def _ini_blocked(ini: str, formlabel: bool) -> bool:
+    """Initials-blocklist scan (exact / anagram / edit-1 with the
+    form-label 3-letter relaxation) — pure function of (initials,
+    form-label position), memoized; the uncached scan runs _edit1
+    against the whole blocklist per token."""
+    key = (ini, formlabel)
+    v = _INI_BLOCKED_CACHE.get(key)
+    if v is None:
+        v = any(
+            ini == b
+            or sorted(ini) == sorted(b)
+            or (max(len(b), len(ini)) >= 4 and _edit1(ini, b))
+            # a noised form label ('ESN:', 'SS0') sits in label
+            # position; only then does edit-1 apply to 3-letter words
+            or (len(b) == 3 and formlabel and _edit1(ini, b))
+            for b in INITIALS_BLOCKLIST
+        )
+        if len(_INI_BLOCKED_CACHE) > 100_000:
+            _INI_BLOCKED_CACHE.clear()
+        _INI_BLOCKED_CACHE[key] = v
+    return v
+
+
+_ORG_ANCHOR_CACHE: dict[str, int | None] = {}
+
+
+def _org_anchor_rel(text: str, low: str) -> int | None:
+    """Latest uppercase-handover LASTS suffix inside the token (the ORG
+    grammar anchor), as a relative offset — pure function of the token
+    text, memoized."""
+    try:
+        return _ORG_ANCHOR_CACHE[text]
+    except KeyError:
+        pass
+    rel = None
+    for k in range(min(17, len(low) - 2), 0, -1):
+        if low[k:] in LASTS and text[k].isupper():
+            rel = k
+            break
+    if len(_ORG_ANCHOR_CACHE) > 300_000:
+        _ORG_ANCHOR_CACHE.clear()
+    _ORG_ANCHOR_CACHE[text] = rel
+    return rel
+
+
+_STEM_CACHE: dict[str, int] = {}
+
+
+def _stem_rel(low: str) -> int:
+    """first.last stem start (optional year/digit prefix behind ≤2
+    glued chars, else glue before a trailing first name), as a relative
+    offset or -1 — pure function of the lowercased token, memoized."""
+    v = _STEM_CACHE.get(low)
+    if v is not None:
+        return v
+    rel = -1
+    for strip in (0, 1, 2):
+        alpha1 = low[strip:]
+        if len(alpha1) < 3:
+            break
+        ym = _YEARPFX.match(alpha1) or _DIGPFX.match(alpha1)
+        stem = alpha1[ym.end():] if ym and alpha1[ym.end():] else alpha1
+        if stem in FIRSTS or (ym and stem in LASTS):
+            rel = strip
+            break
+    if rel < 0:
+        # arbitrary glue ending before a trailing first name
+        # ('Thanks5kelly.adams' → 'kelly')
+        mt = _RX_TRAIL_ALPHA.search(low)
+        if mt and mt.group(1) in FIRSTS and mt.start() > 0:
+            rel = mt.start()
+    if len(_STEM_CACHE) > 300_000:
+        _STEM_CACHE.clear()
+    _STEM_CACHE[low] = rel
+    return rel
+
+
+_USERNAME_CACHE: dict[tuple[str, bool], tuple[float, int, int]] = {}
+
+
 def _username_shape(low: str, first_upper: bool = False) -> tuple[float, int, int]:
     """Single-token username hit: (confidence, start_off, end_off) —
     offsets are TIGHT (glued trail chars excluded) so the fine metric
     tokens around noise glue align with the generator's exact spans.
     Shapes per generation.py:51-118; trailing glue may be arbitrarily
-    long (it is never part of the span)."""
+    long (it is never part of the span). Pure function of its inputs —
+    memoized (Zipf token reuse across a web corpus)."""
+    key = (low, first_upper)
+    v = _USERNAME_CACHE.get(key)
+    if v is not None:
+        return v
+    v = _username_shape_uncached(low, first_upper)
+    if len(_USERNAME_CACHE) > 300_000:
+        _USERNAME_CACHE.clear()
+    _USERNAME_CACHE[key] = v
+    return v
+
+
+def _username_shape_uncached(
+    low: str, first_upper: bool
+) -> tuple[float, int, int]:
     # year-prefixed usernames first, possibly after leading glue
     # ('havef1970jhamilton', 'PaTiente2004stephanie70'): a gazetteer name
     # behind a year beats any generic shape match on the glued prefix
@@ -1365,12 +1469,10 @@ def token_candidates(text: str) -> list[Candidate]:
         # The anchor prefers the LATEST gazetteer hit in the token: in
         # 'Mitchell9FrOmbMiller Inc' the org is 'Miller Inc', the earlier
         # name belongs to a preceding person.
-        org_anchor = None
-        for k in range(min(17, len(tk.low) - 2), 0, -1):
-            if tk.low[k:] in LASTS and tk.text[k].isupper():
-                org_anchor = (tk.start + k, tk.end)
-                break
-        if org_anchor is None:
+        ok = _org_anchor_rel(tk.text, tk.low)
+        if ok is not None:
+            org_anchor = (tk.start + ok, tk.end)
+        else:
             org_anchor = _gaz_span(tk, LASTS)
         if org_anchor:
 
@@ -1442,22 +1544,8 @@ def token_candidates(text: str) -> list[Candidate]:
 
         # ---- PERSON: first.last / first_last (+digits), optional year
         # prefix (with ≤2 leading glued chars: 'g1951heather.dixon')
-        stem_start = -1
-        for strip in (0, 1, 2):
-            alpha1 = tk.low[strip:]
-            if len(alpha1) < 3:
-                break
-            ym = _YEARPFX.match(alpha1) or _DIGPFX.match(alpha1)
-            stem = alpha1[ym.end() :] if ym and alpha1[ym.end() :] else alpha1
-            if stem in FIRSTS or (ym and stem in LASTS):
-                stem_start = tk.start + strip
-                break
-        if stem_start < 0:
-            # arbitrary glue ending before a trailing first name
-            # ('Thanks5kelly.adams' → 'kelly')
-            mt = _RX_TRAIL_ALPHA.search(tk.low)
-            if mt and mt.group(1) in FIRSTS and mt.start() > 0:
-                stem_start = tk.start + mt.start()
+        srel = _stem_rel(tk.low)
+        stem_start = tk.start + srel if srel >= 0 else -1
         if (
             stem_start >= 0
             and i + 2 < n
@@ -1500,7 +1588,7 @@ def token_candidates(text: str) -> list[Candidate]:
         if (
             _ALNUM_RE.match(tk.text)
             and len(tk.text) <= 26  # SHA1/GUID tokens are longer
-            and not in_handle(i)
+            and not handle_tok
         ):
             conf, a, b = _username_shape(tk.low, tk.text[0].isupper())
             if conf == 0 and any(c.isdigit() for c in tk.low):
@@ -1598,18 +1686,7 @@ def token_candidates(text: str) -> list[Candidate]:
         )
         if (
             ini_m
-            and not any(
-                ini_m.group(1) == b
-                or sorted(ini_m.group(1)) == sorted(b)
-                or (
-                    max(len(b), len(ini_m.group(1))) >= 4
-                    and _edit1(ini_m.group(1), b)
-                )
-                # a noised form label ('ESN:', 'SS0') sits in label
-                # position; only then does edit-1 apply to 3-letter words
-                or (len(b) == 3 and ini_formlabel and _edit1(ini_m.group(1), b))
-                for b in INITIALS_BLOCKLIST
-            )
+            and not _ini_blocked(ini_m.group(1), bool(ini_formlabel))
             and ini_m.group(1) not in STATE_ABBRS
             and ini_m.group(1) not in COUNTRY_CODES
             and prev_char(i) != "@"
@@ -1677,7 +1754,7 @@ def token_candidates(text: str) -> list[Candidate]:
             i + 1 < n
             and text[toks[i + 1].end : toks[i + 1].end + 1] in (".", "@", "_")
         )
-        if not in_handle(i) and not (
+        if not handle_tok and not (
             i + 1 < n
             and _gaz_glued(toks[i + 1], LASTS)
             and not nxt_is_email_local
@@ -1695,7 +1772,7 @@ def token_candidates(text: str) -> list[Candidate]:
                     out.append(Candidate(tk.start, tk.end, "PERSON", 0.60))
             else:
                 sp = _gaz_span(tk, FIRSTS)
-                if sp and not _gaz_glued(tk, CITY_1 | STATE_1 | COUNTRY_1):
+                if sp and not _gaz_glued(tk, _PLACE_1):
                     out.append(Candidate(sp[0], sp[1], "PERSON", 0.55))
 
     return out

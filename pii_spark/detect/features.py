@@ -189,6 +189,35 @@ def _miss_feats(tag: str) -> np.ndarray:
     return v
 
 
+_TAIL_F: dict[tuple, np.ndarray] = {}
+
+
+def _tail_feats(
+    pc: str, nc: str, tag: str, conf_hi: bool, prev_tag: str, next_tag: str
+) -> np.ndarray:
+    """Separator-char + rule-overlay feature block, memoized on its
+    6-tuple of inputs (low cardinality: chars × BILOU tags). Feature
+    ORDER matches the original inline construction exactly, so the
+    reduceat summation order in serving stays byte-identical."""
+    key = (pc, nc, tag, conf_hi, prev_tag, next_tag)
+    v = _TAIL_F.get(key)
+    if v is None:
+        f = [f"pc={pc}", f"nc={nc}"]
+        if tag:
+            f.append(f"c={tag}")
+            f.append(f"cl={tag.split('-')[-1]}")
+            f.append(f"cc={tag}:{'hi' if conf_hi else 'lo'}")
+        else:
+            f.append("c=~")
+        f.append(f"cp={prev_tag or '~'}")
+        f.append(f"cn={next_tag or '~'}")
+        v = _hash_arr(f)
+        if len(_TAIL_F) > 400_000:
+            _TAIL_F.clear()
+        _TAIL_F[key] = v
+    return v
+
+
 def featurize_doc_flat(
     text: str,
     tokens: list[str],
@@ -207,51 +236,34 @@ def featurize_doc_flat(
     n = len(tokens)
     lens = np.zeros(n, dtype=np.int64)
     parts: list[np.ndarray] = []
-    tail_strs: list[str] = []
-    block_rows: list[list[np.ndarray] | None] = []
-    tail_counts = [0] * n
     for i in range(n):
         if offsets[i] == (0, 0):
-            block_rows.append(None)
             continue
-        row = [_self_feats(tokens[i])]
+        ln = 0
+        a = _self_feats(tokens[i])
+        parts.append(a)
+        ln += a.shape[0]
         for d, tag in ((-2, "pp"), (-1, "p"), (1, "n"), (2, "nn")):
             j = i + d
             if 0 <= j < n:
-                row.append(_ctx_feats(tag, tokens[j], d in (-1, 1)))
+                a = _ctx_feats(tag, tokens[j], d in (-1, 1))
             else:
-                row.append(_miss_feats(tag))
-        block_rows.append(row)
-        # adjacent raw characters (separator signals: ':', '#', '@', '|')
+                a = _miss_feats(tag)
+            parts.append(a)
+            ln += a.shape[0]
+        # adjacent raw chars (separator signals) + rule-candidate
+        # overlay, as one memoized block (low-cardinality key)
         s0, e0 = offsets[i]
-        t0 = len(tail_strs)
-        tail_strs.append(f"pc={text[s0-1] if s0 > 0 else '^'}")
-        tail_strs.append(f"nc={text[e0] if e0 < len(text) else '$'}")
-        # rule-candidate overlay
-        if cand_tags[i]:
-            tail_strs.append(f"c={cand_tags[i]}")
-            tail_strs.append(f"cl={cand_tags[i].split('-')[-1]}")
-            tail_strs.append(
-                f"cc={cand_tags[i]}:{'hi' if cand_confs[i] >= 0.8 else 'lo'}"
-            )
-        else:
-            tail_strs.append("c=~")
-        prev_tag = cand_tags[i - 1] if i > 0 else "^"
-        next_tag = cand_tags[i + 1] if i + 1 < n else "$"
-        tail_strs.append(f"cp={prev_tag or '~'}")
-        tail_strs.append(f"cn={next_tag or '~'}")
-        tail_counts[i] = len(tail_strs) - t0
-    tail_hashes = _hash_arr(tail_strs)
-    pos = 0
-    for i in range(n):
-        row = block_rows[i]
-        if row is None:
-            continue
-        tl = tail_counts[i]
-        parts.extend(row)
-        parts.append(tail_hashes[pos:pos + tl])
-        pos += tl
-        lens[i] = sum(a.shape[0] for a in row) + tl
+        a = _tail_feats(
+            text[s0 - 1] if s0 > 0 else "^",
+            text[e0] if e0 < len(text) else "$",
+            cand_tags[i],
+            cand_confs[i] >= 0.8,
+            cand_tags[i - 1] if i > 0 else "^",
+            cand_tags[i + 1] if i + 1 < n else "$",
+        )
+        parts.append(a)
+        lens[i] = ln + a.shape[0]
     flat = (np.concatenate(parts) if parts
             else np.empty(0, dtype=np.int32))
     return flat, lens

@@ -100,19 +100,98 @@ _TRANS = _transition_matrix()
 
 
 def _viterbi(logp: np.ndarray) -> np.ndarray:
-    """Max-sum decode over token log-probs with _TRANS priors."""
+    """Max-sum decode over token log-probs with _TRANS priors.
+
+    Windowed (r3, VERDICT r2 #2): full decode costs a 37×37 candidate
+    matrix per token in a Python loop, yet non-O evidence is confined
+    to candidate neighborhoods. ``_safe_o_mask`` finds tokens that
+    EVERY optimal path provably labels O; the sequence then decomposes
+    into independent segments between safe runs, each decoded with
+    O boundary conditions. Output is exactly identical to the full
+    decode (proof in _safe_o_mask; tie-breaking included, because a
+    path through a non-O label on a safe token is STRICTLY suboptimal,
+    so argmax tie-breaks only ever arbitrate among through-O prefixes
+    exactly as the windowed recurrence does). Cost becomes proportional
+    to total candidate-neighborhood length, not document length."""
+    n = logp.shape[0]
+    safe = _safe_o_mask(logp)
+    if not safe.any():
+        return _viterbi_segment(logp, False, False)
+    pred = np.zeros(n, dtype=np.int32)
+    unsafe = ~safe
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([0], unsafe.view(np.int8), [0]))))
+    for a, b in zip(edges[::2], edges[1::2]):  # segment = [a, b)
+        pred[a:b] = _viterbi_segment(logp[a:b], a > 0, b < n)
+    return pred
+
+
+def _viterbi_segment(
+    logp: np.ndarray, left_o: bool, right_o: bool
+) -> np.ndarray:
+    """Viterbi over one segment; ``left_o``/``right_o`` say whether the
+    adjacent token outside the segment is a (provably-O) safe token,
+    contributing its transition prior at the boundary."""
     n = logp.shape[0]
     back = np.zeros((n, NUM_LABELS), dtype=np.int32)
-    score = logp[0].copy()
+    score = logp[0] + _TRANS[0] if left_o else logp[0].copy()
     for t in range(1, n):
         cand = score[:, None] + _TRANS
         back[t] = cand.argmax(axis=0)
         score = cand.max(axis=0) + logp[t]
+    if right_o:
+        score = score + _TRANS[:, 0]
     path = np.zeros(n, dtype=np.int32)
     path[-1] = int(score.argmax())
     for t in range(n - 1, 0, -1):
         path[t - 1] = back[t, path[t]]
     return path
+
+
+# max transition advantage any non-O excursion can gain over the stay-O
+# path: _TRANS entries are exactly 0 or -8, an excursion touches two
+# boundary transitions → 8 per side. 0.5 of float32 headroom on top.
+_MARGIN_BOUND = 8.5
+
+
+def _safe_o_mask(logp: np.ndarray) -> np.ndarray:
+    """Boolean mask of tokens that EVERY optimal Viterbi path labels O.
+
+    Let m_t = logp[t, O] − max_{l≠O} logp[t, l] (the per-token O
+    margin) and consider a maximal run of tokens with m_t > 0. Within
+    such a run (all transitions ≤ 0, O→O = 0):
+
+    * an interior non-O island (O on both sides) swapped to O loses no
+      transitions and gains Σ island margins > 0 — strictly better, so
+      optimal paths have none;
+    * a non-O stretch intruding across the run's edge to depth d,
+      swapped to O, worsens at most ONE boundary transition (≥ −8) and
+      gains Σ_{0..d} m > 8 once the prefix margin clears the bound —
+      so intrusions cannot reach past the first prefix whose
+      cumulative margin exceeds 8;
+    * a stretch bridging the whole run worsens two boundaries (≥ −16)
+      and gains the full-run margin > 16 (guaranteed when the prefix
+      and suffix bounds are met disjointly) — impossible.
+
+    Tokens past both the prefix and suffix cumulative-margin bounds are
+    therefore O in every optimal path — all three cases are STRICT
+    improvements, which is what makes windowed tie-breaking agree with
+    the full decode (see _viterbi)."""
+    m = logp[:, 0] - logp[:, 1:].max(axis=1)
+    safe = np.zeros(len(m), dtype=bool)
+    pos = m > 0
+    if not pos.any():
+        return safe
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([0], pos.view(np.int8), [0]))))
+    for s, e in zip(edges[::2], edges[1::2]):  # run = [s, e)
+        run = m[s:e]
+        cl = int(np.searchsorted(np.cumsum(run), _MARGIN_BOUND, "right"))
+        cr = int(np.searchsorted(np.cumsum(run[::-1]), _MARGIN_BOUND,
+                                 "right"))
+        if cl + cr <= len(run) - 2:
+            safe[s + cl:e - cr] = True
+    return safe
 
 
 class DocResult(NamedTuple):
