@@ -3,12 +3,14 @@
 Web-scale training-data pipelines carry images/audio/video as opaque
 ``binary`` columns next to typed metadata. The Spark-side plumbing here
 is real and tested — schemas, Arrow batch shapes, mapInPandas
-signatures, partition-safe determinism — while the actual media
-decoding is STUBBED: the image/audio libraries are not in this
-container, so ``decode_image`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces a seeded fake decode whose
+signatures, partition-safe determinism — and ``decode_image`` really
+decodes the dependency-free formats (uncompressed 24-bpp BMP, binary
+PPM) in pure numpy. Compressed formats (JPEG/PNG) need codec libraries
+absent in this container and raise ``NotImplementedError``;
+``deterministic_fake=True`` substitutes a seeded fake decode whose
 shape/statistics flow through the rest of the pipeline exactly like a
-real decoder's output would.
+real decoder's output would (used for the driver's synthetic corpus,
+whose payloads are text bytes, not images).
 
 Column convention:
     media struct<payload: binary, mime: string, width: int, height: int>
@@ -45,27 +47,93 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm_p6(payload: bytes) -> np.ndarray:
+    """Binary PPM (magic 'P6'): ASCII header of whitespace-separated
+    width/height/maxval (with '#' comments), then raw RGB rows."""
+    pos = 2
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bpp BMP (BITMAPINFOHEADER): BGR pixel rows,
+    bottom-up (top-down when height is negative), padded to 4 bytes."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bpp BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
 def decode_image(
     payload: bytes, width: int, height: int, deterministic_fake: bool = False
 ) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
-    STUB: real decoding needs Pillow/libjpeg, absent in this container.
+    Real formats (pure numpy, no Pillow): uncompressed 24-bpp BMP
+    (magic 'BM') and binary PPM ('P6'). Compressed formats (JPEG/PNG)
+    need codec libraries absent in this container and raise
+    NotImplementedError.
+
     With deterministic_fake=True, returns a seeded pseudo-image derived
-    from the payload hash — stable across retries/partitions, so the
-    downstream plumbing (resize, feature extraction, batching) is fully
-    exercisable in tests.
-    """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding requires Pillow (not available offline); "
-            "pass deterministic_fake=True for plumbing tests"
-        )
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    h = max(1, min(height or 8, 64))
-    w = max(1, min(width or 8, 64))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    from the payload hash — stable across retries/partitions — so the
+    downstream plumbing (resize, feature extraction, batching) is
+    exercisable on payloads that aren't real images (the driver's
+    synthetic corpus attaches text bytes as payloads)."""
+    if deterministic_fake:
+        seed = int.from_bytes(
+            hashlib.sha256(payload or b"").digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        h = max(1, min(height or 8, 64))
+        w = max(1, min(width or 8, 64))
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    head = (payload or b"")[:2]
+    if head == b"BM":
+        return _decode_bmp(payload)
+    if head == b"P6":
+        return _decode_ppm_p6(payload)
+    raise NotImplementedError(
+        "unrecognized image payload (supported offline: uncompressed "
+        "24-bpp BMP, binary PPM; JPEG/PNG need Pillow). Pass "
+        "deterministic_fake=True for plumbing tests."
+    )
 
 
 def resize_image(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:

@@ -1,5 +1,6 @@
-"""Multimodal plumbing: schema, Arrow batch shape, determinism; decode
-itself is stubbed (no media libs offline)."""
+"""Multimodal plumbing: schema, Arrow batch shape, determinism; real
+decode for the dependency-free formats (BMP/PPM), NotImplementedError
+for compressed formats (no codec libs offline)."""
 
 import numpy as np
 import pytest
@@ -13,9 +14,64 @@ from pii_spark.multimodal import (
 )
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"abc", 8, 8)
+        decode_image(b"\x89PNG\r\n\x1a\n....", 8, 8)
+
+
+def _bmp_bytes(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Handcraft an uncompressed 24-bpp BMP from an HxWx3 RGB array."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    rows = pixels if top_down else pixels[::-1]
+    for row in rows:
+        line = row[:, ::-1].tobytes()  # RGB → BGR
+        raster += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    size = off + len(raster)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_decode_real_bmp_both_orientations():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    for top_down in (False, True):
+        got = decode_image(_bmp_bytes(img, top_down), 3, 5)
+        assert got.shape == (5, 3, 3)
+        assert (got == img).all()
+
+
+def test_decode_real_ppm_with_comment():
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = b"P6\n# a comment\n4 2\n255\n" + img.tobytes()
+    got = decode_image(payload, 4, 2)
+    assert got.shape == (2, 4, 3)
+    assert (got == img).all()
+
+
+def test_decode_real_bytes_flow_through_features(spark):
+    img = np.full((6, 4, 3), 200, dtype=np.uint8)
+    payload = b"P6\n4 6\n255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [(1, (payload, "image/x-portable-pixmap", 4, 6))],
+        "doc_id long, media struct<payload:binary,mime:string,"
+        "width:int,height:int>",
+    )
+    rows = media_features(df, fake_decode=False).collect()
+    assert len(rows) == 1
+    assert rows[0].mean_px == 200.0
+    assert len(rows[0].feat) == 8
 
 
 def test_fake_decode_deterministic():
