@@ -890,25 +890,36 @@ def q_token_count_bpe(spark, sf_dir):
     )
 
 
-def q_fingerprint_winnow(spark, sf_dir):
-    """Winnowing-style rolling fingerprint (document fingerprinting,
-    SURVEY training-data ops): k-gram shingles (k=8, stride 1 within a
-    window), per-window minimum hash selected as the fingerprint —
-    identical docs share all fingerprints, near-identical share most.
-    Census: distinct fingerprints per doc + global collision count."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+def winnow_fps(d: DataFrame, fast: bool = False) -> DataFrame:
+    """(doc_id, text) → winnowing fingerprints (doc_id, win, fp):
+    k-gram shingles (k=8, stride 1 within a window of 16), per-window
+    minimum hash selected as the fingerprint — identical docs share all
+    fingerprints, near-identical share most.
+
+    fast=False hashes with md5 (DuckDB-mirrorable, the oracle-checked
+    path). fast=True hashes with xxhash64 (VERDICT r2 #6): the
+    dominant exploded relation carries an 8-byte long instead of a
+    32-char hex string — no hex materialization, a much cheaper hash,
+    and narrower partial-agg/shuffle rows; DuckDB has no xxhash64, so
+    this is the rows-only scale path whose winnowing semantics are
+    pinned against the md5 variant by tests/test_winnow_scale.py."""
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)),
                    F.lit(1))
     ).alias("i")
+    gram = F.expr("substring(text, i, 8)")
+    h = F.xxhash64(gram) if fast else F.md5(gram)
     grams = d.select("doc_id", pos, "text").select(
         "doc_id",
         # explicit floor: int/int is double in both engines but a bare
         # CAST rounds half-even in DuckDB while Spark truncates
         F.floor((F.col("i") - 1) / 16).cast("long").alias("win"),
-        F.md5(F.expr("substring(text, i, 8)")).alias("h"),
+        h.alias("h"),
     )
-    fps = grams.groupBy("doc_id", "win").agg(F.min("h").alias("fp"))
+    return grams.groupBy("doc_id", "win").agg(F.min("h").alias("fp"))
+
+
+def _winnow_census(fps: DataFrame) -> DataFrame:
     per_doc = fps.groupBy("doc_id").agg(
         F.countDistinct("fp").cast("long").alias("n_fp")
     )
@@ -923,6 +934,24 @@ def q_fingerprint_winnow(spark, sf_dir):
             F.round(F.avg("n_fp"), 4).alias("avg_fp_per_doc"),
         )
         .crossJoin(shared)
+    )
+
+
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing census, md5 fingerprints (DuckDB-oracle-checked):
+    distinct fingerprints per doc + global collision count."""
+    return _winnow_census(
+        winnow_fps(_docs(spark, sf_dir).select("doc_id", "text"))
+    )
+
+
+def q_fingerprint_winnow_fast(spark, sf_dir):
+    """Winnowing census on the xxhash64 scale path (see winnow_fps) —
+    the plan a 100 TB run should use; rows-only driver check (DuckDB
+    cannot mirror xxhash64), semantics pinned vs the md5 variant in
+    tests/test_winnow_scale.py."""
+    return _winnow_census(
+        winnow_fps(_docs(spark, sf_dir).select("doc_id", "text"), fast=True)
     )
 
 
@@ -1134,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "token_count_bpe": q_token_count_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
+        "fingerprint_winnow_fast": q_fingerprint_winnow_fast,
         "max_label_id": q_max_label_id,
         "over_under_prediction": q_over_under_prediction,
         "rollup_lang_source": q_rollup_lang_source,

@@ -113,15 +113,35 @@ class IceliteTable:
 
     # ----------------------------------------------------------- write side
 
-    def _commit(self, operation: str, new_dirs: list[str], summary: dict) -> Snapshot:
+    def _commit(
+        self,
+        operation: str,
+        new_dirs: list[str],
+        summary: dict,
+        require_parent_version: int | None = None,
+    ) -> Snapshot:
         """Optimistic-concurrency commit (ADVICE r1): the manifest is
         published with os.link (O_EXCL semantics — fails if the version
         already exists), so a committer that lost the race retries with
         a fresh parent instead of silently overwriting the winner's
-        snapshot. Same protocol as Iceberg's atomic swap."""
+        snapshot. Same protocol as Iceberg's atomic swap.
+
+        ``require_parent_version`` makes the commit conditional (used by
+        compact): if another snapshot landed since the caller read the
+        table, retrying would silently DROP that snapshot's rows — fail
+        instead and let the caller re-run on fresh state."""
         self.meta.mkdir(parents=True, exist_ok=True)
         for _ in range(64):
             parent = self.snapshot()
+            if require_parent_version is not None and (
+                parent is None or parent.version != require_parent_version
+            ):
+                raise RuntimeError(
+                    f"concurrent commit on {self.dir}: expected parent "
+                    f"v{require_parent_version}, found "
+                    f"v{parent.version if parent else None} — re-read and "
+                    "retry the operation"
+                )
             if operation == "append" and parent is not None:
                 data_dirs = parent.data_dirs + new_dirs
             else:
@@ -167,6 +187,50 @@ class IceliteTable:
 
     # ------------------------------------------------------ maintenance
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Small-file compaction (VERDICT r2 #7 — the 100 TB operational
+        gap): rewrite the current snapshot's rows into ``target_partitions``
+        large files as ONE new data dir and commit it as a replacing
+        snapshot. Rows are identical; only the physical layout changes.
+        Old snapshots stay readable (time travel) until expire_snapshots
+        reclaims them, and the resume ledger is unaffected — expired
+        summaries are carried by expiry, unexpired ones still live in
+        their manifests.
+
+        The commit is conditional on the parent version read here: an
+        append racing with compaction must not be silently dropped, so
+        the loser gets a RuntimeError and re-runs (Iceberg's
+        validate-snapshot-id semantics)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot to compact in {self.dir}")
+        df = self.read(spark).repartition(max(1, target_partitions))
+        new_dir = self._write_data(df)
+        return self._commit(
+            "compact",
+            [new_dir],
+            summary or {"compacted_from_version": snap.version,
+                        "compacted_dirs": len(snap.data_dirs)},
+            require_parent_version=snap.version,
+        )
+
+    def data_file_count(self, version: int | None = None) -> int:
+        """Number of parquet data files in a snapshot (compaction
+        observability)."""
+        snap = self.snapshot(version)
+        if snap is None:
+            return 0
+        return sum(
+            1
+            for d in snap.data_dirs
+            for p in Path(d).glob("*.parquet")
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Iceberg-style snapshot expiry: drop manifests older than the
         newest ``keep_last`` snapshots and delete data directories no
@@ -186,14 +250,7 @@ class IceliteTable:
         # committed groups; fail loudly instead (review r2b)
         self.meta.mkdir(parents=True, exist_ok=True)
         lock = self.meta / ".expire.lock"
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise RuntimeError(
-                f"another expire_snapshots is running on {self.dir} "
-                f"(stale? remove {lock})"
-            ) from None
-        os.close(fd)
+        self._acquire_expire_lock(lock)
         try:
             cur = self.current_version()
             if cur is None or keep_last < 1:
@@ -239,6 +296,65 @@ class IceliteTable:
             return removed
         finally:
             lock.unlink()
+
+    # one hour: an expiry pass over even a huge table is minutes; a
+    # lock this old belongs to a crashed process
+    EXPIRE_LOCK_STALE_S = 3600.0
+
+    def _acquire_expire_lock(self, lock: Path) -> None:
+        """O_EXCL lock with crash recovery (ADVICE r2: a SIGKILL'd
+        expiry left a permanent lock). The lock records pid + timestamp;
+        an existing lock whose pid is dead (same-host check) or whose
+        age exceeds EXPIRE_LOCK_STALE_S is taken over. Takeover is an
+        atomic rename to a unique quarantine name — only one contender
+        can win the rename — and the quarantined content is re-checked:
+        if it turns out to be another process's FRESH lock (the read/
+        rename race), it is restored and we fail as contention."""
+        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload.encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                if attempt == 1 or not self._try_steal_stale_lock(lock):
+                    raise RuntimeError(
+                        f"another expire_snapshots is running on "
+                        f"{self.dir} (live lock {lock})"
+                    ) from None
+
+    def _try_steal_stale_lock(self, lock: Path) -> bool:
+        quarantine = lock.with_name(
+            f".expire.lock.stale-{uuid.uuid4().hex[:8]}")
+        try:
+            os.rename(lock, quarantine)
+        except FileNotFoundError:
+            return True  # holder released it meanwhile — just retry
+        try:
+            info = json.loads(quarantine.read_text())
+            pid, ts = int(info["pid"]), float(info["ts"])
+        except (ValueError, KeyError, OSError):
+            # unparseable (pre-r3 empty lock / torn write): age decides
+            pid, ts = None, quarantine.stat().st_mtime
+        alive = False
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+        if alive and time.time() - ts <= self.EXPIRE_LOCK_STALE_S:
+            # fresh lock grabbed in the read/rename window — restore it
+            try:
+                os.rename(quarantine, lock)
+            except OSError:
+                pass
+            return False
+        quarantine.unlink(missing_ok=True)
+        return True
 
     def _ledger_carry(self) -> dict:
         path = self.meta / "ledger.json"

@@ -188,3 +188,100 @@ def test_expire_snapshots(spark, tmp_path):
     assert t.committed_groups() == {0, 1, 2, 3}
     # expiring again is a no-op
     assert t.expire_snapshots(keep_last=2) == []
+
+
+def test_compaction(spark, tmp_path):
+    """compact() rewrites N appended snapshots' small files into few
+    large ones: identical rows, fewer files, time travel + ledger
+    intact (VERDICT r2 #7)."""
+    t = IceliteTable(tmp_path / "tbl")
+    for g in range(4):
+        t.append(
+            spark.range(g * 10, g * 10 + 10).repartition(4)
+            .withColumnRenamed("id", "x"),
+            summary={"group": g},
+        )
+    before_rows = sorted(r.x for r in t.read(spark).collect())
+    before_files = t.data_file_count()
+    assert before_files >= 8  # small-file problem exists
+    pre_version = t.current_version()
+
+    snap = t.compact(spark, target_partitions=1)
+    assert snap.operation == "compact"
+    assert sorted(r.x for r in t.read(spark).collect()) == before_rows
+    assert t.data_file_count() < before_files
+    assert t.data_file_count() <= 2
+    # time travel to the pre-compaction snapshot still works
+    assert sorted(r.x for r in t.read(spark, version=pre_version).collect()) \
+        == before_rows
+    # resume ledger unaffected
+    assert t.committed_groups() == {0, 1, 2, 3}
+    # appends continue on top of the compacted snapshot
+    t.append(spark.range(100, 105).withColumnRenamed("id", "x"),
+             summary={"group": 9})
+    assert t.read(spark).count() == 45
+    # ...and expiry then reclaims the pre-compaction dirs
+    t.expire_snapshots(keep_last=2)
+    assert t.committed_groups() == {0, 1, 2, 3, 9}
+    assert sorted(r.x for r in t.read(spark).collect()) \
+        == before_rows + [100, 101, 102, 103, 104]
+
+
+def test_compaction_conflicts_with_concurrent_append(spark, tmp_path):
+    """A snapshot landing between compaction's read and commit must
+    fail the compaction (silently replacing it would drop its rows)."""
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.range(5).withColumnRenamed("id", "x"))
+    snap = t.snapshot()
+    df = t.read(spark).repartition(1)
+    new_dir = t._write_data(df)
+    # simulate the race: another append lands before compact's commit
+    t.append(spark.range(5, 8).withColumnRenamed("id", "x"))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t._commit("compact", [new_dir], {},
+                  require_parent_version=snap.version)
+    assert t.read(spark).count() == 8  # nothing lost
+
+
+def test_expire_lock_stale_takeover(spark, tmp_path):
+    """A lock left by a crashed (dead-pid) expiry is taken over; a
+    fresh lock from a live process still blocks (ADVICE r2)."""
+    import json
+    import os
+    import time as _time
+
+    t = IceliteTable(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    for g in range(3):
+        t.append(df, summary={"group": g})
+    lock = t.meta / ".expire.lock"
+
+    # dead pid → stale → expiry proceeds
+    lock.write_text(json.dumps({"pid": 2 ** 22 + 12345,
+                                "ts": _time.time()}))
+    t.expire_snapshots(keep_last=2)
+    assert not lock.exists()
+    assert t.committed_groups() == {0, 1, 2}
+
+    # live pid + fresh timestamp → contention error, lock preserved
+    t.append(df, summary={"group": 3})
+    lock.write_text(json.dumps({"pid": os.getpid(), "ts": _time.time()}))
+    with pytest.raises(RuntimeError, match="another expire_snapshots"):
+        t.expire_snapshots(keep_last=1)
+    assert lock.exists()
+    lock.unlink()
+
+    # live pid but ancient timestamp → stale → taken over
+    lock.write_text(json.dumps({"pid": os.getpid(),
+                                "ts": _time.time() - 7200}))
+    t.expire_snapshots(keep_last=1)
+    assert not lock.exists()
+
+    # pre-r3 empty lock file, old mtime → age decides → taken over
+    lock.write_text("")
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+    t.append(df, summary={"group": 4})
+    t.expire_snapshots(keep_last=1)
+    assert not lock.exists()
+    assert t.committed_groups() == {0, 1, 2, 3, 4}
