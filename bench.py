@@ -71,7 +71,12 @@ def main() -> None:
     warm = generate_corpus(spark, 8_000, partitions=CPUS * 2)
     run_pipeline(warm).agg(F.count("*")).collect()
 
-    timed("pipeline", lambda: run_pipeline(corpus, partitions=CPUS)
+    # 2 tasks/core (the run_pipeline default): one-task-per-core leaves
+    # zero work-stealing headroom, so any straggler or background load
+    # on a few cores extends the whole wave — measured 37.7s vs 13.1s
+    # for the same leg at partitions=CPUS vs CPUS*2 under moderate
+    # host contention (r3)
+    timed("pipeline", lambda: run_pipeline(corpus, partitions=CPUS * 2)
           .agg(F.sum(F.col("keep").cast("long")), F.sum(F.size("spans")))
           .collect())
     timed("minhash", lambda: entry.q_dedup_minhash(spark, SF_DIR).collect())
