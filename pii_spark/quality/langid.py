@@ -103,20 +103,42 @@ def _build() -> dict[str, dict[str, float]]:
 
 _MODELS = _build()
 
+# combined scoring table: trigram → tuple of per-language log-probs in
+# LANGS order, so classification walks the text's trigrams ONCE instead
+# of once per language (the r2 classify was 5 passes + 5 dict probes
+# per trigram; this is the langid hot path in the fused enrich UDF)
+_UNK_VEC = tuple(_MODELS[lang]["<unk>"] for lang in LANGS)
+_COMBINED: dict[str, tuple[float, ...]] = {
+    tri: tuple(_MODELS[lang].get(tri, _MODELS[lang]["<unk>"])
+               for lang in LANGS)
+    for lang_model in _MODELS.values()
+    for tri in lang_model
+    if tri != "<unk>"
+}
+
 
 def classify(text: str) -> tuple[str, float]:
-    """Return (language, posterior probability)."""
-    scores = {}
-    for lang, logp in _MODELS.items():
-        unk = logp["<unk>"]
-        s = 0.0
-        for tri in _trigrams(text[:2000]):
-            s += logp.get(tri, unk)
-        scores[lang] = s
-    best = max(scores, key=scores.get)
-    m = scores[best]
-    denom = sum(math.exp(v - m) for v in scores.values())
-    return best, 1.0 / denom
+    """Return (language, posterior probability). Single pass over the
+    text's distinct trigrams; each distinct trigram contributes
+    count × its per-language log-prob vector. max()/first-index
+    tie-breaking matches the per-language formulation (LANGS order)."""
+    from collections import Counter
+
+    cnt = Counter(_trigrams(text[:2000]))
+    s0 = s1 = s2 = s3 = s4 = 0.0
+    get = _COMBINED.get
+    for tri, c in cnt.items():
+        v0, v1, v2, v3, v4 = get(tri, _UNK_VEC)
+        s0 += c * v0
+        s1 += c * v1
+        s2 += c * v2
+        s3 += c * v3
+        s4 += c * v4
+    scores = (s0, s1, s2, s3, s4)
+    m = max(scores)
+    best = scores.index(m)
+    denom = sum(math.exp(v - m) for v in scores)
+    return LANGS[best], 1.0 / denom
 
 
 def classify_batch(texts) -> tuple[list[str], list[float]]:
