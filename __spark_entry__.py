@@ -955,6 +955,80 @@ def q_fingerprint_winnow_fast(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
+    heuristics, the training-data filter family): per doc, the most
+    frequent word's share of all words and the duplicate word-bigram
+    fraction; docs exceeding either threshold are flagged. All-native
+    columnar expressions — no UDF, whole-stage codegen."""
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    d = d.select("doc_id", words.alias("w")).filter(F.size("w") >= 2)
+    grams = F.expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"
+    )
+    d = d.withColumn(
+        "dup2_frac",
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4
+        ),
+    )
+    top = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("tf"))
+        .select("doc_id", F.round("tf", 4).alias("top_word_frac"))
+    )
+    return (
+        d.select("doc_id", "dup2_frac")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "top_word_frac",
+            "dup2_frac",
+            (
+                (F.col("top_word_frac") > 0.2) | (F.col("dup2_frac") > 0.4)
+            ).alias("flagged"),
+        )
+    )
+
+
+def q_domain_filter(spark, sf_dir):
+    """Blocklist filtering as a broadcast LEFT ANTI join — the shape a
+    url/domain blocklist takes at 100 TB (blocklist broadcast to every
+    executor, no shuffle of the big side). Census of surviving docs per
+    source."""
+    block = spark.createDataFrame(
+        [("src0",), ("src3",)], "source string"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(block), "source", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact interpolated length percentiles over the corpus (scan +
+    one aggregate). Both engines use linear interpolation (Spark
+    percentile ≡ DuckDB quantile_cont)."""
+    pct = F.percentile(F.length("text"), F.lit([0.25, 0.5, 0.9, 0.99]))
+    return _docs(spark, sf_dir).agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p90"),
+        F.round(pct[3], 4).alias("p99"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
 def q_max_label_id(spark, sf_dir):
     """W2 (model.ipynb cell 8, synth_checks.ipynb cell 10): label-id
     bound sanity agg. Per doc, the max BILOU label id implied by the
@@ -1164,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
         "fingerprint_winnow_fast": q_fingerprint_winnow_fast,
+        "gopher_repetition": q_gopher_repetition,
+        "domain_filter": q_domain_filter,
+        "length_percentiles": q_length_percentiles,
         "max_label_id": q_max_label_id,
         "over_under_prediction": q_over_under_prediction,
         "rollup_lang_source": q_rollup_lang_source,
@@ -1668,6 +1745,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_fp), 4) AS avg_fp_per_doc,
                    n_shared_fp
             FROM per_doc, shared GROUP BY n_shared_fp
+        """,
+        "gopher_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents WHERE doc_id < 100),
+            base AS (
+              SELECT doc_id, w,
+                     list_transform(generate_series(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1]) AS grams
+              FROM w WHERE len(w) >= 2),
+            dup AS (
+              SELECT doc_id,
+                     round(1.0 - len(list_distinct(grams))
+                           * 1.0 / len(grams), 4) AS dup2_frac
+              FROM base),
+            cnt AS (
+              SELECT doc_id, unnest(w) AS word FROM base),
+            topw AS (
+              SELECT doc_id,
+                     round(max(c) * 1.0 / sum(c), 4) AS top_word_frac
+              FROM (SELECT doc_id, word, count(*) AS c
+                    FROM cnt GROUP BY doc_id, word)
+              GROUP BY doc_id)
+            SELECT d.doc_id, t.top_word_frac, d.dup2_frac,
+                   (t.top_word_frac > 0.2 OR d.dup2_frac > 0.4) AS flagged
+            FROM dup d JOIN topw t USING (doc_id)
+        """,
+        "domain_filter": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            WHERE source NOT IN ('src0', 'src3')
+            GROUP BY source
+        """,
+        "length_percentiles": """
+            SELECT round(quantile_cont(length(text), 0.25), 4) AS p25,
+                   round(quantile_cont(length(text), 0.5), 4) AS p50,
+                   round(quantile_cont(length(text), 0.9), 4) AS p90,
+                   round(quantile_cont(length(text), 0.99), 4) AS p99,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
         """,
         "max_label_id": f"""
             WITH per AS (
