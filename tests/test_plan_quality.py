@@ -111,6 +111,27 @@ def test_new_query_plans_are_scale_safe(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # r3 operators
+    plan = _plan(entry.queries()["domain_filter"](spark, sf))
+    # the blocklist anti-join must be broadcast (no shuffle of the
+    # big side) and the scan must read only the join+agg column
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "documents" in ln]
+    assert scans and all("text" not in ln for ln in scans)
+
+    plan = _plan(entry.queries()["gopher_repetition"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # doc_id < 100 pushed to the parquet scan
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan, plan
+
+    # the fast winnow variant must hash JVM-side with xxhash64, not md5
+    plan = _plan(entry.queries()["fingerprint_winnow_fast"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "md5" not in plan and "xxhash64" in plan, plan
+
 
 def test_partition_pruning_on_date_layout(spark, tmp_path):
     """SURVEY §4: partition the corpus by warc date and a date filter
