@@ -114,6 +114,8 @@ def _viterbi(logp: np.ndarray) -> np.ndarray:
     exactly as the windowed recurrence does). Cost becomes proportional
     to total candidate-neighborhood length, not document length."""
     n = logp.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
     safe = _safe_o_mask(logp)
     if not safe.any():
         return _viterbi_segment(logp, False, False)
