@@ -955,6 +955,59 @@ def q_fingerprint_winnow_fast(spark, sf_dir):
     )
 
 
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary over lineitem: scan + filter +
+    hash agg with map-side partial aggregation (the canonical
+    columnar-agg benchmark shape; every expression codegen)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4)
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    selective filters on both dimensions + agg + top-k. customer is
+    broadcast (small side); orders⋈lineitem shuffles on the join key —
+    the plan a 100 TB fact table wants."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(
+            o.join(F.broadcast(c),
+                   F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_orderpriority")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
     heuristics, the training-data filter family): per doc, the most
@@ -1239,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "fingerprint_winnow_fast": q_fingerprint_winnow_fast,
         "gopher_repetition": q_gopher_repetition,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
         "domain_filter": q_domain_filter,
         "length_percentiles": q_length_percentiles,
         "max_label_id": q_max_label_id,
@@ -1745,6 +1800,36 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_fp), 4) AS avg_fp_per_doc,
                    n_shared_fp
             FROM per_doc, shared GROUP BY n_shared_fp
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1995-03-15'
+              AND l_shipdate > '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "gopher_repetition": """
             WITH w AS (
