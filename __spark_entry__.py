@@ -820,6 +820,30 @@ def q_events_hourly(spark, sf_dir):  # tumbling-window agg (batch form)
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window aggregation (10-min windows, 5-min slide): every
+    event contributes to exactly two overlapping windows — the other
+    canonical Structured Streaming window shape next to tumbling
+    (q_events_hourly) and session (q_sessionize). Spark's window()
+    generates the per-event window set natively; the DuckDB twin
+    materializes the two candidate window starts per event explicitly."""
+    w = F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream shape (the
     window-function operator family the engine needs for behavioral
@@ -1287,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cohorts": q_union_cohorts,
         "deterministic_limit": q_deterministic_limit,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "token_count_bpe": q_token_count_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -1733,6 +1758,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            -- each event belongs to the two 10-min windows whose
+            -- starts are the two 5-min slide marks in (ts-10min, ts]
+            WITH ev AS (
+              SELECT event_type, value,
+                     CAST(to_timestamp(
+                       CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                       - k.k * 300) AS TIMESTAMP) AS window_start
+              FROM events,
+                   (SELECT unnest([0, 1]) AS k) k)
+            SELECT CAST(window_start AS VARCHAR) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM ev GROUP BY 1, 2
         """,
         "sessionize": """
             WITH e AS (
