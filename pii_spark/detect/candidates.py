@@ -956,6 +956,65 @@ _SEQ2_INDEX = {
     id(COUNTRY_NAME_SEQS): _seq2_index(COUNTRY_NAME_SEQS),
     id(STATE_NAME_SEQS): _seq2_index(STATE_NAME_SEQS),
 }
+_SEQ2_FIRSTS_ALL = frozenset(
+    k for idx in _SEQ2_INDEX.values() for k in idx
+)
+
+# ---- per-token-text section mask (r3 hot-loop gating) ----------------
+# token_candidates runs ~13 matcher sections per token; for an ordinary
+# word every section's token-local entry predicate is false, yet r2
+# still paid each section's probe cost per OCCURRENCE. The mask caches,
+# per unique token text, which sections COULD fire (the token-local
+# part of each entry condition — context parts still evaluate inside
+# the gated section), so the Zipf-heavy common case is one dict probe
+# plus bit tests. Each bit is provably implied by its section's emit
+# path; gating therefore never changes output (pinned by the
+# byte-stability A/B over 9k docs + the full detect test suite).
+(B_SEQ2, B_PLACE1, B_STREET, B_UNIT, B_ZIP, B_ABBR, B_ORG, B_FIRSTS,
+ B_STEM, B_UNAME, B_FUSED, B_INI) = (1 << i for i in range(12))
+
+_TOK_MASK_CACHE: dict[str, int] = {}
+
+
+def _tok_mask(text: str, low: str) -> int:
+    m = _TOK_MASK_CACHE.get(text)
+    if m is not None:
+        return m
+    m = 0
+    if low in _SEQ2_FIRSTS_ALL:
+        m |= B_SEQ2
+    if (
+        _gaz_span_rel(text, low, CITY_1)
+        or _gaz_span_rel(text, low, COUNTRY_1)
+        or _gaz_span_rel(text, low, STATE_1)
+    ):
+        m |= B_PLACE1
+    if _gaz_span_rel(text, low, STREET_FIRSTS):
+        m |= B_STREET
+    if _gaz_span_rel(text, low, _UNIT_WORDS):
+        m |= B_UNIT
+    if _RX_ZIP5_PP.match(text):
+        m |= B_ZIP
+    if _RX_STATE_ABBR.match(text):
+        m |= B_ABBR
+    if _org_anchor_rel(text, low) is not None or _gaz_span_rel(
+        text, low, LASTS
+    ):
+        m |= B_ORG
+    if _gaz_span_rel(text, low, FIRSTS):
+        m |= B_FIRSTS
+    if _stem_rel(low) >= 0:
+        m |= B_STEM
+    if _ALNUM_RE.match(text) and len(text) <= 26:
+        m |= B_UNAME
+    if _RX_FUSED_ORG.match(text):
+        m |= B_FUSED
+    if _RE_INI.match(text):
+        m |= B_INI
+    if len(_TOK_MASK_CACHE) > 300_000:
+        _TOK_MASK_CACHE.clear()
+    _TOK_MASK_CACHE[text] = m
+    return m
 
 
 # hoisted: building this union per token defeated _GAZ_CACHE (the cache
@@ -1278,9 +1337,10 @@ def token_candidates(text: str) -> list[Candidate]:
         )
 
     for i, tk in enumerate(toks):
+        mask = _tok_mask(tk.text, tk.low)
         # ---- multi-token gazetteer places (longest first);
         # single-token hits tolerate noise glue via _gaz_glued
-        if i + 2 <= n:
+        if mask & B_SEQ2 and i + 2 <= n:
             if _seq2_hit(i, CITY_SEQS):
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", 0.92))
             if _seq2_hit(i, COUNTRY_NAME_SEQS):
@@ -1290,16 +1350,27 @@ def token_candidates(text: str) -> list[Candidate]:
                 # the embedded country "Mexico"
                 conf = 0.91 if tk.text[0].isupper() else 0.55
                 out.append(Candidate(tk.start, toks[i + 1].end, "ADDRESS", conf))
-        handle_tok = in_handle(i)  # gaz-independent: compute once, not 3x
-        for gaz1, conf1 in ((CITY_1, 0.92), (COUNTRY_1, 0.90), (STATE_1, None)):
-            sp = None if handle_tok else _gaz_span(tk, gaz1)
-            if sp:
-                if conf1 is None:  # state full names
-                    conf1 = 0.89 if tk.text[0].isupper() else 0.55
-                out.append(Candidate(sp[0], sp[1], "ADDRESS", conf1))
+        # in_handle is only consulted by the place/username/bare-first
+        # sections — skip the left-walk entirely when none can fire
+        handle_tok = (
+            in_handle(i) if mask & (B_PLACE1 | B_UNAME | B_FIRSTS)
+            else False
+        )
+        if mask & B_PLACE1:
+            for gaz1, conf1 in (
+                (CITY_1, 0.92), (COUNTRY_1, 0.90), (STATE_1, None)
+            ):
+                sp = None if handle_tok else _gaz_span(tk, gaz1)
+                if sp:
+                    if conf1 is None:  # state full names
+                        conf1 = 0.89 if tk.text[0].isupper() else 0.55
+                    out.append(Candidate(sp[0], sp[1], "ADDRESS", conf1))
 
         # ---- street name / street address / full address
-        street_sp = _gaz_span(tk, STREET_FIRSTS) if i + 1 < n else None
+        street_sp = (
+            _gaz_span(tk, STREET_FIRSTS)
+            if (mask & B_STREET and i + 1 < n) else None
+        )
         if street_sp and (
             toks[i + 1].low in STREET_SUFFIXES_L
             or toks[i + 1].low[:-1] in STREET_SUFFIXES_L
@@ -1360,7 +1431,7 @@ def token_candidates(text: str) -> list[Candidate]:
             out.append(Candidate(s, e, "ADDRESS", conf))
 
         # ---- Apartment/Suite/Floor N (glue-tolerant, tight bounds)
-        unit_sp = _gaz_span(tk, _UNIT_WORDS)
+        unit_sp = _gaz_span(tk, _UNIT_WORDS) if mask & B_UNIT else None
         if unit_sp and i + 1 < n and len(toks[i + 1].text) <= 4:
             num_m = _RE_D13.match(toks[i + 1].text)
             if num_m:
@@ -1374,7 +1445,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 )
 
         # ---- postcode pair "12345, 67890-1234" as ONE span (addr branch 17)
-        pp_m = _RX_ZIP5_PP.match(tk.text)
+        pp_m = _RX_ZIP5_PP.match(tk.text) if mask & B_ZIP else None
         if pp_m:
             pp_s = tk.start + len(pp_m.group(1))
             j = i + 1
@@ -1405,7 +1476,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # context — noise uppercases ordinary 2-letter words often enough
         # that a bare closed-list hit is not trustworthy on its own.
         # A single glued digit is tolerated ('TN4', '7PL') — tight span.
-        abbr_m = _RX_STATE_ABBR.match(tk.text)
+        abbr_m = _RX_STATE_ABBR.match(tk.text) if mask & B_ABBR else None
         if abbr_m:
             up = abbr_m.group(2)
             a_off = len(abbr_m.group(1))
@@ -1469,11 +1540,13 @@ def token_candidates(text: str) -> list[Candidate]:
         # The anchor prefers the LATEST gazetteer hit in the token: in
         # 'Mitchell9FrOmbMiller Inc' the org is 'Miller Inc', the earlier
         # name belongs to a preceding person.
-        ok = _org_anchor_rel(tk.text, tk.low)
-        if ok is not None:
-            org_anchor = (tk.start + ok, tk.end)
-        else:
-            org_anchor = _gaz_span(tk, LASTS)
+        org_anchor = None
+        if mask & B_ORG:
+            ok = _org_anchor_rel(tk.text, tk.low)
+            if ok is not None:
+                org_anchor = (tk.start + ok, tk.end)
+            else:
+                org_anchor = _gaz_span(tk, LASTS)
         if org_anchor:
 
             def _suffix_char_end(j: int) -> int:
@@ -1522,7 +1595,7 @@ def token_candidates(text: str) -> list[Candidate]:
                     out.append(Candidate(org_anchor[0], sp4[1], "ORG", 0.95))
 
         # ---- PERSON: real names  First [X.] Last  (tight bounds)
-        first_sp = _gaz_span(tk, FIRSTS)
+        first_sp = _gaz_span(tk, FIRSTS) if mask & B_FIRSTS else None
         if first_sp and prev_char(i) != "@":
             if i + 1 < n:
                 last_sp = _last_span_loose(toks[i + 1])
@@ -1544,8 +1617,9 @@ def token_candidates(text: str) -> list[Candidate]:
 
         # ---- PERSON: first.last / first_last (+digits), optional year
         # prefix (with ≤2 leading glued chars: 'g1951heather.dixon')
-        srel = _stem_rel(tk.low)
-        stem_start = tk.start + srel if srel >= 0 else -1
+        stem_start = (
+            tk.start + _stem_rel(tk.low) if mask & B_STEM else -1
+        )
         if (
             stem_start >= 0
             and i + 2 < n
@@ -1585,11 +1659,8 @@ def token_candidates(text: str) -> list[Candidate]:
 
         # ---- PERSON: single-token username shapes (retry with 1-2
         # leading glued chars stripped: 'Inathan334', 'g1951heather')
-        if (
-            _ALNUM_RE.match(tk.text)
-            and len(tk.text) <= 26  # SHA1/GUID tokens are longer
-            and not handle_tok
-        ):
+        if mask & B_UNAME and not handle_tok:
+            # (B_UNAME = alnum token, len <= 26 — SHA1/GUIDs are longer)
             conf, a, b = _username_shape(tk.low, tk.text[0].isupper())
             if conf == 0 and any(c.isdigit() for c in tk.low):
                 # retry with 1-2 leading glued chars stripped — but only
@@ -1658,7 +1729,7 @@ def token_candidates(text: str) -> list[Candidate]:
         # (SNS/ODB from adjacent swaps); 2-3 letter blocklist words match
         # exactly/anagram only — edit-1 there would swallow most of the
         # random-initials space.
-        fused_m = _RX_FUSED_ORG.match(tk.text)
+        fused_m = _RX_FUSED_ORG.match(tk.text) if mask & B_FUSED else None
         if fused_m and prev_char(i) != "@":
             pfx = fused_m.group(1).lower()
             caps = fused_m.group(2)
@@ -1676,8 +1747,8 @@ def token_candidates(text: str) -> list[Candidate]:
                     Candidate(tk.end - len(caps), tk.end, "PERSON", 0.70)
                 )
 
-        ini_m = _RE_INI.match(tk.text)
-        nxt_ns = text[tk.end : tk.end + 3].lstrip()[:1]
+        ini_m = _RE_INI.match(tk.text) if mask & B_INI else None
+        nxt_ns = text[tk.end : tk.end + 3].lstrip()[:1] if ini_m else ""
         ini_formlabel = ini_m and (
             bool(ini_m.group(2))
             or nxt_ns == ":"
@@ -1750,14 +1821,13 @@ def token_candidates(text: str) -> list[Candidate]:
         # state), glued hits ('Rfrances') carry noise and skip that
         # check. A following last name only suppresses the hit when it
         # is NOT an email local part ('george graham.samuel@…').
-        nxt_is_email_local = (
-            i + 1 < n
-            and text[toks[i + 1].end : toks[i + 1].end + 1] in (".", "@", "_")
-        )
-        if not handle_tok and not (
+        if mask & B_FIRSTS and not handle_tok and not (
             i + 1 < n
             and _gaz_glued(toks[i + 1], LASTS)
-            and not nxt_is_email_local
+            and not (  # next token is an email local part
+                text[toks[i + 1].end : toks[i + 1].end + 1]
+                in (".", "@", "_")
+            )
         ):
             if tk.low in FIRSTS:
                 if tk.text.islower() or (
