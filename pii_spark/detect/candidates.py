@@ -1021,6 +1021,11 @@ def _tok_mask(text: str, low: str) -> int:
 # keys on id(gaz), fresh per union) and allocated a large frozenset in
 # the hot loop
 _PLACE_1 = CITY_1 | STATE_1 | COUNTRY_1
+# hoisted: the single-word company suffixes, iterated per org-anchor
+# token (r2 rebuilt the filtering generator on every call)
+_ORG_SUFFIX_SINGLES = tuple(
+    s[0] for s in ORG_SUFFIX_SEQS if len(s) == 1
+)
 
 
 class _Tok(NamedTuple):
@@ -1557,7 +1562,7 @@ def token_candidates(text: str) -> list[Candidate]:
                 if j + 1 < n and (toks[j].low, toks[j + 1].low) in ORG_SUFFIX_SEQS:
                     return toks[j + 1].end  # "and Sons"
                 lj = toks[j].low
-                for (sfx,) in (s for s in ORG_SUFFIX_SEQS if len(s) == 1):
+                for sfx in _ORG_SUFFIX_SINGLES:
                     if lj == sfx:
                         return toks[j].end
                     if len(sfx) <= 2:

@@ -30,12 +30,23 @@ EOS_ID = 2
 _VOCAB_HASH_BUCKETS = 2**20
 
 
+_ID_CACHE: dict[str, int] = {}
+
+
 def token_id(tok: str) -> int:
-    """Stable hashed vocab id (FNV-1a over the lowercased token)."""
+    """Stable hashed vocab id (FNV-1a over the lowercased token),
+    memoized — the token vocabulary repeats massively (Zipf)."""
+    v = _ID_CACHE.get(tok)
+    if v is not None:
+        return v
     h = 2166136261
     for ch in tok.lower().encode("utf-8"):
         h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-    return 3 + h % _VOCAB_HASH_BUCKETS
+    v = 3 + h % _VOCAB_HASH_BUCKETS
+    if len(_ID_CACHE) > 500_000:
+        _ID_CACHE.clear()
+    _ID_CACHE[tok] = v
+    return v
 
 
 def tokenize_with_offsets(
