@@ -161,6 +161,34 @@ def run_stream_dedup(
     return {"updated_state_rows": updated}
 
 
+def run_stream_dedup_builtin(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Plain streaming URL-dedup via the built-in ``dropDuplicates`` —
+    the JVM state-store twin of run_stream_dedup for jobs that need no
+    custom per-key logic: identical state shape (one entry per url) and
+    the same exactly-once / cross-restart semantics, with zero Python
+    dispatch per group. This is the path a production job should take
+    unless it carries custom keep/drop policy; run_stream_dedup exists
+    to demonstrate the applyInPandasWithState operator shape."""
+    schema = spark.read.parquet(corpus_dir).schema
+    q = (
+        spark.readStream.schema(schema).parquet(corpus_dir)
+        .select("url", "text")
+        .dropDuplicates(["url"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_events_stream(
     spark: SparkSession,
     events_dir: str,

@@ -202,3 +202,39 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     # only the ONE new url wrote state; u1/u2's existing rows untouched
     # (the r2 design re-serialized the full accumulated set every batch)
     assert m2["updated_state_rows"] == 1
+
+
+def test_builtin_stream_dedup_across_restarts(spark, tmp_path):
+    """The dropDuplicates JVM-state twin: same cross-batch + restart
+    dedup semantics as the custom operator."""
+    import pandas as pd
+
+    from pii_spark.spark.streaming import run_stream_dedup_builtin
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                     ).assign(warc_ts=pd.Timestamp("2026-01-01")
+                              ).astype({"warc_ts": "datetime64[us]"}
+                     ).to_parquet(corpus / name, index=False)
+
+    write("a.parquet", [
+        ("u1", None, b"", "one", "en"),
+        ("u1", None, b"", "dup", "en"),
+        ("u2", None, b"", "two", "en"),
+    ])
+    run_stream_dedup_builtin(spark, str(corpus), out, ckpt)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"u1", "u2"}
+
+    write("b.parquet", [
+        ("u2", None, b"", "late dup", "en"),
+        ("u3", None, b"", "three", "en"),
+    ])
+    run_stream_dedup_builtin(spark, str(corpus), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r.url for r in rows} == {"u1", "u2", "u3"}
