@@ -979,6 +979,39 @@ def q_fingerprint_winnow_fast(spark, sf_dir):
     )
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization dedup (web-crawl staple: the same page is
+    fetched as http/https, with/without tracking params and trailing
+    slash). Variant urls are synthesized deterministically from doc_id,
+    then canonicalized — lowercase host, scheme fold to https, strip
+    utm_* params and trailing slash — and collision classes counted.
+    All native string expressions; the canonical key is what a 100 TB
+    crawl dedups on before any content hashing."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
+        .otherwise(F.lit("http://")),
+        F.when(F.col("doc_id") % 4 < 2, F.lit("WWW")).otherwise(F.lit("www")),
+        F.lit(".example.com/doc/"),
+        (F.col("doc_id") / 3).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(raw), r"\?utm_[^#]*$", ""),
+        r"^http://", "https://",
+    )
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        d.select(canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+        .groupBy("n_variants")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shape pricing summary over lineitem: scan + filter +
     hash agg with map-side partial aggregation (the canonical
@@ -1317,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "fingerprint_winnow_fast": q_fingerprint_winnow_fast,
         "gopher_repetition": q_gopher_repetition,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "domain_filter": q_domain_filter,
@@ -1841,6 +1875,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_fp), 4) AS avg_fp_per_doc,
                    n_shared_fp
             FROM per_doc, shared GROUP BY n_shared_fp
+        """,
+        "url_canonical_dedup": """
+            WITH raw AS (
+              SELECT (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                           ELSE 'http://' END)
+                     || (CASE WHEN doc_id % 4 < 2 THEN 'WWW'
+                              ELSE 'www' END)
+                     || '.example.com/doc/'
+                     || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                              THEN '?utm_source=feed' ELSE '' END) AS u
+              FROM documents),
+            canon AS (
+              SELECT regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(u), '\\?utm_[^#]*$', ''),
+                         '^http://', 'https://'),
+                       '/$', '') AS canonical_url
+              FROM raw),
+            cls AS (
+              SELECT canonical_url, count(*) AS n_variants
+              FROM canon GROUP BY canonical_url)
+            SELECT n_variants, CAST(count(*) AS BIGINT) AS n_urls
+            FROM cls GROUP BY n_variants
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
