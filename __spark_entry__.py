@@ -233,6 +233,51 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_fast(spark, sf_dir):
+    """Scale variant of q_dedup_minhash (symmetric with
+    fingerprint_winnow_fast): band-seeded xxhash64 instead of md5 hex.
+    Each band keeps a full 64-bit min-hash (xxhash64's seed argument is
+    the band salt — bit-slicing ONE hash into 4×16-bit bands would
+    leave only 65k buckets per band, useless at corpus scale), and
+    xxhash64 is cheap enough JVM-side that 4 evaluations still cost
+    far less than one md5 + hex materialization. DuckDB has no
+    xxhash64 → rows-only driver check; band/collision semantics pinned
+    against the oracle-checked md5 variant by
+    tests/test_winnow_scale.py."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)), F.lit(5))
+    ).alias("i")
+    sh = d.select("doc_id", pos, "text").select(
+        "doc_id", F.expr("substring(text, i, 12)").alias("shingle"),
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(b), F.col("shingle"))).alias(f"mh{b}")
+            for b in range(4)
+        ]
+    )
+    bands = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("mh"))
+                for b in range(4)
+            ])
+        ).alias("bm"),
+    ).select(F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
+    return (
+        bands.groupBy("band", "mh")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("bucket_size") > 1, F.col("bucket_size"))
+                  .otherwise(F.lit(0))).cast("long").alias("n_collided_docs"),
+        )
+    )
+
+
 _JACCARD_T = 0.6
 
 
@@ -1326,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,

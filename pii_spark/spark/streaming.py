@@ -161,6 +161,49 @@ def run_stream_dedup(
     return {"updated_state_rows": updated}
 
 
+def run_session_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    gap: str = "30 minutes",
+) -> None:
+    """Session-window streaming aggregation — the third canonical
+    Structured Streaming window shape next to tumbling
+    (run_events_stream) and the batch sessionize query: per-user
+    sessions close after ``gap`` of silence, emitted once the watermark
+    passes the session end (append mode). State is bounded by the
+    watermark; a restart resumes from the checkpoint."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_dedup_builtin(
     spark: SparkSession,
     corpus_dir: str,

@@ -238,3 +238,55 @@ def test_builtin_stream_dedup_across_restarts(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3
     assert {r.url for r in rows} == {"u1", "u2", "u3"}
+
+
+def test_session_window_stream(spark, tmp_path):
+    """session_window streaming: events within the gap merge into one
+    session per user; a >gap silence starts a new one; sessions emit
+    once the watermark passes their end; restart emits nothing new."""
+    from pii_spark.spark.streaming import run_session_stream
+
+    events = tmp_path / "events"
+    events.mkdir()
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    # user 1: two bursts separated by >30min; user 2: one burst.
+    # A late sentinel event advances the watermark far enough to close
+    # every session.
+    _write_events(events / "a.parquet", [
+        ("2026-01-01 10:00:00", "u1", 1.0),
+        ("2026-01-01 10:10:00", "u1", 2.0),
+        ("2026-01-01 11:00:00", "u1", 4.0),   # >30min gap → new session
+        ("2026-01-01 10:05:00", "u2", 8.0),
+    ])
+    _write_events(events / "b.parquet", [
+        ("2026-01-01 14:00:00", "u3", 0.5),   # watermark → 13:30
+    ])
+    import pandas as pd
+
+    # _write_events writes (ts, event_type, value); reuse with user in
+    # the event_type column, then rename on read via a fixed schema
+    df = pd.concat([
+        pd.read_parquet(events / "a.parquet"),
+        pd.read_parquet(events / "b.parquet"),
+    ])
+    df = df.rename(columns={"event_type": "user_id"})
+    for p in ("a.parquet", "b.parquet"):
+        (events / p).unlink()
+    df.to_parquet(events / "all.parquet", index=False)
+
+    run_session_stream(spark, str(events), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start.hour, r.n_events, r.sum_value))
+    assert sorted(by_user["u1"]) == [(10, 2, 3.0), (11, 1, 4.0)]
+    assert by_user["u2"] == [(10, 1, 8.0)]
+    assert "u3" not in by_user  # its session is still open
+
+    # restart: nothing new
+    n = len(rows)
+    run_session_stream(spark, str(events), out, ckpt)
+    assert spark.read.parquet(out).count() == n

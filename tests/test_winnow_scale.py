@@ -74,3 +74,28 @@ def test_fast_winnow_is_not_slower(spark):
     t_fast = run(True)
     docs.unpersist()
     assert t_fast <= t_md5 * 1.5, (t_fast, t_md5)
+
+
+def test_fast_minhash_semantics_match_md5_variant(spark, tmp_path):
+    """Band/collision semantics of the xxhash64 minhash variant vs the
+    oracle-checked md5 one: on a corpus where every doc is duplicated,
+    BOTH variants must report every doc in a >1 bucket for every band
+    (identical texts share all band minima regardless of hash)."""
+    import pandas as pd
+
+    from __spark_entry__ import q_dedup_minhash, q_dedup_minhash_fast
+
+    docs = _docs_df(spark, 25).toPandas()
+    dup = docs.copy()
+    dup["doc_id"] += 1000
+    pd.concat([docs, dup]).to_parquet(
+        tmp_path / "documents.parquet", index=False)
+
+    for q in (q_dedup_minhash, q_dedup_minhash_fast):
+        rows = q(spark, str(tmp_path)).collect()
+        assert len(rows) == 4, q.__name__  # 4 bands
+        for r in rows:
+            # every one of the 50 docs collides (min-hash of identical
+            # text is identical) → all docs in >1 buckets, ≤25 buckets
+            assert r.n_collided_docs == 50, (q.__name__, r)
+            assert r.n_buckets <= 25, (q.__name__, r)
