@@ -469,6 +469,40 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_cosine_topk_fast(spark, sf_dir):
+    """Zero-shuffle brute-force cosine top-k — the 100 TB plan: the
+    query vector is collected once (1 row) and inlined as an array
+    literal, and the dot product / norm run INSIDE the row via
+    zip_with + aggregate (higher-order functions, JVM-evaluated). No
+    explode, no join, no groupBy — one scan + a top-k sort. The
+    relational q_ann_cosine_topk keeps the oracle-shaped plan; this
+    shares its DuckDB oracle (same values, 4dp-rounded)."""
+    import math
+
+    e = _emb(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    nb = math.sqrt(sum(x * x for x in qvec))
+    ql = F.array(*[F.lit(x) for x in qvec])
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, ql, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ))
+    cos = F.round(dot / (na * F.lit(nb)), 4)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # ---- banded hyperplane LSH over embeddings (VERDICT r1 #1b) ----
 # 16 bands x 8 Rademacher-sign random projections. Signs derive from
 # md5(band_bit_dim) so Spark and DuckDB build the identical hyperplanes
@@ -1376,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_fast": q_ann_cosine_topk_fast,
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1484,7 +1519,7 @@ def oracle_sql() -> dict[str, str]:
     simhash_bits = " || ".join(
         f"CASE WHEN v{i} >= 0 THEN '1' ELSE '0' END" for i in range(16)
     )
-    return {
+    d = {
         "lang_filter": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars
@@ -2084,3 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         # pii_pipeline / pii_f1 / synth_corpus: Arrow-UDF pipeline stages,
         # not SQL-expressible → rows-only check
     }
+    # the fast ANN variant computes the same values with a zero-shuffle
+    # plan; the oracle is plan-agnostic
+    d["ann_cosine_topk_fast"] = d["ann_cosine_topk"]
+    return d

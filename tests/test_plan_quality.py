@@ -132,6 +132,12 @@ def test_new_query_plans_are_scale_safe(spark):
     assert "CartesianProduct" not in plan
     assert "md5" not in plan and "xxhash64" in plan, plan
 
+    # the fast ANN variant is the zero-shuffle plan: no join, no
+    # explode, no aggregation exchange — one scan + top-k sort
+    plan = _plan(entry.queries()["ann_cosine_topk_fast"](spark, sf))
+    assert "Join" not in plan and "Generate" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
 
 def test_partition_pruning_on_date_layout(spark, tmp_path):
     """SURVEY §4: partition the corpus by warc date and a date filter
