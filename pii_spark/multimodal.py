@@ -179,6 +179,63 @@ def media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def sample_frames(
+    payload: bytes, frame_size: int, every_n: int = 10, max_frames: int = 8
+) -> list[bytes]:
+    """Deterministic frame sampling for video-like payloads: the binary
+    is a concatenation of fixed-size frames (the metadata contract for
+    raw/uncompressed clips); return every ``every_n``-th frame, capped.
+    Codec-compressed containers (mp4 etc.) need decoders absent
+    offline and raise NotImplementedError — the Spark-side shape
+    (binary + typed metadata in, array<binary> out) is what carries
+    over to a real decoder."""
+    if frame_size <= 0:
+        raise NotImplementedError(
+            "frame_size metadata required (codec containers need a "
+            "video decoder, unavailable offline)"
+        )
+    n = len(payload or b"") // frame_size
+    return [
+        payload[i * frame_size:(i + 1) * frame_size]
+        for i in range(0, n, max(1, every_n))
+    ][:max_frames]
+
+
+def video_frame_features(
+    df: DataFrame, frame_size: int, every_n: int = 10
+) -> DataFrame:
+    """(doc_id, media) → one row per SAMPLED frame with per-frame byte
+    stats — the video leg of the media pipeline (sample → per-frame
+    features), mapInPandas/Arrow shaped like a real frame pipeline."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                frames = sample_frames(
+                    media["payload"] or b"", frame_size, every_n)
+                for k, fr in enumerate(frames):
+                    arr = np.frombuffer(fr, dtype=np.uint8)
+                    rows.append({
+                        "doc_id": int(doc_id),
+                        "frame_idx": k,
+                        "n_bytes": len(fr),
+                        "sha": hashlib.sha256(fr).hexdigest()[:16],
+                        "mean_byte": float(arr.mean()) if arr.size else 0.0,
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return df.select("doc_id", "media").mapInPandas(fn, schema)
+
+
 def with_fake_media(df: DataFrame) -> DataFrame:
     """Attach a deterministic fake media column to any (doc_id, text)
     DataFrame — fixture helper for plumbing tests."""

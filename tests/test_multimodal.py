@@ -111,3 +111,34 @@ def test_media_features_spark(spark):
         (r.doc_id, r.sha, r.mean_px) for r in feats
     }
     assert by_id  # plumbing exercised end to end
+
+
+def test_sample_frames_deterministic():
+    from pii_spark.multimodal import sample_frames
+
+    payload = bytes(range(250)) * 4  # 1000 bytes
+    frames = sample_frames(payload, frame_size=100, every_n=3)
+    # 10 frames of 100 bytes; every 3rd → indices 0,3,6,9
+    assert len(frames) == 4
+    assert frames[0] == payload[0:100]
+    assert frames[1] == payload[300:400]
+    with pytest.raises(NotImplementedError):
+        sample_frames(payload, frame_size=0)
+
+
+def test_video_frame_features_spark(spark):
+    import numpy as np
+
+    from pii_spark.multimodal import video_frame_features
+
+    payload = bytes([7] * 100) + bytes([9] * 100) + bytes([11] * 100)
+    df = spark.createDataFrame(
+        [(5, (payload, "video/raw", 0, 0))],
+        "doc_id long, media struct<payload:binary,mime:string,"
+        "width:int,height:int>",
+    )
+    rows = video_frame_features(df, frame_size=100, every_n=2).collect()
+    # frames 0 and 2 sampled
+    assert [(r.frame_idx, r.mean_byte) for r in rows] == [(0, 7.0), (1, 11.0)]
+    assert all(r.n_bytes == 100 for r in rows)
+    assert np is not None
