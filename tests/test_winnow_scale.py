@@ -70,8 +70,11 @@ def test_fast_winnow_is_not_slower(spark):
         return time.time() - t0
 
     run(True)  # warm
-    t_md5 = run(False)
-    t_fast = run(True)
+    # best-of-two per variant, interleaved: the host takes external
+    # load waves (BENCH/BASELINE.md) and a single pair can land one
+    # variant inside a wave
+    t_md5 = min(run(False), run(False))
+    t_fast = min(run(True), run(True))
     docs.unpersist()
     assert t_fast <= t_md5 * 1.5, (t_fast, t_md5)
 
