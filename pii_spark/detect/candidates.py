@@ -971,7 +971,7 @@ _SEQ2_FIRSTS_ALL = frozenset(
 # path; gating therefore never changes output (pinned by the
 # byte-stability A/B over 9k docs + the full detect test suite).
 (B_SEQ2, B_PLACE1, B_STREET, B_UNIT, B_ZIP, B_ABBR, B_ORG, B_FIRSTS,
- B_STEM, B_UNAME, B_FUSED, B_INI) = (1 << i for i in range(12))
+ B_STEM, B_UNAME, B_FUSED, B_INI, B_DIGITS) = (1 << i for i in range(13))
 
 _TOK_MASK_CACHE: dict[str, int] = {}
 
@@ -1011,6 +1011,8 @@ def _tok_mask(text: str, low: str) -> int:
         m |= B_FUSED
     if _RE_INI.match(text):
         m |= B_INI
+    if any(c.isdigit() for c in low):
+        m |= B_DIGITS
     if len(_TOK_MASK_CACHE) > 300_000:
         _TOK_MASK_CACHE.clear()
     _TOK_MASK_CACHE[text] = m
@@ -1022,10 +1024,14 @@ def _tok_mask(text: str, low: str) -> int:
 # the hot loop
 _PLACE_1 = CITY_1 | STATE_1 | COUNTRY_1
 # hoisted: the single-word company suffixes, iterated per org-anchor
-# token (r2 rebuilt the filtering generator on every call)
-_ORG_SUFFIX_SINGLES = tuple(
+# token (r2 rebuilt the filtering generator on every call). SORTED:
+# frozenset iteration order depends on the interpreter hash seed, and
+# the suffix scan returns on first match — an unsorted tuple would make
+# ambiguous-glue matches session-dependent (latent in r1/r2, where the
+# per-call generator iterated the set directly).
+_ORG_SUFFIX_SINGLES = tuple(sorted(
     s[0] for s in ORG_SUFFIX_SEQS if len(s) == 1
-)
+))
 
 
 class _Tok(NamedTuple):
@@ -1667,7 +1673,7 @@ def token_candidates(text: str) -> list[Candidate]:
         if mask & B_UNAME and not handle_tok:
             # (B_UNAME = alnum token, len <= 26 — SHA1/GUIDs are longer)
             conf, a, b = _username_shape(tk.low, tk.text[0].isupper())
-            if conf == 0 and any(c.isdigit() for c in tk.low):
+            if conf == 0 and mask & B_DIGITS:
                 # retry with 1-2 leading glued chars stripped — but only
                 # for digit-bearing shapes (pure-alpha retries would turn
                 # 'hiking' into initial+'king')
