@@ -199,12 +199,8 @@ def q_dedup_minhash(spark, sf_dir):
     digest (md5's 128 bits give 4 independent 32-bit min-hashes) —
     r2 hashed every shingle 4× with per-band salts, 4× the hashing
     work on the dominant relation for no statistical gain."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)), F.lit(5))
-    ).alias("i")
-    sh = d.select("doc_id", pos, "text").select(
-        "doc_id", F.md5(F.expr("substring(text, i, 12)")).alias("h"),
+    sh = _minhash_shingles(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("shingle")).alias("h"),
     )
     per_doc = sh.groupBy("doc_id").agg(
         *[
@@ -212,6 +208,26 @@ def q_dedup_minhash(spark, sf_dir):
             for b in range(4)
         ]
     )
+    return _minhash_band_census(per_doc)
+
+
+def _minhash_shingles(spark, sf_dir) -> DataFrame:
+    """Shared shingle explode (len 12, stride 5) for both minhash
+    variants — factored (like winnow_fps) so census/stride fixes can't
+    silently desynchronize the oracle-checked and scale plans."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)),
+                   F.lit(5))
+    ).alias("i")
+    return d.select("doc_id", pos, "text").select(
+        "doc_id", F.expr("substring(text, i, 12)").alias("shingle"),
+    )
+
+
+def _minhash_band_census(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh3) → per-band bucket census (shared unpivot +
+    collision aggregation for both minhash variants)."""
     bands = per_doc.select(
         "doc_id",
         F.explode(
@@ -244,38 +260,13 @@ def q_dedup_minhash_fast(spark, sf_dir):
     xxhash64 → rows-only driver check; band/collision semantics pinned
     against the oracle-checked md5 variant by
     tests/test_winnow_scale.py."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)), F.lit(5))
-    ).alias("i")
-    sh = d.select("doc_id", pos, "text").select(
-        "doc_id", F.expr("substring(text, i, 12)").alias("shingle"),
-    )
-    per_doc = sh.groupBy("doc_id").agg(
+    per_doc = _minhash_shingles(spark, sf_dir).groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(b), F.col("shingle"))).alias(f"mh{b}")
             for b in range(4)
         ]
     )
-    bands = per_doc.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("mh"))
-                for b in range(4)
-            ])
-        ).alias("bm"),
-    ).select(F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
-    return (
-        bands.groupBy("band", "mh")
-        .agg(F.count("*").alias("bucket_size"))
-        .groupBy("band")
-        .agg(
-            F.count("*").cast("long").alias("n_buckets"),
-            F.sum(F.when(F.col("bucket_size") > 1, F.col("bucket_size"))
-                  .otherwise(F.lit(0))).cast("long").alias("n_collided_docs"),
-        )
-    )
+    return _minhash_band_census(per_doc)
 
 
 _JACCARD_T = 0.6
@@ -480,10 +471,14 @@ def q_ann_cosine_topk_fast(spark, sf_dir):
     import math
 
     e = _emb(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    # one-row collect of the probe vector (intentional: it becomes a
+    # literal in the plan; this is the documented eager step)
+    head = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None:  # no probe vector → empty top-k, same as the twin
+        return e.select(
+            "vec_id", F.lit(0.0).alias("cos")
+        ).limit(0)
+    qvec = [float(x) for x in head[0]]
     nb = math.sqrt(sum(x * x for x in qvec))
     ql = F.array(*[F.lit(x) for x in qvec])
     v = F.transform("embedding", lambda x: x.cast("double"))

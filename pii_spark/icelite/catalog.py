@@ -295,7 +295,7 @@ class IceliteTable:
                     removed.append(d)
             return removed
         finally:
-            lock.unlink()
+            self._release_expire_lock(lock)
 
     # one hour: an expiry pass over even a huge table is minutes; a
     # lock this old belongs to a crashed process
@@ -312,10 +312,15 @@ class IceliteTable:
         rename race), it is restored and we fail as contention."""
         payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
         for attempt in (0, 1):
+            # payload is made visible ATOMICALLY with acquisition
+            # (write to temp + os.link = O_EXCL): a contender must never
+            # observe a created-but-not-yet-written lock, which would be
+            # indistinguishable from a stale pre-r3 empty lock (review
+            # r3 finding)
+            tmp = lock.with_name(f".expire.lock.tmp-{uuid.uuid4().hex[:8]}")
+            tmp.write_text(payload)
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, payload.encode())
-                os.close(fd)
+                os.link(tmp, lock)
                 return
             except FileExistsError:
                 if attempt == 1 or not self._try_steal_stale_lock(lock):
@@ -323,6 +328,21 @@ class IceliteTable:
                         f"another expire_snapshots is running on "
                         f"{self.dir} (live lock {lock})"
                     ) from None
+            finally:
+                tmp.unlink(missing_ok=True)
+
+    def _release_expire_lock(self, lock: Path) -> None:
+        """Release ONLY a lock we still own: if an expiry overran the
+        staleness threshold and a second expiry legitimately took the
+        lock over, unlinking blindly would delete the new holder's live
+        lock (and a lock already gone would raise) — review r3."""
+        try:
+            info = json.loads(lock.read_text())
+            if int(info.get("pid", -1)) != os.getpid():
+                return  # taken over — not ours to release
+        except (OSError, ValueError):
+            return  # gone or unreadable — nothing of ours to release
+        lock.unlink(missing_ok=True)
 
     def _try_steal_stale_lock(self, lock: Path) -> bool:
         quarantine = lock.with_name(
@@ -346,8 +366,15 @@ class IceliteTable:
                 alive = False
             except PermissionError:
                 alive = True
-        if alive and time.time() - ts <= self.EXPIRE_LOCK_STALE_S:
-            # fresh lock grabbed in the read/rename window — restore it
+        fresh = time.time() - ts <= self.EXPIRE_LOCK_STALE_S
+        # steal only when provably stale: dead pid, or too old. A fresh
+        # lock with an UNKNOWN holder (pid unparseable — pre-r3 format,
+        # or a holder on another host where os.kill can't see it) must
+        # be restored, not stolen: "age decides" means age alone may
+        # condemn it, never acquit a dead pid (review r3: the previous
+        # condition `alive and fresh` stole every unparseable lock
+        # regardless of age, breaking mutual exclusion)
+        if fresh and (alive or pid is None):
             try:
                 os.rename(quarantine, lock)
             except OSError:

@@ -70,9 +70,20 @@ def _decode_ppm_p6(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if maxval < 1:
+        raise ValueError(f"invalid PPM maxval {maxval}")
     need = w * h * 3
     raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-    return raster.reshape(h, w, 3).copy()
+    img = raster.reshape(h, w, 3)
+    if maxval != 255:
+        # samples are fractions of maxval (spec §: value/maxval is the
+        # intensity) — rescale to the uint8 range (review r3: returning
+        # raw samples made a full-white maxval-100 pixel read as 100)
+        img = np.round(
+            img.astype(np.float32) * (255.0 / maxval)
+        ).astype(np.uint8)
+        return img
+    return img.copy()
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

@@ -120,8 +120,14 @@ _COMBINED: dict[str, tuple[float, ...]] = {
 def classify(text: str) -> tuple[str, float]:
     """Return (language, posterior probability). Single pass over the
     text's distinct trigrams; each distinct trigram contributes
-    count × its per-language log-prob vector. max()/first-index
-    tie-breaking matches the per-language formulation (LANGS order)."""
+    count × its per-language log-prob vector. First-index tie-breaking
+    matches the per-language formulation (LANGS order). NOTE on float
+    identity vs the r2 per-occurrence loop: count×logp accumulation
+    reorders the IEEE summation, so scores can differ by ~ULPs
+    (measured max posterior delta 5e-13 over 8k diverse docs with zero
+    prediction flips) — agreement is empirical at that tolerance, not
+    bit-structural; an adversarial exact near-tie could in principle
+    resolve differently."""
     from collections import Counter
 
     cnt = Counter(_trigrams(text[:2000]))

@@ -145,20 +145,34 @@ def run_stream_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    updated = 0
-    for p in q.recentProgress:
-        for op in (p.get("stateOperators") or []):
-            updated += int(op.get("numRowsUpdated") or 0)
-    return {"updated_state_rows": updated}
+    # recentProgress keeps only the last numRecentProgressUpdates
+    # (default 100) micro-batches; a long backfill would silently
+    # undercount the metric (review r3) — raise retention for this run
+    conf_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "100000")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        updated = 0
+        n_progress = len(q.recentProgress)
+        for p in q.recentProgress:
+            for op in (p.get("stateOperators") or []):
+                updated += int(op.get("numRowsUpdated") or 0)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return {"updated_state_rows": updated,
+            "progress_events_seen": n_progress}
 
 
 def run_session_stream(

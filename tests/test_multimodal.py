@@ -142,3 +142,15 @@ def test_video_frame_features_spark(spark):
     assert [(r.frame_idx, r.mean_byte) for r in rows] == [(0, 7.0), (1, 11.0)]
     assert all(r.n_bytes == 100 for r in rows)
     assert np is not None
+
+
+def test_decode_ppm_rescales_nonstandard_maxval():
+    from pii_spark.multimodal import decode_image
+
+    img = np.full((2, 2, 3), 100, dtype=np.uint8)  # full white at maxval=100
+    payload = b"P6\n2 2\n100\n" + img.tobytes()
+    got = decode_image(payload, 2, 2)
+    assert (got == 255).all()
+    half = np.full((2, 2, 3), 50, dtype=np.uint8)
+    got2 = decode_image(b"P6\n2 2\n100\n" + half.tobytes(), 2, 2)
+    assert (got2 == 128).all()  # round(50 * 2.55)

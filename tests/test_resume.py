@@ -285,3 +285,30 @@ def test_expire_lock_stale_takeover(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert not lock.exists()
     assert t.committed_groups() == {0, 1, 2, 3, 4}
+
+
+def test_expire_lock_fresh_unparseable_blocks(spark, tmp_path):
+    """A FRESH lock with unknown holder (empty/torn payload) must block
+    expiry, not be stolen — age alone may condemn a lock, never acquit
+    (review r3: the first r3 cut stole every unparseable lock)."""
+    t = IceliteTable(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    for g in range(3):
+        t.append(df, summary={"group": g})
+    lock = t.meta / ".expire.lock"
+    lock.write_text("")  # fresh mtime, unparseable payload
+    with pytest.raises(RuntimeError, match="another expire_snapshots"):
+        t.expire_snapshots(keep_last=1)
+    assert lock.exists()  # restored, not stolen
+    lock.unlink()
+    # ...and a completed takeover victim must not delete the new
+    # holder's lock: simulate by putting a foreign fresh lock in place
+    # right before release
+    import json as _json
+    import os as _os
+    t.expire_snapshots(keep_last=2)  # acquires + releases normally
+    lock.write_text(_json.dumps({"pid": _os.getpid() + 1,
+                                 "ts": __import__("time").time()}))
+    t._release_expire_lock(lock)  # not ours → no-op
+    assert lock.exists()
+    lock.unlink()
