@@ -408,6 +408,19 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash over word hashes → collision census."""
+    return (
+        _simhash_sigs(spark, sf_dir)
+        .select("simhash")
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _simhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash) — the 16-bit signature as a '0'/'1' string
+    (shared by the census and pair queries; same construction as the
+    DuckDB oracle CTE)."""
     toks = _docs(spark, sf_dir).select(
         "doc_id",
         F.explode(
@@ -426,11 +439,59 @@ def q_dedup_simhash(spark, sf_dir):
     bits = F.concat(
         *[F.when(F.col(f"v{i}") >= 0, "1").otherwise("0") for i in range(16)]
     )
+    return per_doc.select("doc_id", bits.alias("simhash"))
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS within Hamming distance ≤ 3 — the step
+    that turns the signature census into dedup decisions. Exact via the
+    pigeonhole band trick: split the 16 bits into 4 bands of 4; ≤3
+    differing bits cannot touch all 4 bands, so every qualifying pair
+    shares at least one full band — join candidates on (band, bits),
+    then verify exact Hamming on the candidate set only (the same
+    lossless-prefilter pattern as the Jaccard prefix filter). The
+    DuckDB oracle is the brute-force all-pairs formulation: identical
+    output is the losslessness proof.
+
+    Scale note: 16-bit signatures (oracle-mirrorable md5 bit votes)
+    give only 16 buckets per 4-bit band — fine for the correctness
+    demo, hot-key-quadratic at corpus scale. A 100 TB run uses 64-bit
+    signatures (xxhash64 votes) with 4×16-bit bands = 65k buckets per
+    band, the same plan shape with no hot keys — exactly the
+    md5→xxhash64 widening the minhash/winnow fast variants make."""
+    sigs = _simhash_sigs(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("simhash", 1 + 4 * b, 4).alias("bits"))
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("a.simhash").alias("sa"),
+            F.col("b.doc_id").alias("db"), F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sa", i, 1) != F.substring("sb", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, 17)
+    )
     return (
-        per_doc.select(bits.alias("simhash"))
-        .groupBy("simhash")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("da", "db", "hamming")
     )
 
 
@@ -1404,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_fast": q_ann_cosine_topk_fast,
         "dedup_embedding": q_dedup_embedding,
@@ -1631,6 +1693,31 @@ def oracle_sql() -> dict[str, str]:
             sh AS (SELECT {simhash_bits} AS simhash FROM votes)
             SELECT simhash, count(*) AS n FROM sh
             GROUP BY simhash HAVING count(*) > 1
+        """,
+        # brute-force all-pairs formulation on purpose: the Spark side
+        # uses exact pigeonhole band prefiltering, so identical output
+        # is the losslessness proof (same pattern as ngram_jaccard)
+        "simhash_hamming_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     md5(unnest(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))) AS h
+              FROM documents),
+            votes AS (
+              SELECT doc_id, {simhash_votes}
+              FROM toks GROUP BY doc_id),
+            sh AS (SELECT doc_id, {simhash_bits} AS simhash FROM votes),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     CAST((
+                       {" + ".join(
+                           f"CASE WHEN substr(a.simhash, {i}, 1) <> "
+                           f"substr(b.simhash, {i}, 1) THEN 1 ELSE 0 END"
+                           for i in range(1, 17))}
+                     ) AS BIGINT) AS hamming
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT da, db, hamming FROM pairs WHERE hamming <= 3
         """,
         "ann_cosine_topk": """
             WITH e AS (
