@@ -45,17 +45,31 @@ def run_streaming_job(
     # maintenance O(n^2) over the stream's lifetime (review r2)
     done = out.committed_groups("stream_batch")
 
+    # batch ids are only unique PER CHECKPOINT: two streams (or a
+    # checkpoint reset) appending to the same table both start at batch
+    # 0, and a bare-batch-id ledger would silently DROP the second
+    # stream's batches as "replays" (r3 regression test caught this).
+    # Namespace the ledger key by the checkpoint's resolved path — the
+    # stable identity of a resumable stream; restarts reuse it, distinct
+    # streams don't.
+    import hashlib
+    from pathlib import Path as _P
+
+    ck_ns = hashlib.md5(
+        str(_P(checkpoint_dir).resolve()).encode()).hexdigest()[:12]
+
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
         # after our append but before the checkpoint offset commit,
         # Structured Streaming replays the batch on restart. The icelite
         # snapshot summary doubles as the dedup ledger (same pattern as
         # jobs.py group commits), making the append exactly-once.
-        if int(batch_id) in done:
+        key = f"{ck_ns}:{int(batch_id)}"
+        if key in done:
             return
         result = run_pipeline(batch_df, partitions=partitions)
-        out.append(result, summary={"stream_batch": int(batch_id)})
-        done.add(int(batch_id))
+        out.append(result, summary={"stream_batch": key})
+        done.add(key)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -312,3 +312,47 @@ def test_expire_lock_fresh_unparseable_blocks(spark, tmp_path):
     t._release_expire_lock(lock)  # not ours → no-op
     assert lock.exists()
     lock.unlink()
+
+
+def test_compaction_between_streaming_runs_keeps_ledger(spark, tmp_path):
+    """Operational sequence a production table actually sees: stream →
+    compact → stream more. Compaction must not lose the stream_batch
+    ledger (or the replayed batches would duplicate rows) and the
+    compacted table must keep reading correctly."""
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.streaming import run_streaming_job
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    generate_corpus(spark, 40, partitions=2).write.mode("overwrite"
+        ).parquet(str(corpus_dir / "a"))
+
+    out = run_streaming_job(
+        spark, str(corpus_dir / "a"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt_a"), max_files_per_trigger=1, partitions=2,
+    )
+    n_files_before = out.data_file_count()
+    batches_before = out.committed_groups("stream_batch")
+    assert out.read(spark).count() == 40
+
+    out.compact(spark)
+    assert out.data_file_count() < n_files_before
+    assert out.read(spark).count() == 40
+    # the ledger survives compaction (old manifests still present)
+    assert out.committed_groups("stream_batch") == batches_before
+
+    # second corpus dir = second stream with its own checkpoint; the
+    # table keeps accumulating on top of the compacted snapshot
+    generate_corpus(spark, 10, partitions=1).write.mode("overwrite"
+        ).parquet(str(corpus_dir / "b"))
+    out2 = run_streaming_job(
+        spark, str(corpus_dir / "b"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt_b"), partitions=2,
+    )
+    assert out2.read(spark).count() == 50
+    # re-run of stream A's checkpoint: nothing reprocessed
+    out3 = run_streaming_job(
+        spark, str(corpus_dir / "a"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt_a"), partitions=2,
+    )
+    assert out3.read(spark).count() == 50
