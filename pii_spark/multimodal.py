@@ -171,6 +171,8 @@ def media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                if media is None:  # null media row → no feature row
+                    continue
                 payload = media["payload"] or b""
                 img = decode_image(
                     payload, media["width"], media["height"],
@@ -185,7 +187,10 @@ def media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                         "feat": extract_features(img).tolist(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            # explicit columns: an all-null batch yields zero rows and
+            # a bare pd.DataFrame([]) would carry no schema for Arrow
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select("doc_id", "media").mapInPandas(fn, FEATURE_SCHEMA)
 
@@ -230,6 +235,8 @@ def video_frame_features(
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                if media is None:  # null media row → no frame rows
+                    continue
                 frames = sample_frames(
                     media["payload"] or b"", frame_size, every_n)
                 for k, fr in enumerate(frames):

@@ -154,3 +154,19 @@ def test_decode_ppm_rescales_nonstandard_maxval():
     half = np.full((2, 2, 3), 50, dtype=np.uint8)
     got2 = decode_image(b"P6\n2 2\n100\n" + half.tobytes(), 2, 2)
     assert (got2 == 128).all()  # round(50 * 2.55)
+
+
+def test_null_media_rows_are_skipped(spark):
+    from pii_spark.multimodal import media_features, video_frame_features
+
+    df = spark.createDataFrame(
+        [(1, (b"x", "image/fake", 4, 4)), (2, None), (3, None)],
+        "doc_id long, media struct<payload:binary,mime:string,"
+        "width:int,height:int>",
+    )
+    rows = media_features(df, fake_decode=True).collect()
+    assert [r.doc_id for r in rows] == [1]
+    # an ALL-null partition must still produce a schema-valid empty batch
+    allnull = df.filter("doc_id > 1").repartition(2)
+    assert media_features(allnull, fake_decode=True).count() == 0
+    assert video_frame_features(allnull, frame_size=4).count() == 0
