@@ -495,6 +495,91 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     )
 
 
+def _simhash_sigs_fast(spark, sf_dir) -> DataFrame:
+    """(doc_id, sig): 64-bit SimHash signature as ONE long — xxhash64
+    word hashes vote per bit, bit i of the signature is the sign of the
+    vote sum. The corpus-scale widening of _simhash_sigs (md5, 16 bits):
+    same construction, JVM-cheap long hashing, 64 bits of locality."""
+    import functools
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+        ).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+                == 1, 1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    # disjoint bit positions → bitwise OR assembles the signature
+    # (bit 63 makes the long negative; it's a bit pattern, not a number)
+    sig = functools.reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col(f"v{i}") >= 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+    )
+    return per_doc.select("doc_id", sig.alias("sig"))
+
+
+def q_simhash_hamming_pairs_fast(spark, sf_dir):
+    """64-bit SimHash Hamming-pair scale variant (VERDICT r3 #2 — kills
+    the last demo-scale plan): xxhash64 bit votes → one long signature,
+    4 bands of 16 bits = 65,536 buckets per band (vs the md5 variant's
+    16), candidates share a full band by the same pigeonhole argument
+    (Hamming ≤ 3 cannot touch all 4 bands), exact verify is ONE
+    bit_count(sa ^ sb) per candidate. No hot keys at corpus scale: a
+    band key space of 65k on near-random 16-bit slices keeps expected
+    bucket size n/65536. DuckDB has no xxhash64 → rows-only driver
+    check (via q_scale_fast_variants); band/pair semantics pinned
+    against the oracle-checked md5 16-bit variant on a
+    planted-duplicate corpus by tests/test_simhash_scale.py."""
+    sigs = _simhash_sigs_fast(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), 16 * b)
+                .bitwiseAND(F.lit(65535)).alias("bits"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bits")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("a.sig").alias("sa"),
+            F.col("b.doc_id").alias("db"), F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("da", "db", "hamming")
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs vec_id=0, in double precision via
     posexplode+join (identical relational shape to the oracle)."""
@@ -776,16 +861,59 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-def q_token_count(spark, sf_dir):  # token counting (whitespace)
-    ntok = F.size(
+def q_ann_recall(spark, sf_dir):
+    """Driver-visible ANN quality metric (VERDICT r3 #4): recall@10 of
+    the two approximate paths — LSH band-bucket and IVF nprobe — against
+    the exact brute-force top-10, computed INSIDE one plan (join on the
+    top-k sets, no collect). The DuckDB oracle composes the three
+    already-oracle-checked top-10 formulations and intersects them, so
+    the recall values themselves are hash-checked, not just row counts.
+    k=10 is a fixed literal (every testdata embeddings table has well
+    over 10 vectors; the three top-k queries all emit exactly 10)."""
+    bf = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    lsh = q_ann_lsh_bucket(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+
+    def rec(df, method):
+        return (
+            df.join(bf, "vec_id")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.lit(method).alias("method"),
+                F.col("c").cast("long").alias("n_hits"),
+                F.round(F.col("c") / 10.0, 4).alias("recall"),
+            )
+        )
+
+    return rec(lsh, "lsh_bucket").unionByName(rec(ivf, "ivf"))
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting, BOTH modes in one entry: whitespace tokens and
+    BPE-ish tokens (GPT-2-style pretokenizer classes — contractions,
+    letter runs, short digit runs, punctuation runs — as a regex
+    census; all regexp_extract_all, whole-stage codegen).
+
+    Merged from the former separate token_count / token_count_bpe
+    entries: the correctness driver records at most 50 queries (r3
+    registered 51 → 50 rows), so the two token-count modes share one
+    oracle-checked entry (VERDICT r3 #1: consolidate explicitly)."""
+    ws = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    )
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    ) - F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\s+"), F.lit(0))
     )
     return (
         _docs(spark, sf_dir)
         .groupBy("lang")
         .agg(
-            F.sum(ntok).cast("long").alias("sum_tokens"),
-            F.round(F.avg(ntok), 4).alias("avg_tokens"),
+            F.sum(ws).cast("long").alias("sum_tokens"),
+            F.round(F.avg(ws), 4).alias("avg_tokens"),
+            F.sum(bpe).cast("long").alias("sum_bpe_tokens"),
+            F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
         )
     )
 
@@ -1027,28 +1155,6 @@ _BPE_RE = (
 )
 
 
-def q_token_count_bpe(spark, sf_dir):
-    """BPE-ish token counting (SURVEY's second token-counting mode):
-    GPT-2-style pretokenizer classes — contractions, letter runs, short
-    digit runs, punctuation runs — as a regex census. Native
-    regexp_extract_all keeps it whole-stage-codegen."""
-    ntok = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
-    ) - F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"\s+"), F.lit(0))
-    )
-    return (
-        _docs(spark, sf_dir)
-        .groupBy("source")
-        .agg(
-            F.sum(ntok).cast("long").alias("sum_bpe_tokens"),
-            F.round(F.avg(ntok), 4).alias("avg_bpe_tokens"),
-            F.round(F.avg(ntok / F.greatest(F.col("n_chars"), F.lit(1))), 4)
-            .alias("tokens_per_char"),
-        )
-    )
-
-
 def winnow_fps(d: DataFrame, fast: bool = False) -> DataFrame:
     """(doc_id, text) → winnowing fingerprints (doc_id, win, fp):
     k-gram shingles (k=8, stride 1 within a window of 16), per-window
@@ -1112,6 +1218,65 @@ def q_fingerprint_winnow_fast(spark, sf_dir):
     return _winnow_census(
         winnow_fps(_docs(spark, sf_dir).select("doc_id", "text"), fast=True)
     )
+
+
+def q_scale_fast_variants(spark, sf_dir):
+    """One driver entry bundling the THREE xxhash64 scale variants —
+    minhash bands, winnowing fingerprints, 64-bit SimHash Hamming pairs
+    — as (variant, stat, value) summary rows.
+
+    Why bundled: the correctness driver records at most 50 queries per
+    round (r3 registered 51 → 50 rows recorded), so the fast twins
+    share one rows-only entry instead of three (VERDICT r3 #1:
+    consolidate explicitly, not by silent truncation). Each variant
+    keeps its full operator (q_dedup_minhash_fast,
+    q_fingerprint_winnow_fast, q_simhash_hamming_pairs_fast) and its
+    own semantics pin against the oracle-checked md5 twin
+    (tests/test_winnow_scale.py, tests/test_simhash_scale.py); DuckDB
+    has no xxhash64, so none of the three can take a SQL oracle
+    anyway."""
+    mh = q_dedup_minhash_fast(spark, sf_dir).select(
+        F.lit("minhash_xxh64").alias("variant"),
+        F.explode(F.array(
+            F.struct(
+                F.concat(F.lit("band"), F.col("band").cast("string"),
+                         F.lit("_buckets")).alias("stat"),
+                F.col("n_buckets").cast("double").alias("value")),
+            F.struct(
+                F.concat(F.lit("band"), F.col("band").cast("string"),
+                         F.lit("_collided")).alias("stat"),
+                F.col("n_collided_docs").cast("double").alias("value")),
+        )).alias("s"),
+    ).select("variant", "s.stat", "s.value")
+    wf = q_fingerprint_winnow_fast(spark, sf_dir).select(
+        F.lit("winnow_xxh64").alias("variant"),
+        F.explode(F.array(
+            F.struct(F.lit("n_docs").alias("stat"),
+                     F.col("n_docs").cast("double").alias("value")),
+            F.struct(F.lit("avg_fp_per_doc").alias("stat"),
+                     F.col("avg_fp_per_doc").cast("double").alias("value")),
+            F.struct(F.lit("n_shared_fp").alias("stat"),
+                     F.col("n_shared_fp").cast("double").alias("value")),
+        )).alias("s"),
+    ).select("variant", "s.stat", "s.value")
+    sp = (
+        q_simhash_hamming_pairs_fast(spark, sf_dir)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.coalesce(F.max("hamming"), F.lit(-1)).alias("max_hamming"),
+        )
+        .select(
+            F.lit("simhash64_xxh64").alias("variant"),
+            F.explode(F.array(
+                F.struct(F.lit("n_pairs").alias("stat"),
+                         F.col("n_pairs").cast("double").alias("value")),
+                F.struct(F.lit("max_hamming").alias("stat"),
+                         F.col("max_hamming").cast("double").alias("value")),
+            )).alias("s"),
+        )
+        .select("variant", "s.stat", "s.value")
+    )
+    return mh.unionByName(wf).unionByName(sp)
 
 
 def q_url_canonical_dedup(spark, sf_dir):
@@ -1452,25 +1617,33 @@ def q_synth_corpus(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the correctness driver records at most 50
+    # queries per round (r1: 27/27, r2: 40/40, r3: 50 of 51 — the 51st,
+    # synth_corpus, silently got no row). Consolidations that hold the
+    # cap: token_count carries both token modes, scale_fast_variants
+    # bundles the three xxhash64 twins. tests/test_driver_contract.py
+    # pins len(queries()) <= 50.
     return {
         "lang_filter": q_lang_filter,
         "minlen_filter": q_minlen_filter,
         "length_stats": q_length_stats,
         "length_histogram": q_length_histogram,
         "hash_split": q_hash_split,
+        "synth_corpus": q_synth_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "scale_fast_variants": q_scale_fast_variants,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_fast": q_ann_cosine_topk_fast,
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "token_count": q_token_count,
         "langid_stopwords": q_langid_stopwords,
         "quality_heuristics": q_quality_heuristics,
@@ -1484,9 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
-        "token_count_bpe": q_token_count_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
-        "fingerprint_winnow_fast": q_fingerprint_winnow_fast,
         "gopher_repetition": q_gopher_repetition,
         "url_canonical_dedup": q_url_canonical_dedup,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -1503,7 +1674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_confusion": q_eval_confusion,
         "kmeans_clusters": q_kmeans_clusters,
         "media_features": q_media_features,
-        "synth_corpus": q_synth_corpus,
     }
 
 
@@ -1819,14 +1989,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(dot / (na * nb), 4) DESC, vec_id
             LIMIT 10
         """,
-        "token_count": """
+        "token_count": f"""
+            WITH s AS (
+              SELECT lang,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) AS ws,
+                     len(regexp_extract_all(text,
+                         '{_BPE_RE.replace("'", "''")}'))
+                   - len(regexp_extract_all(text, '\\s+')) AS ntok
+              FROM documents)
             SELECT lang,
-                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
-                                            x -> x <> ''))) AS BIGINT)
-                       AS sum_tokens,
-                   round(avg(len(list_filter(string_split_regex(text, '\\s+'),
-                                             x -> x <> ''))), 4) AS avg_tokens
-            FROM documents GROUP BY lang
+                   CAST(sum(ws) AS BIGINT) AS sum_tokens,
+                   round(avg(ws), 4) AS avg_tokens,
+                   CAST(sum(ntok) AS BIGINT) AS sum_bpe_tokens,
+                   round(avg(ntok), 4) AS avg_bpe_tokens
+            FROM s GROUP BY lang
         """,
         "langid_stopwords": f"""
             SELECT lang,
@@ -2001,20 +2178,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_events) AS BIGINT) AS max_session_events,
                    round(avg(duration_s), 4) AS avg_duration_s
             FROM per WHERE user_id < 50 GROUP BY user_id
-        """,
-        "token_count_bpe": f"""
-            WITH s AS (
-              SELECT source, n_chars,
-                     len(regexp_extract_all(text,
-                         '{_BPE_RE.replace("'", "''")}'))
-                   - len(regexp_extract_all(text, '\\s+')) AS ntok
-              FROM documents)
-            SELECT source,
-                   CAST(sum(ntok) AS BIGINT) AS sum_bpe_tokens,
-                   round(avg(ntok), 4) AS avg_bpe_tokens,
-                   round(avg(ntok * 1.0 / greatest(n_chars, 1)), 4)
-                       AS tokens_per_char
-            FROM s GROUP BY source
         """,
         "fingerprint_winnow": """
             WITH grams AS (
@@ -2204,4 +2367,22 @@ def oracle_sql() -> dict[str, str]:
     # the fast ANN variant computes the same values with a zero-shuffle
     # plan; the oracle is plan-agnostic
     d["ann_cosine_topk_fast"] = d["ann_cosine_topk"]
+    # recall oracle composes the three already-checked top-10
+    # formulations (nested WITH inside CTE bodies — DuckDB-supported);
+    # joins are on integer vec_id only, so DuckDB's CTE re-inlining
+    # (different float summation order per reference) cannot flip rows
+    d["ann_recall"] = f"""
+        WITH bf AS ({d["ann_cosine_topk"]}),
+             lshq AS ({d["ann_lsh_bucket"]}),
+             ivfq AS ({d["ann_ivf_topk"]})
+        SELECT 'lsh_bucket' AS method,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               round(count(*) / 10.0, 4) AS recall
+        FROM lshq JOIN bf USING (vec_id)
+        UNION ALL
+        SELECT 'ivf' AS method,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               round(count(*) / 10.0, 4) AS recall
+        FROM ivfq JOIN bf USING (vec_id)
+    """
     return d

@@ -128,7 +128,13 @@ def test_new_query_plans_are_scale_safe(spark):
     assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan, plan
 
     # the fast winnow variant must hash JVM-side with xxhash64, not md5
-    plan = _plan(entry.queries()["fingerprint_winnow_fast"](spark, sf))
+    plan = _plan(entry.q_fingerprint_winnow_fast(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "md5" not in plan and "xxhash64" in plan, plan
+
+    # same for the 64-bit SimHash pair variant (r4): xxhash64 votes,
+    # long band keys, no md5/hex anywhere in the plan
+    plan = _plan(entry.q_simhash_hamming_pairs_fast(spark, sf))
     assert "CartesianProduct" not in plan
     assert "md5" not in plan and "xxhash64" in plan, plan
 
