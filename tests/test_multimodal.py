@@ -170,3 +170,44 @@ def test_null_media_rows_are_skipped(spark):
     allnull = df.filter("doc_id > 1").repartition(2)
     assert media_features(allnull, fake_decode=True).count() == 0
     assert video_frame_features(allnull, frame_size=4).count() == 0
+
+
+def test_encoders_roundtrip_through_decoders():
+    """encode_bmp/encode_ppm are exact inverses of the decoders — the
+    guarantee that makes the driver's real-decode media rows
+    trustworthy."""
+    from pii_spark.multimodal import encode_bmp, encode_ppm
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 3), (6, 8), (9, 13)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for enc in (encode_bmp, encode_ppm):
+            got = decode_image(enc(img), w, h)
+            assert (got == img).all(), (enc.__name__, h, w)
+
+
+def test_driver_real_decode_rows_match_goldens(spark):
+    """The driver-path real-decode rows (q_media_features
+    decoder='real') are byte-pinned: sha of the generated payload and
+    the decoded mean_px for two fixed doc_ids, computed once and
+    committed. Any drift in the generator, encoders, or decoders
+    surfaces here."""
+    import __spark_entry__ as E
+
+    rows = {
+        r.doc_id: r
+        for r in E.q_media_features(spark, "/root/testdata/sf0.001")
+        .filter("decoder = 'real' AND doc_id IN (200, 201)")
+        .collect()
+    }
+    # (payload sha256[:16], round(img.mean(), 4), n_bytes):
+    # doc 200 = 6x12 BMP (54 + 6*36 = 270 B), doc 201 = 7x13 PPM
+    golden = {
+        200: ("72adbf90e569bfd8", 128.9028, 270),
+        201: ("64f31ab55218fd59", 131.3883, 285),
+    }
+    assert set(rows) == set(golden)
+    for d, (sha, mean_px, n_bytes) in golden.items():
+        assert rows[d].sha == sha, d
+        assert rows[d].mean_px == mean_px, d
+        assert rows[d].n_bytes == n_bytes, d
