@@ -211,13 +211,23 @@ class IceliteTable:
             raise FileNotFoundError(f"no snapshot to compact in {self.dir}")
         df = self.read(spark).repartition(max(1, target_partitions))
         new_dir = self._write_data(df)
-        return self._commit(
-            "compact",
-            [new_dir],
-            summary or {"compacted_from_version": snap.version,
-                        "compacted_dirs": len(snap.data_dirs)},
-            require_parent_version=snap.version,
-        )
+        try:
+            return self._commit(
+                "compact",
+                [new_dir],
+                summary or {"compacted_from_version": snap.version,
+                            "compacted_dirs": len(snap.data_dirs)},
+                require_parent_version=snap.version,
+            )
+        except RuntimeError:
+            # lost the conditional commit: the freshly written data dir
+            # is referenced by NO manifest, and expire_snapshots only
+            # reclaims dirs referenced by expired manifests — delete it
+            # here or it leaks forever (ADVICE r3)
+            import shutil
+
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
 
     def data_file_count(self, version: int | None = None) -> int:
         """Number of parquet data files in a snapshot (compaction
@@ -303,14 +313,22 @@ class IceliteTable:
 
     def _acquire_expire_lock(self, lock: Path) -> None:
         """O_EXCL lock with crash recovery (ADVICE r2: a SIGKILL'd
-        expiry left a permanent lock). The lock records pid + timestamp;
-        an existing lock whose pid is dead (same-host check) or whose
-        age exceeds EXPIRE_LOCK_STALE_S is taken over. Takeover is an
-        atomic rename to a unique quarantine name — only one contender
-        can win the rename — and the quarantined content is re-checked:
-        if it turns out to be another process's FRESH lock (the read/
-        rename race), it is restored and we fail as contention."""
-        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
+        expiry left a permanent lock). The lock records pid + host +
+        timestamp; an existing lock whose pid is provably dead (pid
+        liveness is only checkable for a holder on THIS host — ADVICE
+        r3: on a shared filesystem another host's pid space is
+        invisible, so a foreign fresh lock must never be condemned by a
+        local ProcessLookupError) or whose age exceeds
+        EXPIRE_LOCK_STALE_S is taken over. Takeover is an atomic rename
+        to a unique quarantine name — only one contender can win the
+        rename — and the quarantined content is re-checked: if it turns
+        out to be another process's FRESH lock (the read/rename race),
+        it is restored and we fail as contention."""
+        import socket
+
+        payload = json.dumps({"pid": os.getpid(),
+                              "host": socket.gethostname(),
+                              "ts": time.time()})
         for attempt in (0, 1):
             # payload is made visible ATOMICALLY with acquisition
             # (write to temp + os.link = O_EXCL): a contender must never
@@ -336,10 +354,15 @@ class IceliteTable:
         staleness threshold and a second expiry legitimately took the
         lock over, unlinking blindly would delete the new holder's live
         lock (and a lock already gone would raise) — review r3."""
+        import socket
+
         try:
             info = json.loads(lock.read_text())
             if int(info.get("pid", -1)) != os.getpid():
                 return  # taken over — not ours to release
+            if info.get("host", socket.gethostname()) \
+                    != socket.gethostname():
+                return  # same pid on another host — not ours
         except (OSError, ValueError):
             return  # gone or unreadable — nothing of ours to release
         lock.unlink(missing_ok=True)
@@ -351,30 +374,38 @@ class IceliteTable:
             os.rename(lock, quarantine)
         except FileNotFoundError:
             return True  # holder released it meanwhile — just retry
+        import socket
+
+        host = None
         try:
             info = json.loads(quarantine.read_text())
             pid, ts = int(info["pid"]), float(info["ts"])
+            host = info.get("host")
         except (ValueError, KeyError, OSError):
             # unparseable (pre-r3 empty lock / torn write): age decides
             pid, ts = None, quarantine.stat().st_mtime
-        alive = False
-        if pid is not None:
+        # pid liveness is only meaningful on the holder's own host: a
+        # fresh lock written by another host/container on a shared
+        # filesystem would get ProcessLookupError HERE even though its
+        # holder is alive (ADVICE r3) — for foreign or unknown hosts
+        # age alone decides, same as the unparseable-pid case. host is
+        # None for pre-r4 lock formats (written host-blind → assume
+        # same host, preserving the r3 behavior).
+        same_host = host is None or host == socket.gethostname()
+        known_dead = False
+        if pid is not None and same_host:
             try:
                 os.kill(pid, 0)
-                alive = True
             except ProcessLookupError:
-                alive = False
+                known_dead = True
             except PermissionError:
-                alive = True
+                pass  # exists under another uid → alive
         fresh = time.time() - ts <= self.EXPIRE_LOCK_STALE_S
-        # steal only when provably stale: dead pid, or too old. A fresh
-        # lock with an UNKNOWN holder (pid unparseable — pre-r3 format,
-        # or a holder on another host where os.kill can't see it) must
-        # be restored, not stolen: "age decides" means age alone may
-        # condemn it, never acquit a dead pid (review r3: the previous
-        # condition `alive and fresh` stole every unparseable lock
-        # regardless of age, breaking mutual exclusion)
-        if fresh and (alive or pid is None):
+        # steal only when provably stale: locally-verified dead pid, or
+        # too old. A fresh lock whose holder cannot be proven dead must
+        # be restored, not stolen — age alone may condemn a lock, never
+        # acquit a dead pid (review r3).
+        if fresh and not known_dead:
             try:
                 os.rename(quarantine, lock)
             except OSError:

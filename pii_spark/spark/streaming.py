@@ -65,7 +65,12 @@ def run_streaming_job(
         # snapshot summary doubles as the dedup ledger (same pattern as
         # jobs.py group commits), making the append exactly-once.
         key = f"{ck_ns}:{int(batch_id)}"
-        if key in done:
+        # ALSO consult legacy bare-int entries (ADVICE r3): tables
+        # written before the checkpoint-namespaced key format carry
+        # summaries like {"stream_batch": 0}; ignoring them would
+        # replay every pre-migration batch on the first post-upgrade
+        # resume and silently duplicate rows.
+        if key in done or int(batch_id) in done:
             return
         result = run_pipeline(batch_df, partitions=partitions)
         out.append(result, summary={"stream_batch": key})
@@ -117,8 +122,15 @@ def run_stream_dedup(
     of the *custom* operator shape; a production job wanting only plain
     url-dedup should use the built-in ``dropDuplicates(["url"])``,
     which is this exact plan JVM-side — this operator exists to carry
-    custom per-key logic (first-wins payload selection here; TTLs,
-    counters, or richer keep/drop policies in general).
+    custom per-key logic (payload selection here; TTLs, counters, or
+    richer keep/drop policies in general).
+
+    Payload selection is DETERMINISTIC (ADVICE r3): the surviving row
+    for a url is the lexicographically-smallest ``text`` among that
+    url's rows in the FIRST micro-batch containing it — shuffled
+    group-arrival order within a batch (which varies with file/
+    partition layout) cannot change the winner, and the state entry
+    makes the first-batch choice stable across restarts.
 
     Returns a metrics dict: ``{"updated_state_rows": total
     numUpdatedStateRows across this run's micro-batches}``.
@@ -143,14 +155,18 @@ def run_stream_dedup(
                 {"url": pd.Series(dtype=object),
                  "text": pd.Series(dtype=object)})
             return
-        first = None
-        for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.iloc[[0]][["url", "text"]]
+        # deterministic winner: min(text) over ALL of this url's rows
+        # in the batch — arrival order of the Arrow chunks (a function
+        # of file/partition layout) must not pick the survivor
+        frames = [pdf[["url", "text"]] for pdf in pdfs if len(pdf)]
         state.update((True,))
-        yield first if first is not None else pd.DataFrame(
-            {"url": pd.Series(dtype=object),
-             "text": pd.Series(dtype=object)})
+        if frames:
+            allr = pd.concat(frames, ignore_index=True)
+            yield allr.sort_values("text", kind="mergesort").head(1)
+        else:
+            yield pd.DataFrame(
+                {"url": pd.Series(dtype=object),
+                 "text": pd.Series(dtype=object)})
 
     deduped = stream.groupBy("url").applyInPandasWithState(
         dedup,

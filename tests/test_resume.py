@@ -452,3 +452,78 @@ def test_compaction_interleaved_with_group_commits(spark, tmp_path):
     assert out.data_file_count() <= ref.data_file_count()
     # time travel across a compaction boundary still works
     assert out.read(spark, version=1).count() > 0
+
+
+def test_expire_lock_foreign_host_semantics(spark, tmp_path):
+    """ADVICE r3: pid liveness is host-local. A FRESH lock written on
+    another host whose pid happens to be dead HERE must block (its
+    holder may be alive over there); a STALE foreign lock is taken
+    over by age."""
+    import json
+    import time as _time
+
+    t = IceliteTable(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    for g in range(3):
+        t.append(df, summary={"group": g})
+    lock = t.meta / ".expire.lock"
+
+    # fresh + foreign host + locally-dead pid → must BLOCK
+    lock.write_text(json.dumps({
+        "pid": 2 ** 22 + 999, "host": "other-node-42", "ts": _time.time(),
+    }))
+    with pytest.raises(RuntimeError, match="another expire_snapshots"):
+        t.expire_snapshots(keep_last=1)
+    assert lock.exists()
+    lock.unlink()
+
+    # stale + foreign host → age condemns it, takeover proceeds
+    lock.write_text(json.dumps({
+        "pid": 2 ** 22 + 999, "host": "other-node-42",
+        "ts": _time.time() - 7200,
+    }))
+    t.expire_snapshots(keep_last=1)
+    assert not lock.exists()
+    assert t.committed_groups() == {0, 1, 2}
+
+    # release is host-aware too: a foreign lock with OUR pid value is
+    # not ours to delete
+    import os as _os
+    lock.write_text(json.dumps({
+        "pid": _os.getpid(), "host": "other-node-42", "ts": _time.time(),
+    }))
+    t._release_expire_lock(lock)
+    assert lock.exists()
+    lock.unlink()
+
+
+def test_compact_conflict_cleans_orphan_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r3: a compaction that loses its conditional commit leaves
+    a data dir referenced by no manifest; expire_snapshots never
+    reclaims unreferenced dirs, so compact() itself must delete it
+    before re-raising."""
+    from pathlib import Path
+
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.range(5).withColumnRenamed("id", "x"),
+             summary={"group": 0})
+
+    orig = t._write_data
+    captured = {}
+
+    def hijack(df):
+        d = orig(df)
+        if "dir" not in captured:
+            captured["dir"] = d
+            # race injection: another append lands AFTER compact's data
+            # write but BEFORE its conditional commit
+            t.append(spark.range(5, 8).withColumnRenamed("id", "x"),
+                     summary={"group": 1})
+        return d
+
+    monkeypatch.setattr(t, "_write_data", hijack)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.compact(spark)
+    assert not Path(captured["dir"]).exists()  # orphan reclaimed
+    assert t.read(spark).count() == 8          # racing append intact
+    assert t.committed_groups() == {0, 1}

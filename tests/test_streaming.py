@@ -184,7 +184,9 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     m1 = run_stream_dedup(spark, str(corpus), out, ckpt, groups=4)
     got = {r.url: r.text for r in spark.read.parquet(out).collect()}
     assert set(got) == {"u1", "u2"}
-    assert got["u1"] == "first copy"  # first occurrence wins
+    # deterministic winner (ADVICE r3): min(text) within the batch,
+    # NOT arrival order
+    assert got["u1"] == "dup in same file"
     # state writes are O(new urls): 2 distinct urls → 2 state rows
     assert m1["updated_state_rows"] == 2
 
@@ -290,3 +292,62 @@ def test_session_window_stream(spark, tmp_path):
     n = len(rows)
     run_session_stream(spark, str(events), out, ckpt)
     assert spark.read.parquet(out).count() == n
+
+
+def test_stream_dedup_winner_deterministic_across_files(spark, tmp_path):
+    """ADVICE r3: a url duplicated across SEVERAL files of one
+    micro-batch must keep a layout-independent survivor. The rule is
+    min(text); writing the files in either order (or with the copies
+    swapped between files) must yield the identical surviving row."""
+    import pandas as pd
+
+    from pii_spark.spark.streaming import run_stream_dedup
+
+    def drive(tag, texts_by_file):
+        corpus = tmp_path / f"corpus_{tag}"
+        corpus.mkdir()
+        for name, texts in texts_by_file.items():
+            pd.DataFrame(
+                [("u1", None, b"", t, "en") for t in texts],
+                columns=["url", "warc_ts", "html", "text", "lang"],
+            ).assign(warc_ts=pd.Timestamp("2026-01-01")).astype(
+                {"warc_ts": "datetime64[us]"}
+            ).to_parquet(corpus / name, index=False)
+        run_stream_dedup(spark, str(corpus), str(tmp_path / f"out_{tag}"),
+                         str(tmp_path / f"ckpt_{tag}"))
+        rows = spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        assert len(rows) == 1
+        return rows[0].text
+
+    a = drive("a", {"f1.parquet": ["zebra", "mango"],
+                    "f2.parquet": ["apple", "pear"]})
+    b = drive("b", {"f1.parquet": ["apple", "pear"],
+                    "f2.parquet": ["zebra", "mango"]})
+    assert a == b == "apple"
+
+
+def test_stream_ledger_honors_legacy_int_entries(spark, tmp_path):
+    """ADVICE r3: tables written before the checkpoint-namespaced
+    ledger format carry bare-int stream_batch summaries. A replayed
+    batch whose id matches a legacy entry must be skipped, not
+    re-appended (the format migration must not duplicate rows)."""
+    from pii_spark.icelite.catalog import IceliteTable
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.streaming import run_streaming_job
+
+    corpus_dir = str(tmp_path / "corpus")
+    generate_corpus(spark, 20, partitions=1).write.parquet(corpus_dir)
+
+    # legacy-format table: batch 0's rows are already present, ledgered
+    # under the OLD bare-int key
+    out = IceliteTable(str(tmp_path / "out"))
+    legacy_rows = spark.read.parquet(corpus_dir)
+    out.append(legacy_rows.limit(0), summary={"stream_batch": 0})
+    v_before = out.current_version()
+
+    # fresh checkpoint delivers batch 0 again (the post-upgrade replay
+    # shape); the legacy entry must suppress the append
+    run_streaming_job(spark, corpus_dir, str(tmp_path / "out"),
+                      str(tmp_path / "ckpt"))
+    assert out.current_version() == v_before
+    assert out.committed_groups("stream_batch") == {0}
