@@ -931,7 +931,14 @@ def q_langid_stopwords(spark, sf_dir):  # heuristic language-ID
     )
 
 
-def q_quality_heuristics(spark, sf_dir):  # C4/Gopher scores, native SQL
+def q_quality_heuristics(spark, sf_dir):
+    """C4/Gopher heuristic scores + toxicity lexicon census, all native
+    SQL (the quality + toxicity halves of the north rule's filter
+    family in one oracle-checked entry — the 50-query driver cap rules
+    out a separate toxicity query)."""
+    from pii_spark.config import QUALITY
+    from pii_spark.quality.toxicity import toxicity_exprs
+
     nonspace = F.regexp_replace(F.col("text"), r"\s", "")
     n_ns = F.greatest(F.length(nonspace), F.lit(1))
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
@@ -945,6 +952,8 @@ def q_quality_heuristics(spark, sf_dir):  # C4/Gopher scores, native SQL
         & ((n_ns - n_alpha) / n_ns <= 0.4)
         & (rep <= 0.8)
     )
+    tox = toxicity_exprs(F.col("text"), n_words)
+    toxic = tox["tox_score"] > F.lit(QUALITY["max_tox_score"])
     return (
         _docs(spark, sf_dir)
         .groupBy("lang")
@@ -953,6 +962,8 @@ def q_quality_heuristics(spark, sf_dir):  # C4/Gopher scores, native SQL
             F.sum(passes.cast("long")).cast("long").alias("n_pass"),
             F.round(F.avg(rep), 4).alias("avg_rep"),
             F.round(F.avg(mean_wl), 4).alias("avg_word_len"),
+            F.sum(tox["tox_hits"]).cast("long").alias("n_tox_hits"),
+            F.sum(toxic.cast("long")).cast("long").alias("n_toxic"),
         )
     )
 
@@ -1764,8 +1775,14 @@ _LSH_SQL_CTES = f"""signs AS (
 def oracle_sql() -> dict[str, str]:
     # interpolate label ids from the single source of truth so a
     # label-space reorder cannot desynchronize engine and oracle
-    # (ADVICE r2: the r2 oracle hardcoded 4/8/12)
+    # (ADVICE r2: the r2 oracle hardcoded 4/8/12); same for the
+    # toxicity lexicon/threshold (quality/toxicity.py, config.QUALITY)
     from pii_spark.config import LABEL2ID as _L2I
+    from pii_spark.config import QUALITY as _Q
+    from pii_spark.quality.toxicity import TOX_RE_W1 as _TOX_RE_W1
+    from pii_spark.quality.toxicity import TOX_RE_W2 as _TOX_RE_W2
+
+    _TOX_MAX = _Q["max_tox_score"]
 
     simhash_votes = ", ".join(
         "sum(CASE WHEN substr(h, {i}, 1) IN "
@@ -2043,7 +2060,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
         """,
-        "quality_heuristics": """
+        "quality_heuristics": f"""
             WITH s AS (
               SELECT lang,
                      greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)
@@ -2052,13 +2069,16 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x <> '')) AS n_words,
                      length(regexp_replace(
                          regexp_replace(text, '\\s', '', 'g'),
-                         '[^\\p{L}]', '', 'g')) AS n_alpha,
+                         '[^\\p{{L}}]', '', 'g')) AS n_alpha,
                      1.0 - len(list_distinct(list_transform(
                          list_filter(string_split_regex(text, '\\s+'),
                                      x -> x <> ''), x -> lower(x))))
                          * 1.0 / len(list_filter(
                              string_split_regex(text, '\\s+'),
-                             x -> x <> '')) AS rep
+                             x -> x <> '')) AS rep,
+                     len(regexp_extract_all(lower(text), '{_TOX_RE_W1}'))
+                   + 2 * len(regexp_extract_all(lower(text), '{_TOX_RE_W2}'))
+                         AS tox_hits
               FROM documents)
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(CASE WHEN n_words >= 5
@@ -2067,7 +2087,11 @@ def oracle_sql() -> dict[str, str]:
                          AND rep <= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_pass,
                    round(avg(rep), 4) AS avg_rep,
-                   round(avg(n_ns * 1.0 / n_words), 4) AS avg_word_len
+                   round(avg(n_ns * 1.0 / n_words), 4) AS avg_word_len,
+                   CAST(sum(tox_hits) AS BIGINT) AS n_tox_hits,
+                   CAST(sum(CASE WHEN tox_hits * 1.0 / greatest(n_words, 1)
+                                      > {_TOX_MAX}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_toxic
             FROM s GROUP BY lang
         """,
         "html_extract": """

@@ -52,8 +52,11 @@ def salted_repartition(df: DataFrame, partitions: int | None = None) -> DataFram
 # ------------------------------------------------------------ native exprs
 
 def quality_exprs() -> dict[str, Column]:
-    """C4/Gopher heuristic statistics as pure Catalyst expressions
-    (same semantics as quality.heuristics.quality_stats)."""
+    """C4/Gopher heuristic + toxicity statistics as pure Catalyst
+    expressions (same semantics as quality.heuristics.quality_stats
+    and quality.toxicity.toxicity_stats)."""
+    from ..quality.toxicity import toxicity_exprs
+
     text = F.col("text")
     nonspace = F.regexp_replace(text, r"\s", "")
     n_ns = F.greatest(F.length(nonspace), F.lit(1))
@@ -74,6 +77,7 @@ def quality_exprs() -> dict[str, Column]:
             - F.size(F.array_distinct(F.transform(words, F.lower)))
             / n_words,
         ).otherwise(F.lit(1.0)),
+        **toxicity_exprs(text, n_words),
     }
 
 
@@ -252,11 +256,13 @@ def run_pipeline(
     heur_ok = heuristics_pass_expr(q)
     lang_ok = F.col("q.lang_pred").isin(*q["langs_kept"])
     ppl_ok = F.col("q.ppl") <= F.lit(q["max_ppl"])
-    keep = lang_ok & ppl_ok & heur_ok
+    tox_ok = F.col("tox_score") <= F.lit(q["max_tox_score"])
+    keep = lang_ok & ppl_ok & heur_ok & tox_ok
     drop_reason = (
         F.when(~lang_ok, F.lit("langid"))
         .when(~ppl_ok, F.lit("perplexity"))
         .when(~heur_ok, F.lit("heuristics"))
+        .when(~tox_ok, F.lit("toxicity"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -271,6 +277,7 @@ def run_pipeline(
             F.col("mean_word_len").cast("double").alias("mean_word_len"),
             F.col("symbol_ratio").cast("double").alias("symbol_ratio"),
             F.col("rep_ratio").cast("double").alias("rep_ratio"),
+            F.col("tox_score").cast("double").alias("tox_score"),
         ).alias("quality"),
         F.col("s.spans").alias("spans"),
         F.col("s.scrubbed_text").alias("scrubbed_text"),

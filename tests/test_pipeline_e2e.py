@@ -30,6 +30,8 @@ def test_every_url_has_output(output_rows, full):
 
 
 def test_keep_matches_pure_functions(full, output_rows):
+    from pii_spark.quality.toxicity import toxicity_stats
+
     for row in full.collect():
         out = output_rows[row.doc_id]
         lang, _ = classify(row.text)
@@ -37,10 +39,14 @@ def test_keep_matches_pure_functions(full, output_rows):
             lang in QUALITY["langs_kept"]
             and perplexity(row.text) <= QUALITY["max_ppl"]
             and passes_heuristics(row.text)
+            and toxicity_stats(row.text)["tox_score"]
+            <= QUALITY["max_tox_score"]
         )
         assert out.keep == expected, (row.doc_id, out.drop_reason)
         if not out.keep:
-            assert out.drop_reason in ("langid", "perplexity", "heuristics")
+            assert out.drop_reason in (
+                "langid", "perplexity", "heuristics", "toxicity",
+            )
         else:
             assert out.drop_reason is None
 

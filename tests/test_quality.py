@@ -54,3 +54,51 @@ def test_native_exprs_match_pure(spark):
         assert abs(r.symbol_ratio - s["symbol_ratio"]) < 1e-9
         assert abs(r.digit_ratio - s["digit_ratio"]) < 1e-9
         assert abs(r.rep_ratio - s["rep_ratio"]) < 1e-9
+
+
+def test_toxicity_native_matches_pure(spark):
+    """Native toxicity columns == pure-Python twin, on generated docs
+    AND handcrafted edge cases (word boundaries, case, substrings)."""
+    from pii_spark.quality.toxicity import toxicity_stats
+    from pii_spark.spark.pipeline import quality_exprs
+
+    texts = [build_example(42, i)["text"] for i in range(60)] + [
+        "I hate this stupid garbage site",          # 2+2+1 = 5 hits
+        "HATE Hate hate",                            # case-folded, 6
+        "skill killer trashy",                       # substrings: 0 hits
+        "kill",                                      # single word, score 2.0
+        "a perfectly pleasant sentence about cats",  # clean
+        "",                                          # empty
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.withColumns(quality_exprs()).collect()
+    for r in rows:
+        s = toxicity_stats(r.text)
+        assert r.tox_hits == int(s["tox_hits"]), r.text
+        assert abs(r.tox_score - s["tox_score"]) < 1e-9, r.text
+
+
+def test_toxic_doc_dropped_by_pipeline(spark):
+    """A doc over max_tox_score is dropped with drop_reason='toxicity';
+    scrubbed text is still produced (the output contract); a clean twin
+    of the same shape is kept."""
+    from pii_spark.spark.pipeline import run_pipeline
+
+    toxic = ("You stupid idiot, I hate this garbage and everyone on "
+             "this trash site is a moron and a loser, just the worst "
+             "kind of scum imaginable honestly.")
+    clean = ("You wonderful reader, I enjoy this lovely site and "
+             "everyone here is a delight and a friend, just the best "
+             "kind of company imaginable honestly.")
+    df = spark.createDataFrame(
+        [("https://a.example.com/1", None, b"", toxic, "en"),
+         ("https://a.example.com/2", None, b"", clean, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    out = {r.url[-1]: r for r in run_pipeline(df).collect()}
+    assert not out["1"].keep and out["1"].drop_reason == "toxicity"
+    assert out["1"].scrubbed_text  # still scrubbed
+    assert out["1"].quality.tox_score > 0.08
+    assert out["2"].keep and out["2"].drop_reason is None
+    assert out["2"].quality.tox_score == 0.0
