@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--groups", type=int, default=16)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
@@ -49,11 +50,13 @@ def main() -> None:
         else:
             from pii_spark.spark.jobs import run_quality_job
 
-            corpus = spark.read.parquet(args.input)
+            # pass the PATH, not a DataFrame: file-granular groups read
+            # the corpus exactly once total (no staging write)
             table = run_quality_job(
-                spark, corpus, args.output, args.audit,
+                spark, args.input, args.output, args.audit,
                 groups=args.groups, run_id=args.run_id,
                 partitions=args.partitions,
+                compact_every=args.compact_every,
             )
         n = table.read(spark).count()
         print(f"committed snapshot v{table.current_version()} ({n} rows)")
