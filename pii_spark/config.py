@@ -85,8 +85,9 @@ QUALITY = {
     # strings land 70-95 (scripts/f1_harness.py + quality sweep)
     "max_ppl": 65.0,
     "langs_kept": ("en",),
-    # weighted lexicon hits per word (quality/toxicity.py); 0.08 means
-    # e.g. one weight-2 word in a 25-word doc just triggers the drop
+    # weighted lexicon hits per word (quality/toxicity.py); drop when
+    # STRICTLY above: one weight-2 word in a 24-word doc (2/24 ≈ 0.083)
+    # drops, in a 25-word doc (2/25 = 0.08 exactly) keeps
     "max_tox_score": 0.08,
 }
 

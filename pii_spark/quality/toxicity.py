@@ -14,9 +14,18 @@ Three coordinated implementations, pinned equal by tests:
     tests/test_pipeline_e2e.py);
   * ``toxicity_exprs`` — native Spark columns (the pipeline path);
   * the DuckDB SQL fragment in ``__spark_entry__.oracle_sql()``
-    (quality_heuristics oracle) — all three use the same ASCII
-    lexicon and ``\\b``-bounded regex so Python re, Java regex, and
-    RE2 agree byte-for-byte.
+    (quality_heuristics oracle) — same ASCII lexicon and
+    ``\\b``-bounded regex.
+
+Boundary-semantics caveat: Python re and Java regex (the two PIPELINE
+implementations — the ones that must agree for keep/drop) both use
+Unicode word boundaries and match identically. DuckDB's RE2 uses
+ASCII-only ``\\b``, so a lexicon word directly abutting a non-ASCII
+letter (e.g. ``hateé``) counts in the oracle but not in the engine;
+RE2 has no lookarounds to emulate the Unicode rule. The driver
+testdata is ASCII so the oracle holds there; a non-ASCII corpus needs
+the oracle's tox columns dropped or the lexicon matched on a
+pre-tokenized words array on both sides.
 
 Score: (weight-1 hits + 2 * weight-2 hits) / max(n_words, 1). A doc
 whose score exceeds ``QUALITY["max_tox_score"]`` is dropped with

@@ -156,6 +156,7 @@ def run_quality_job(
 
     pending = [g for g in range(groups) if g not in done]
     staging: str | None = None
+    extra_summary: dict = {}
     if isinstance(corpus, str):
         files = sorted(
             str(p) for p in Path(corpus).rglob("*.parquet")
@@ -163,9 +164,46 @@ def run_quality_job(
         )
         if not files:
             raise FileNotFoundError(f"no parquet files under {corpus}")
+        # the round-robin deal is a function of the LISTING: if the file
+        # set changes between a crash and its resume, committed group
+        # ids would silently map to different files and rows would be
+        # duplicated or lost (review r4). Fingerprint the deal into
+        # every group snapshot and refuse to resume over a drifted
+        # listing — input immutability is the path-mode contract.
+        import hashlib
+
+        files_fp = hashlib.md5(
+            ("\n".join(Path(f).name for f in files) + f":{groups}")
+            .encode()
+        ).hexdigest()[:16]
+        extra_summary = {"files_fp": files_fp}
+        if done:
+            recorded = {
+                s.summary["files_fp"]
+                for s in out.snapshots()
+                if "group" in s.summary and "files_fp" in s.summary
+            }
+            # expired manifests carry their summaries into ledger.json
+            recorded.update(out._ledger_carry().get("files_fp", []))
+            stale = recorded - {files_fp}
+            if stale:
+                raise RuntimeError(
+                    f"input file set under {corpus} changed since "
+                    f"groups were committed (fingerprint(s) "
+                    f"{sorted(stale)} != {files_fp}) — the file→group "
+                    "deal is no longer valid; reprocess into a fresh "
+                    "table or restore the original input listing"
+                )
+        schema = spark.read.parquet(files[0]).schema
 
         def group_df(g: int) -> DataFrame:
-            return spark.read.parquet(*files[g::groups])
+            part = files[g::groups]
+            if not part:
+                # more groups than files: commit an EMPTY snapshot so
+                # the ledger still reaches all G groups (review r4 —
+                # spark.read.parquet() with zero paths throws)
+                return spark.createDataFrame([], schema)
+            return spark.read.parquet(*part)
 
         def group_files(g: int) -> list[str]:
             return [Path(f).name for f in files[g::groups]]
@@ -203,7 +241,8 @@ def run_quality_job(
             .collect()
         )
         snap = out.append(
-            result.drop("_pid"), summary={"group": g, "run_id": run_id}
+            result.drop("_pid"),
+            summary={"group": g, "run_id": run_id, **extra_summary},
         )
         wall_ms = int((time.time() - t0) * 1000)
         audit_rows = [
@@ -250,8 +289,7 @@ def run_quality_job(
                 spark,
                 summary={"compacted_after_group": g, "run_id": run_id},
             )
-    if staging is not None and not any(
-        g not in out.committed_groups() for g in range(groups)
-    ):
+    final_done = out.committed_groups()  # ONE manifest scan, not G
+    if staging is not None and all(g in final_done for g in range(groups)):
         shutil.rmtree(staging, ignore_errors=True)  # all groups durable
     return out

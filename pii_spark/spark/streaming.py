@@ -57,6 +57,15 @@ def run_streaming_job(
 
     ck_ns = hashlib.md5(
         str(_P(checkpoint_dir).resolve()).encode()).hexdigest()[:12]
+    # Legacy bare-int ledger entries (pre-namespacing format) are
+    # consulted ONLY when this run RESUMES an already-started checkpoint
+    # (offsets exist): such a replayed batch id may be a pre-migration
+    # batch whose rows are already in the table, and ignoring the
+    # legacy entry would duplicate them (ADVICE r3). A FRESH checkpoint
+    # is a NEW stream — its batch 0 carries new data, and consulting
+    # legacy ints there would silently DROP it (review r4: the same
+    # cross-stream collision the namespacing fix exists to prevent).
+    ck_is_resume = (_P(checkpoint_dir) / "offsets").exists()
 
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
@@ -65,12 +74,7 @@ def run_streaming_job(
         # snapshot summary doubles as the dedup ledger (same pattern as
         # jobs.py group commits), making the append exactly-once.
         key = f"{ck_ns}:{int(batch_id)}"
-        # ALSO consult legacy bare-int entries (ADVICE r3): tables
-        # written before the checkpoint-namespaced key format carry
-        # summaries like {"stream_batch": 0}; ignoring them would
-        # replay every pre-migration batch on the first post-upgrade
-        # resume and silently duplicate rows.
-        if key in done or int(batch_id) in done:
+        if key in done or (ck_is_resume and int(batch_id) in done):
             return
         result = run_pipeline(batch_df, partitions=partitions)
         out.append(result, summary={"stream_batch": key})
@@ -157,16 +161,22 @@ def run_stream_dedup(
             return
         # deterministic winner: min(text) over ALL of this url's rows
         # in the batch — arrival order of the Arrow chunks (a function
-        # of file/partition layout) must not pick the survivor
-        frames = [pdf[["url", "text"]] for pdf in pdfs if len(pdf)]
+        # of file/partition layout) must not pick the survivor. Running
+        # per-chunk min, O(1) state per key: a hot url with millions of
+        # duplicates must not be concatenated into one frame and sorted
+        # (review r4 — that is the exact skew shape crawl dedup meets)
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = pdf["text"].min()
+            row = pdf[pdf["text"] == m].iloc[[0]][["url", "text"]]
+            if best is None or row["text"].iat[0] < best["text"].iat[0]:
+                best = row
         state.update((True,))
-        if frames:
-            allr = pd.concat(frames, ignore_index=True)
-            yield allr.sort_values("text", kind="mergesort").head(1)
-        else:
-            yield pd.DataFrame(
-                {"url": pd.Series(dtype=object),
-                 "text": pd.Series(dtype=object)})
+        yield best if best is not None else pd.DataFrame(
+            {"url": pd.Series(dtype=object),
+             "text": pd.Series(dtype=object)})
 
     deduped = stream.groupBy("url").applyInPandasWithState(
         dedup,

@@ -527,3 +527,42 @@ def test_compact_conflict_cleans_orphan_dir(spark, tmp_path, monkeypatch):
     assert not Path(captured["dir"]).exists()  # orphan reclaimed
     assert t.read(spark).count() == 8          # racing append intact
     assert t.committed_groups() == {0, 1}
+
+
+def test_path_mode_more_groups_than_files(spark, tmp_path):
+    """review r4: groups > file count must commit EMPTY snapshots for
+    the fileless groups (ledger completeness), not crash on an empty
+    read — and resume must see all groups done."""
+    corpus = generate_corpus(spark, 30).cache()
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.repartition(2).write.parquet(corpus_dir)  # 2 data files
+
+    out = run_quality_job(spark, corpus_dir, str(tmp_path / "o"),
+                          str(tmp_path / "a"), groups=5)
+    assert out.committed_groups() == set(range(5))
+    assert out.read(spark).count() == 30
+    # rerun is a clean no-op
+    out2 = run_quality_job(spark, corpus_dir, str(tmp_path / "o"),
+                           str(tmp_path / "a"), groups=5)
+    assert out2.read(spark).count() == 30
+
+
+def test_path_mode_rejects_drifted_file_listing(spark, tmp_path):
+    """review r4: the round-robin file→group deal is only valid for the
+    listing it was committed against. Adding a file between crash and
+    resume must fail loudly, never silently remap committed groups."""
+    corpus = generate_corpus(spark, 60).cache()
+    corpus_dir = tmp_path / "corpus"
+    corpus.repartition(4).write.parquet(str(corpus_dir))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_quality_job(spark, str(corpus_dir), str(tmp_path / "o"),
+                        str(tmp_path / "a"), groups=4,
+                        fail_after_groups=2)
+
+    # a new file lands mid-listing → deal would shift
+    generate_corpus(spark, 5).repartition(1).write.mode("append"
+        ).parquet(str(corpus_dir))
+    with pytest.raises(RuntimeError, match="file set .* changed"):
+        run_quality_job(spark, str(corpus_dir), str(tmp_path / "o"),
+                        str(tmp_path / "a"), groups=4)

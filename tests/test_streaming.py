@@ -327,27 +327,54 @@ def test_stream_dedup_winner_deterministic_across_files(spark, tmp_path):
 
 
 def test_stream_ledger_honors_legacy_int_entries(spark, tmp_path):
-    """ADVICE r3: tables written before the checkpoint-namespaced
-    ledger format carry bare-int stream_batch summaries. A replayed
-    batch whose id matches a legacy entry must be skipped, not
-    re-appended (the format migration must not duplicate rows)."""
+    """ADVICE r3 + review r4, both halves of the legacy-format
+    migration:
+
+    1. RESUMING a pre-migration checkpoint: a replayed batch whose id
+       matches a legacy bare-int table entry is skipped (no duplicate
+       rows).
+    2. A FRESH checkpoint over a table carrying legacy entries is a
+       NEW stream: its batch 0 holds new data and MUST be processed —
+       consulting legacy ints there would silently drop it."""
+    import json
+
     from pii_spark.icelite.catalog import IceliteTable
     from pii_spark.spark.gen_job import generate_corpus
     from pii_spark.spark.streaming import run_streaming_job
 
     corpus_dir = str(tmp_path / "corpus")
     generate_corpus(spark, 20, partitions=1).write.parquet(corpus_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
 
-    # legacy-format table: batch 0's rows are already present, ledgered
-    # under the OLD bare-int key
-    out = IceliteTable(str(tmp_path / "out"))
-    legacy_rows = spark.read.parquet(corpus_dir)
-    out.append(legacy_rows.limit(0), summary={"stream_batch": 0})
+    # build the pre-migration state: run once (creates checkpoint +
+    # table), then rewrite the ledger entry to the OLD bare-int format
+    out = run_streaming_job(spark, corpus_dir, out_dir, str(ckpt))
+    assert out.read(spark).count() == 20
+    v1 = out.meta / "v1.json"
+    snap = json.loads(v1.read_text())
+    assert isinstance(snap["summary"]["stream_batch"], str)
+    snap["summary"]["stream_batch"] = 0
+    v1.write_text(json.dumps(snap))
     v_before = out.current_version()
 
-    # fresh checkpoint delivers batch 0 again (the post-upgrade replay
-    # shape); the legacy entry must suppress the append
-    run_streaming_job(spark, corpus_dir, str(tmp_path / "out"),
-                      str(tmp_path / "ckpt"))
+    # half 1 — crash window replay: offsets for batch 0 exist, commit
+    # marker deleted → restart replays batch 0; the legacy int entry
+    # must suppress the re-append
+    commits = [p for p in sorted((ckpt / "commits").iterdir())
+               if not p.name.startswith(".")]
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run_streaming_job(spark, corpus_dir, out_dir, str(ckpt))
     assert out.current_version() == v_before
-    assert out.committed_groups("stream_batch") == {0}
+    assert out.read(spark).count() == 20
+
+    # half 2 — FRESH checkpoint, same legacy table: batch 0 carries
+    # genuinely new data and must be appended, not dropped
+    corpus2 = str(tmp_path / "corpus2")
+    generate_corpus(spark, 10, partitions=1).write.parquet(corpus2)
+    out2 = run_streaming_job(spark, corpus2, out_dir,
+                             str(tmp_path / "ckpt_fresh"))
+    assert out2.read(spark).count() == 30  # 20 legacy + 10 new
