@@ -378,3 +378,49 @@ def test_stream_ledger_honors_legacy_int_entries(spark, tmp_path):
     out2 = run_streaming_job(spark, corpus2, out_dir,
                              str(tmp_path / "ckpt_fresh"))
     assert out2.read(spark).count() == 30  # 20 legacy + 10 new
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful dedup's 100 TB story claims it runs unchanged on
+    the RocksDB state store (state on disk per partition instead of
+    JVM heap). Prove it: same operator, same semantics, RocksDB
+    provider — cross-batch dedup and O(new urls) state writes hold."""
+    import pandas as pd
+
+    from pii_spark.spark.streaming import run_stream_dedup
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = ("org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider")
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocksdb)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]
+                     ).assign(warc_ts=pd.Timestamp("2026-01-01")
+                              ).astype({"warc_ts": "datetime64[us]"}
+                     ).to_parquet(corpus / name, index=False)
+
+    try:
+        write("a.parquet", [(f"u{i % 5}", None, b"", f"text{i:03d}", "en")
+                            for i in range(20)])
+        m1 = run_stream_dedup(spark, str(corpus), str(tmp_path / "out"),
+                              str(tmp_path / "ckpt"))
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 5
+        assert m1["updated_state_rows"] == 5
+        # restart against RocksDB-recovered state: only the new url
+        # writes state
+        write("b.parquet", [("u0", None, b"", "late dup", "en"),
+                            ("u9", None, b"", "nine", "en")])
+        m2 = run_stream_dedup(spark, str(corpus), str(tmp_path / "out"),
+                              str(tmp_path / "ckpt"))
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 6
+        assert m2["updated_state_rows"] == 1
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
