@@ -185,6 +185,87 @@ class IceliteTable:
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
         return self._commit("overwrite", [self._write_data(df)], summary or {})
 
+    # ------------------------------------------------- row-level operations
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write MERGE: rows of ``df`` replace current rows with
+        matching ``keys``; unmatched rows are inserted. The crawl-update
+        shape — a re-fetched url replaces its previous page.
+
+        Semantics are one atomic snapshot: current ⟕anti df ∪ df. The
+        whole table is rewritten (copy-on-write, like Iceberg CoW
+        MERGE); at 100 TB a partition-scoped variant rewrites only the
+        partitions holding matched keys — same commit protocol, smaller
+        anti-join side. The conditional commit (parent pinned to the
+        version read here) means a racing append is never silently
+        dropped; the loser re-runs on fresh state. Old versions stay
+        time-travelable until expiry."""
+        parent = self.snapshot()
+        if parent is None or not parent.data_dirs:
+            return self._commit(
+                "upsert", [self._write_data(df)], summary or {}
+            )
+        survivors = self.read(spark).join(
+            df.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = survivors.unionByName(df)
+        new_dir = self._write_data(merged)
+        try:
+            return self._commit(
+                "upsert", [new_dir],
+                summary or {"upsert_keys": keys},
+                require_parent_version=parent.version,
+            )
+        except RuntimeError:
+            import shutil
+
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        summary: dict | None = None,
+    ) -> tuple[Snapshot, int]:
+        """Copy-on-write row-level DELETE — the right-to-be-forgotten
+        operation a PII table must support: rows matching ``predicate``
+        (a SQL boolean expression) are removed in ONE atomic snapshot;
+        returns (snapshot, rows_deleted).
+
+        Deleted rows remain readable in OLDER snapshots until
+        expire_snapshots passes the retention horizon — run expiry
+        after a legal-erasure delete to physically reclaim the bytes
+        (the test pins this end-to-end). Conditional commit as in
+        upsert: racing appends fail the delete loudly rather than being
+        dropped."""
+        parent = self.snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot in {self.dir}")
+        cur = self.read(spark)
+        n_del = cur.filter(predicate).count()
+        survivors = cur.filter(f"NOT ({predicate})")
+        new_dir = self._write_data(survivors)
+        try:
+            snap = self._commit(
+                "delete", [new_dir],
+                summary or {"delete_predicate": predicate,
+                            "rows_deleted": n_del},
+                require_parent_version=parent.version,
+            )
+        except RuntimeError:
+            import shutil
+
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+        return snap, n_del
+
     # ------------------------------------------------------ maintenance
 
     def compact(
@@ -303,6 +384,46 @@ class IceliteTable:
                 if Path(d).exists():
                     shutil.rmtree(d)
                     removed.append(d)
+            return removed
+        finally:
+            self._release_expire_lock(lock)
+
+    def gc_orphans(self, grace_s: float = 3600.0) -> list[str]:
+        """Reclaim data directories referenced by NO manifest — the
+        debris of a writer that crashed between _write_data and its
+        commit (append/overwrite/upsert/delete all write data first,
+        commit second, so a kill in that window leaks a full data dir
+        that expire_snapshots will never touch: it only deletes dirs
+        referenced by EXPIRED manifests).
+
+        Safety: only dirs whose mtime is older than ``grace_s`` are
+        removed — an in-flight writer's dir (written, commit pending)
+        must never be swept, so size ``grace_s`` ABOVE the longest
+        write-plus-commit window your jobs can have (the 1 h default
+        suits the test/50 k-doc scale; a multi-hour 100 TB rewrite
+        wants a day). Runs under the expire lock so a concurrent
+        expiry's view of referenced dirs cannot change mid-sweep.
+        Returns the deleted dirs."""
+        import shutil
+
+        if not self.data.exists():
+            return []
+        self.meta.mkdir(parents=True, exist_ok=True)
+        lock = self.meta / ".expire.lock"
+        self._acquire_expire_lock(lock)
+        try:
+            referenced: set[str] = set()
+            for snap in self.snapshots():
+                referenced.update(snap.data_dirs)
+            removed: list[str] = []
+            now = time.time()
+            for d in sorted(self.data.iterdir()):
+                if not d.is_dir() or str(d) in referenced:
+                    continue
+                if now - d.stat().st_mtime <= grace_s:
+                    continue  # possibly a commit in flight
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(str(d))
             return removed
         finally:
             self._release_expire_lock(lock)

@@ -293,3 +293,44 @@ def run_quality_job(
     if staging is not None and all(g in final_done for g in range(groups)):
         shutil.rmtree(staging, ignore_errors=True)  # all groups durable
     return out
+
+
+def run_forget_job(
+    spark: SparkSession,
+    out_dir: str,
+    audit_dir: str,
+    urls: list[str],
+    run_id: str | None = None,
+    expire_now: bool = False,
+) -> int:
+    """Right-to-be-forgotten over the output table — the erasure
+    operation a PII pipeline is legally required to support: delete
+    every row whose url is in ``urls`` (one atomic copy-on-write
+    snapshot), append an audit row recording the erasure, and
+    optionally expire history immediately so the deleted rows'
+    bytes are physically reclaimed (otherwise they stay
+    time-travelable until the next scheduled expiry — which is
+    usually NOT what an erasure request wants; pass
+    ``expire_now=True`` for legal deletes). Returns rows deleted."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    out = IceliteTable(out_dir)
+    audit = IceliteTable(audit_dir)
+    t0 = time.time()
+    quoted = ", ".join("'" + u.replace("'", "''") + "'" for u in urls)
+    snap, n_del = out.delete_where(
+        spark, f"url IN ({quoted})", summary={"forget_run": run_id},
+    )
+    from ..schema import AUDIT
+
+    adf = spark.createDataFrame(
+        [(
+            run_id, snap.snapshot_id, -1,
+            [f"forget:{len(urls)}_urls"], n_del, 0, n_del, 0,
+            int((time.time() - t0) * 1000), None,
+        )],
+        schema=AUDIT,
+    ).withColumn("committed_at", F.current_timestamp())
+    audit.append(adf, summary={"forget_run": run_id})
+    if expire_now:
+        out.expire_snapshots(keep_last=1)
+    return n_del

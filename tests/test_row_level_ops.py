@@ -1,0 +1,139 @@
+"""Row-level catalog operations: copy-on-write upsert (re-crawled
+pages), copy-on-write delete + physical reclamation (right to be
+forgotten — the erasure path a PII table must support), and orphan-dir
+GC (debris of writers killed between data write and commit)."""
+
+import time
+
+import pytest
+
+from pii_spark.icelite.catalog import IceliteTable
+
+
+def _rows(spark, t, version=None):
+    return sorted((r.k, r.v) for r in t.read(spark, version).collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        summary={"group": 0})
+    return t
+
+
+def test_upsert_replaces_and_inserts(spark, table):
+    pre = table.current_version()
+    table.upsert(spark, spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "k int, v string"), keys=["k"])
+    assert _rows(spark, table) == [(1, "a"), (2, "B2"), (3, "c"),
+                                   (9, "new")]
+    # one atomic snapshot; the pre-image stays time-travelable
+    assert table.current_version() == pre + 1
+    assert _rows(spark, table, version=pre) == [(1, "a"), (2, "b"),
+                                                (3, "c")]
+    # ledger untouched by row-level ops
+    assert table.committed_groups() == {0}
+
+
+def test_upsert_into_empty_table(spark, tmp_path):
+    t = IceliteTable(tmp_path / "t2")
+    t.upsert(spark, spark.createDataFrame([(1, "a")], "k int, v string"),
+             keys=["k"])
+    assert _rows(spark, t) == [(1, "a")]
+
+
+def test_upsert_conflict_cleans_orphan(spark, table, monkeypatch):
+    """A racing append between upsert's read and commit fails the
+    upsert loudly AND reclaims its orphan data dir."""
+    from pathlib import Path
+
+    orig = table._write_data
+    captured = {}
+
+    def hijack(df):
+        d = orig(df)
+        if "dir" not in captured:
+            captured["dir"] = d
+            table.append(spark.createDataFrame(
+                [(50, "race")], "k int, v string"))
+        return d
+
+    monkeypatch.setattr(table, "_write_data", hijack)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        table.upsert(spark, spark.createDataFrame(
+            [(1, "X")], "k int, v string"), keys=["k"])
+    assert not Path(captured["dir"]).exists()
+    assert (50, "race") in _rows(spark, table)  # racer intact
+
+
+def test_delete_where_and_physical_reclaim(spark, table):
+    """Erasure end-to-end: delete → rows gone at head but still
+    time-travelable → expire_snapshots → bytes physically gone and
+    history below the horizon unreadable."""
+    from pathlib import Path
+
+    pre = table.current_version()
+    pre_dirs = set(table.snapshot(pre).data_dirs)
+    snap, n = table.delete_where(spark, "k = 2")
+    assert n == 1 and snap.operation == "delete"
+    assert _rows(spark, table) == [(1, "a"), (3, "c")]
+    # pre-image still readable (retention window)...
+    assert (2, "b") in _rows(spark, table, version=pre)
+    # ...until expiry physically reclaims it
+    table.expire_snapshots(keep_last=1)
+    assert table.snapshot(pre) is None
+    for d in pre_dirs - set(table.snapshot().data_dirs):
+        assert not Path(d).exists()
+    assert _rows(spark, table) == [(1, "a"), (3, "c")]
+
+
+def test_gc_orphans(spark, table):
+    """A data dir written but never committed (killed writer) is
+    invisible to expire_snapshots; gc_orphans reclaims it — but never a
+    referenced dir, and never a fresh one inside the grace window."""
+    import os
+    from pathlib import Path
+
+    orphan = table._write_data(
+        spark.createDataFrame([(99, "zz")], "k int, v string"))
+    # fresh orphan: protected by the grace window
+    assert table.gc_orphans(grace_s=3600) == []
+    assert Path(orphan).exists()
+    # age it past the grace window → swept
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = table.gc_orphans(grace_s=3600)
+    assert removed == [orphan]
+    assert not Path(orphan).exists()
+    # referenced dirs are never touched, rows intact
+    assert _rows(spark, table) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_run_forget_job(spark, tmp_path):
+    """Right-to-be-forgotten wrapper: rows for the named urls are gone,
+    the erasure is audited, and expire_now reclaims history."""
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.jobs import run_forget_job, run_quality_job
+
+    corpus = generate_corpus(spark, 40).cache()
+    out_dir, audit_dir = str(tmp_path / "o"), str(tmp_path / "a")
+    out = run_quality_job(spark, corpus, out_dir, audit_dir, groups=2)
+    victims = [r.url for r in out.read(spark).limit(3).collect()]
+
+    n = run_forget_job(spark, out_dir, audit_dir, victims,
+                       run_id="erase1", expire_now=True)
+    assert n == 3
+    remaining = {r.url for r in out.read(spark).collect()}
+    assert remaining.isdisjoint(victims) and len(remaining) == 37
+    # audited
+    audit = IceliteTable(audit_dir).read(spark).collect()
+    erase_rows = [r for r in audit if r.run_id == "erase1"]
+    assert len(erase_rows) == 1
+    assert erase_rows[0].docs_dropped == 3
+    assert erase_rows[0].input_files == ["forget:3_urls"]
+    # history reclaimed: only the post-delete snapshot remains readable
+    assert IceliteTable(out_dir).snapshot(1) is None
+    # group ledger survives erasure + expiry (resume-safety invariant)
+    assert out.committed_groups() == {0, 1}
