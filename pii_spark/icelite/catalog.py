@@ -42,6 +42,7 @@ class Snapshot:
     data_dirs: list[str]
     summary: dict
     committed_at_ms: int
+    schema: dict | None = None  # Spark StructType json (schema evolution)
 
 
 class IceliteTable:
@@ -89,6 +90,7 @@ class IceliteTable:
             data_dirs=d["data_dirs"],
             summary=d.get("summary", {}),
             committed_at_ms=d["committed_at_ms"],
+            schema=d.get("schema"),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -102,16 +104,59 @@ class IceliteTable:
         ]
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the table at a snapshot (time travel via ``version``)."""
+        """Read the table at a snapshot (time travel via ``version``).
+
+        Schema evolution: the snapshot's manifest records the table
+        schema at commit time, and the read pins it via
+        ``spark.read.schema(...)`` — columns added by later appends
+        come back as nulls in files written before them, and NO parquet
+        footer merging happens (Iceberg's design: at 100 TB,
+        ``mergeSchema`` reads every file's footer just to rediscover
+        what the manifest already knows). Pre-schema manifests (older
+        tables) fall back to mergeSchema."""
         snap = self.snapshot(version)
         if snap is None or not snap.data_dirs:
             raise FileNotFoundError(f"no snapshot for table {self.dir}")
-        return spark.read.parquet(*snap.data_dirs)
+        if snap.schema is not None:
+            from pyspark.sql.types import StructType
+
+            return (
+                spark.read.schema(StructType.fromJson(snap.schema))
+                .parquet(*snap.data_dirs)
+            )
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*snap.data_dirs)
+        )
 
     def exists(self) -> bool:
         return self.current_version() is not None
 
     # ----------------------------------------------------------- write side
+
+    @staticmethod
+    def _evolve(parent_schema: dict | None, new_schema: dict | None) -> dict | None:
+        """Union a parent snapshot's schema with an appended frame's:
+        new columns are added at the end; a type change on an existing
+        column is refused (no implicit promotion — that's a rewrite,
+        not an append)."""
+        if new_schema is None:
+            return parent_schema
+        if parent_schema is None:
+            return new_schema
+        by_name = {f["name"]: f for f in parent_schema["fields"]}
+        out = list(parent_schema["fields"])
+        for f in new_schema["fields"]:
+            old = by_name.get(f["name"])
+            if old is None:
+                out.append(f)
+            elif old["type"] != f["type"]:
+                raise ValueError(
+                    f"schema evolution type conflict on column "
+                    f"{f['name']!r}: {old['type']!r} vs {f['type']!r} — "
+                    "type changes require an overwrite, not an append"
+                )
+        return {**parent_schema, "fields": out}
 
     def _commit(
         self,
@@ -119,6 +164,7 @@ class IceliteTable:
         new_dirs: list[str],
         summary: dict,
         require_parent_version: int | None = None,
+        new_schema: dict | None = None,
     ) -> Snapshot:
         """Optimistic-concurrency commit (ADVICE r1): the manifest is
         published with os.link (O_EXCL semantics — fails if the version
@@ -144,8 +190,10 @@ class IceliteTable:
                 )
             if operation == "append" and parent is not None:
                 data_dirs = parent.data_dirs + new_dirs
+                schema = self._evolve(parent.schema, new_schema)
             else:
                 data_dirs = new_dirs
+                schema = new_schema or (parent.schema if parent else None)
             version = (parent.version if parent else 0) + 1
             snap = {
                 "version": version,
@@ -155,6 +203,7 @@ class IceliteTable:
                 "data_dirs": data_dirs,
                 "summary": summary,
                 "committed_at_ms": int(time.time() * 1000),
+                "schema": schema,
             }
             tmp = self.meta / f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}"
             tmp.write_text(json.dumps(snap, indent=1))
@@ -179,11 +228,18 @@ class IceliteTable:
         df.write.mode("overwrite").parquet(str(snap_dir))
         return str(snap_dir)
 
+    @staticmethod
+    def _schema_json(df: DataFrame) -> dict:
+        return json.loads(df.schema.json())
+
     def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
-        return self._commit("append", [self._write_data(df)], summary or {})
+        return self._commit("append", [self._write_data(df)], summary or {},
+                            new_schema=self._schema_json(df))
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
-        return self._commit("overwrite", [self._write_data(df)], summary or {})
+        return self._commit("overwrite", [self._write_data(df)],
+                            summary or {},
+                            new_schema=self._schema_json(df))
 
     # ------------------------------------------------- row-level operations
 
@@ -209,18 +265,22 @@ class IceliteTable:
         parent = self.snapshot()
         if parent is None or not parent.data_dirs:
             return self._commit(
-                "upsert", [self._write_data(df)], summary or {}
+                "upsert", [self._write_data(df)], summary or {},
+                new_schema=self._schema_json(df),
             )
         survivors = self.read(spark).join(
             df.select(*keys).distinct(), keys, "left_anti"
         )
-        merged = survivors.unionByName(df)
+        # allowMissingColumns: an upsert may carry columns the table
+        # does not have yet (schema evolution) and vice versa
+        merged = survivors.unionByName(df, allowMissingColumns=True)
         new_dir = self._write_data(merged)
         try:
             return self._commit(
                 "upsert", [new_dir],
                 summary or {"upsert_keys": keys},
                 require_parent_version=parent.version,
+                new_schema=self._schema_json(merged),
             )
         except RuntimeError:
             import shutil
@@ -258,6 +318,7 @@ class IceliteTable:
                 summary or {"delete_predicate": predicate,
                             "rows_deleted": n_del},
                 require_parent_version=parent.version,
+                new_schema=self._schema_json(survivors),
             )
         except RuntimeError:
             import shutil
@@ -299,6 +360,7 @@ class IceliteTable:
                 summary or {"compacted_from_version": snap.version,
                             "compacted_dirs": len(snap.data_dirs)},
                 require_parent_version=snap.version,
+                new_schema=self._schema_json(df),
             )
         except RuntimeError:
             # lost the conditional commit: the freshly written data dir

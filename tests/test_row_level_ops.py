@@ -137,3 +137,39 @@ def test_run_forget_job(spark, tmp_path):
     assert IceliteTable(out_dir).snapshot(1) is None
     # group ledger survives erasure + expiry (resume-safety invariant)
     assert out.committed_groups() == {0, 1}
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Manifest-recorded schema (Iceberg-style): an append may ADD
+    columns; reads pin the snapshot's schema (old files yield nulls,
+    NO footer merging), time travel shows each snapshot's own schema,
+    and a type change on an existing column is refused."""
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append(spark.createDataFrame(
+        [(2, "b", 7.5)], "k int, v string, score double"))
+
+    df = t.read(spark)
+    assert df.columns == ["k", "v", "score"]
+    got = {r.k: r.score for r in df.collect()}
+    assert got == {1: None, 2: 7.5}  # old file → null for the new col
+    # time travel: snapshot 1 still has its own (narrow) schema
+    assert t.read(spark, version=1).columns == ["k", "v"]
+    # the plan reads with an explicit schema — no mergeSchema footprint
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "score" in plan
+
+    # upsert with a new column also evolves
+    t.upsert(spark, spark.createDataFrame(
+        [(1, "A", 0.5, "en")], "k int, v string, score double, lang string"),
+        keys=["k"])
+    assert t.read(spark).columns == ["k", "v", "score", "lang"]
+    rows = {r.k: (r.v, r.score, r.lang) for r in t.read(spark).collect()}
+    assert rows[1] == ("A", 0.5, "en")
+    assert rows[2] == ("b", 7.5, None)
+
+    # type change refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="type conflict"):
+        t.append(spark.createDataFrame([(3, 9)], "k int, v int"))
