@@ -1,0 +1,71 @@
+"""spark-submit entry point for icelite table maintenance.
+
+    spark-submit --py-files dist/pii_spark.zip \\
+        jobs/run_maintenance.py --table /path/to/table \\
+        [--compact] [--expire-keep-last N] [--gc-grace-s 3600] \\
+        [--forget-urls urls.txt --audit /path/to/audit]
+
+Operations run in the stated order (compact → expire → gc → forget) and
+each is independently optional — the composition a scheduled
+maintenance job runs nightly: rewrite small files, drop history beyond
+retention, sweep crashed writers' debris, and process any queued
+right-to-be-forgotten requests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--compact-partitions", type=int, default=1)
+    ap.add_argument("--expire-keep-last", type=int, default=None)
+    ap.add_argument("--gc-grace-s", type=float, default=None)
+    ap.add_argument("--forget-urls", default=None,
+                    help="file with one url per line to erase")
+    ap.add_argument("--audit", default=None,
+                    help="audit table dir (required with --forget-urls)")
+    args = ap.parse_args()
+
+    from pii_spark.icelite.catalog import IceliteTable
+    from pii_spark.spark.session import get_spark
+
+    spark = get_spark(app="pii_maintenance")
+    try:
+        t = IceliteTable(args.table)
+        if args.compact:
+            snap = t.compact(spark, target_partitions=args.compact_partitions)
+            print(f"compacted -> v{snap.version} "
+                  f"({t.data_file_count()} data files)")
+        if args.expire_keep_last is not None:
+            removed = t.expire_snapshots(keep_last=args.expire_keep_last)
+            print(f"expired: reclaimed {len(removed)} data dirs")
+        if args.gc_grace_s is not None:
+            removed = t.gc_orphans(grace_s=args.gc_grace_s)
+            print(f"gc: reclaimed {len(removed)} orphan dirs")
+        if args.forget_urls:
+            if not args.audit:
+                ap.error("--forget-urls requires --audit")
+            from pii_spark.spark.jobs import run_forget_job
+
+            urls = [
+                ln.strip()
+                for ln in Path(args.forget_urls).read_text().splitlines()
+                if ln.strip()
+            ]
+            n = run_forget_job(spark, args.table, args.audit, urls,
+                               expire_now=True)
+            print(f"forgot {n} rows for {len(urls)} urls")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
