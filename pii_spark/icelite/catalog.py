@@ -243,6 +243,57 @@ class IceliteTable:
 
     # ------------------------------------------------- row-level operations
 
+    def _read_dirs(
+        self, spark: SparkSession, snap: Snapshot, dirs: list[str]
+    ) -> DataFrame:
+        """Read a subset of a snapshot's data dirs with the snapshot's
+        manifest schema pinned (same rules as read())."""
+        if snap.schema is not None:
+            from pyspark.sql.types import StructType
+
+            return (
+                spark.read.schema(StructType.fromJson(snap.schema))
+                .parquet(*dirs)
+            )
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def _matching_dirs(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        predicate: str | None = None,
+        keys: list[str] | None = None,
+        key_df: DataFrame | None = None,
+    ) -> tuple[set[str], int]:
+        """Discovery scan for file-scoped CoW: returns (data dirs that
+        hold at least one matching row, total matching rows) in ONE
+        pass — matches selected by SQL ``predicate`` or by semi-join on
+        ``key_df[keys]`` — using input_file_name() to attribute rows to
+        files. At Iceberg parity this would be a manifest min/max prune
+        with no scan at all; here the scan is predicate-pushed and
+        column-pruned, the cheapest discovery parquet allows."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        cur = self._read_dirs(spark, snap, snap.data_dirs).withColumn(
+            "_f", F.input_file_name()
+        )
+        hits = (
+            cur.filter(predicate)
+            if predicate is not None
+            else cur.join(key_df, keys, "left_semi")
+        )
+        row = hits.agg(
+            F.count("*").alias("n"),
+            F.collect_set("_f").alias("files"),
+        ).collect()[0]
+        dirs: set[str] = set()
+        for f in row.files or []:
+            p = Path(unquote(urlparse(f).path))
+            dirs.add(str(p.parent))
+        return {d for d in snap.data_dirs if d in dirs}, int(row.n)
+
     def upsert(
         self,
         spark: SparkSession,
@@ -254,38 +305,50 @@ class IceliteTable:
         matching ``keys``; unmatched rows are inserted. The crawl-update
         shape — a re-fetched url replaces its previous page.
 
-        Semantics are one atomic snapshot: current ⟕anti df ∪ df. The
-        whole table is rewritten (copy-on-write, like Iceberg CoW
-        MERGE); at 100 TB a partition-scoped variant rewrites only the
-        partitions holding matched keys — same commit protocol, smaller
-        anti-join side. The conditional commit (parent pinned to the
-        version read here) means a racing append is never silently
-        dropped; the loser re-runs on fresh state. Old versions stay
-        time-travelable until expiry."""
+        Semantics are one atomic snapshot: current ⟕anti df ∪ df.
+        FILE-SCOPED copy-on-write (Iceberg CoW MERGE): one
+        predicate-pushed discovery scan finds the data dirs that
+        actually hold matched keys; ONLY those dirs are anti-joined and
+        rewritten — untouched dirs carry their existing files into the
+        new snapshot, so upserting a handful of re-crawled pages into a
+        100 TB table rewrites the affected files, not the table. The
+        conditional commit (parent pinned to the version read here)
+        means a racing append is never silently dropped; the loser
+        re-runs on fresh state. Old versions stay time-travelable until
+        expiry."""
         parent = self.snapshot()
         if parent is None or not parent.data_dirs:
             return self._commit(
                 "upsert", [self._write_data(df)], summary or {},
                 new_schema=self._schema_json(df),
             )
-        survivors = self.read(spark).join(
-            df.select(*keys).distinct(), keys, "left_anti"
-        )
-        # allowMissingColumns: an upsert may carry columns the table
-        # does not have yet (schema evolution) and vice versa
-        merged = survivors.unionByName(df, allowMissingColumns=True)
-        new_dir = self._write_data(merged)
+        key_df = df.select(*keys).distinct()
+        hit_dirs, _ = self._matching_dirs(spark, parent, keys=keys,
+                                          key_df=key_df)
+        kept = [d for d in parent.data_dirs if d not in hit_dirs]
+        written: list[str] = []
         try:
+            if hit_dirs:
+                survivors = self._read_dirs(
+                    spark, parent, sorted(hit_dirs)
+                ).join(key_df, keys, "left_anti")
+                written.append(self._write_data(survivors))
+            written.append(self._write_data(df))
             return self._commit(
-                "upsert", [new_dir],
-                summary or {"upsert_keys": keys},
+                "upsert", kept + written,
+                summary or {"upsert_keys": keys,
+                            "rewritten_dirs": len(hit_dirs),
+                            "kept_dirs": len(kept)},
                 require_parent_version=parent.version,
-                new_schema=self._schema_json(merged),
+                # schema evolution: table schema ∪ upsert frame schema
+                new_schema=self._evolve(parent.schema,
+                                        self._schema_json(df)),
             )
         except RuntimeError:
             import shutil
 
-            shutil.rmtree(new_dir, ignore_errors=True)
+            for d in written:
+                shutil.rmtree(d, ignore_errors=True)
             raise
 
     def delete_where(
@@ -299,6 +362,14 @@ class IceliteTable:
         (a SQL boolean expression) are removed in ONE atomic snapshot;
         returns (snapshot, rows_deleted).
 
+        FILE-SCOPED copy-on-write like upsert: one discovery scan
+        (predicate pushed to the parquet reader where possible) finds
+        the dirs holding matching rows and counts them; only those dirs
+        are rewritten with the survivors — erasing a few urls from a
+        100 TB table rewrites the files that contained them, nothing
+        else. A predicate matching nothing commits nothing and returns
+        (current snapshot, 0).
+
         Deleted rows remain readable in OLDER snapshots until
         expire_snapshots passes the retention horizon — run expiry
         after a legal-erasure delete to physically reclaim the bytes
@@ -308,17 +379,24 @@ class IceliteTable:
         parent = self.snapshot()
         if parent is None:
             raise FileNotFoundError(f"no snapshot in {self.dir}")
-        cur = self.read(spark)
-        n_del = cur.filter(predicate).count()
-        survivors = cur.filter(f"NOT ({predicate})")
+        hit_dirs, n_del = self._matching_dirs(spark, parent,
+                                              predicate=predicate)
+        if not hit_dirs:
+            return parent, 0
+        kept = [d for d in parent.data_dirs if d not in hit_dirs]
+        survivors = self._read_dirs(spark, parent, sorted(hit_dirs)).filter(
+            f"NOT ({predicate})"
+        )
         new_dir = self._write_data(survivors)
         try:
             snap = self._commit(
-                "delete", [new_dir],
+                "delete", kept + [new_dir],
                 summary or {"delete_predicate": predicate,
-                            "rows_deleted": n_del},
+                            "rows_deleted": n_del,
+                            "rewritten_dirs": len(hit_dirs),
+                            "kept_dirs": len(kept)},
                 require_parent_version=parent.version,
-                new_schema=self._schema_json(survivors),
+                new_schema=parent.schema,
             )
         except RuntimeError:
             import shutil

@@ -173,3 +173,38 @@ def test_schema_evolution_add_column(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="type conflict"):
         t.append(spark.createDataFrame([(3, 9)], "k int, v int"))
+
+
+def test_cow_is_file_scoped(spark, tmp_path):
+    """File-scoped CoW: an upsert/delete touching keys in ONE data dir
+    must carry every other dir into the new snapshot untouched (same
+    physical paths), rewriting only the affected dir — the property
+    that makes row-level ops affordable on a huge table."""
+    t = IceliteTable(tmp_path / "tbl")
+    for g in range(4):
+        t.append(spark.createDataFrame(
+            [(g * 10 + i, f"v{g}_{i}") for i in range(5)],
+            "k int, v string"), summary={"group": g})
+    dirs_before = list(t.snapshot().data_dirs)
+    assert len(dirs_before) == 4
+
+    # keys 10..11 live only in group 1's dir
+    t.upsert(spark, spark.createDataFrame(
+        [(10, "NEW"), (11, "NEW2")], "k int, v string"), keys=["k"])
+    snap = t.snapshot()
+    untouched = set(dirs_before) & set(snap.data_dirs)
+    assert len(untouched) == 3, (dirs_before, snap.data_dirs)
+    assert snap.summary["rewritten_dirs"] == 1
+    assert snap.summary["kept_dirs"] == 3
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(rows) == 20 and rows[10] == "NEW" and rows[12] == "v1_2"
+
+    # delete scoped to one original dir: the other originals survive
+    snap2, n = t.delete_where(spark, "k >= 30")
+    assert n == 5
+    assert snap2.summary["rewritten_dirs"] == 1
+    assert t.read(spark).count() == 15
+    # no-match delete commits nothing
+    v = t.current_version()
+    snap3, n3 = t.delete_where(spark, "k = 99999")
+    assert n3 == 0 and t.current_version() == v
