@@ -43,6 +43,11 @@ class Snapshot:
     summary: dict
     committed_at_ms: int
     schema: dict | None = None  # Spark StructType json (schema evolution)
+    # per-data-dir column statistics {dir: {"rows": n, "cols": {col:
+    # [min, max]}}} — the manifest-level pruning metadata (Iceberg's
+    # min/max file stats): row-level ops skip dirs whose key range
+    # cannot contain a probed value, without touching the data
+    dir_stats: dict | None = None
 
 
 class IceliteTable:
@@ -91,6 +96,7 @@ class IceliteTable:
             summary=d.get("summary", {}),
             committed_at_ms=d["committed_at_ms"],
             schema=d.get("schema"),
+            dir_stats=d.get("dir_stats"),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -165,6 +171,7 @@ class IceliteTable:
         summary: dict,
         require_parent_version: int | None = None,
         new_schema: dict | None = None,
+        new_dir_stats: dict | None = None,
     ) -> Snapshot:
         """Optimistic-concurrency commit (ADVICE r1): the manifest is
         published with os.link (O_EXCL semantics — fails if the version
@@ -195,6 +202,13 @@ class IceliteTable:
                 data_dirs = new_dirs
                 schema = new_schema or (parent.schema if parent else None)
             version = (parent.version if parent else 0) + 1
+            # stats carry per dir: parent's entries for dirs that
+            # survive into this snapshot, the writer's for new dirs;
+            # dirs with no stats (legacy manifests) simply have none —
+            # pruning treats them as always-candidates
+            known = dict(parent.dir_stats or {}) if parent else {}
+            known.update(new_dir_stats or {})
+            dir_stats = {d: known[d] for d in data_dirs if d in known}
             snap = {
                 "version": version,
                 "snapshot_id": uuid.uuid4().int >> 96,
@@ -204,6 +218,7 @@ class IceliteTable:
                 "summary": summary,
                 "committed_at_ms": int(time.time() * 1000),
                 "schema": schema,
+                "dir_stats": dir_stats,
             }
             tmp = self.meta / f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}"
             tmp.write_text(json.dumps(snap, indent=1))
@@ -223,23 +238,60 @@ class IceliteTable:
             f"icelite commit contention: 64 retries exhausted on {self.dir}"
         )
 
+    # column types whose min/max are JSON-stable and totally ordered
+    _STAT_TYPES = {"string", "integer", "long", "double", "float"}
+
     def _write_data(self, df: DataFrame) -> str:
         snap_dir = self.data / f"snap-{uuid.uuid4().hex[:16]}"
         df.write.mode("overwrite").parquet(str(snap_dir))
         return str(snap_dir)
 
+    def _collect_dir_stats(self, spark: SparkSession, d: str) -> dict:
+        """Min/max column statistics for one freshly written data dir.
+        Computed with a column-pruned read-back of the stat columns; a
+        production implementation harvests the same numbers from the
+        parquet footers written moments earlier (they are identical),
+        this keeps the sandbox dependency-free."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(d)
+        eligible = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() in self._STAT_TYPES
+        ]
+        aggs = [F.count("*").alias("__rows")]
+        for c in eligible:
+            aggs += [F.min(c).alias(f"__min_{c}"),
+                     F.max(c).alias(f"__max_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        return {
+            "rows": int(row["__rows"]),
+            "cols": {
+                c: [row[f"__min_{c}"], row[f"__max_{c}"]]
+                for c in eligible
+            },
+        }
+
     @staticmethod
     def _schema_json(df: DataFrame) -> dict:
         return json.loads(df.schema.json())
 
+    def _written(self, df: DataFrame) -> tuple[str, dict]:
+        """Write a data dir and collect its manifest stats."""
+        d = self._write_data(df)
+        return d, {d: self._collect_dir_stats(df.sparkSession, d)}
+
     def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
-        return self._commit("append", [self._write_data(df)], summary or {},
-                            new_schema=self._schema_json(df))
+        d, stats = self._written(df)
+        return self._commit("append", [d], summary or {},
+                            new_schema=self._schema_json(df),
+                            new_dir_stats=stats)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
-        return self._commit("overwrite", [self._write_data(df)],
-                            summary or {},
-                            new_schema=self._schema_json(df))
+        d, stats = self._written(df)
+        return self._commit("overwrite", [d], summary or {},
+                            new_schema=self._schema_json(df),
+                            new_dir_stats=stats)
 
     # ------------------------------------------------- row-level operations
 
@@ -257,6 +309,32 @@ class IceliteTable:
             )
         return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    @staticmethod
+    def _prune_candidate_dirs(
+        snap: Snapshot, col: str, values: list
+    ) -> list[str]:
+        """Manifest-level pruning (Iceberg min/max file stats): a dir
+        whose recorded [min, max] for ``col`` cannot contain ANY probe
+        value is skipped with zero I/O. Dirs without stats (legacy
+        manifests, or a non-stat column type) stay candidates — pruning
+        is an optimization, never a correctness filter."""
+        out = []
+        for d in snap.data_dirs:
+            rng = ((snap.dir_stats or {}).get(d) or {}).get(
+                "cols", {}).get(col)
+            if not rng or rng[0] is None or rng[1] is None:
+                out.append(d)
+                continue
+            lo, hi = rng
+            if any(lo <= v <= hi for v in values):
+                out.append(d)
+        return out
+
+    # probe-size cap for driver-side stats pruning: beyond this, the
+    # key list is no longer "a handful of erasure requests" and the
+    # full discovery scan is the right plan anyway
+    _PRUNE_MAX_PROBE = 10_000
+
     def _matching_dirs(
         self,
         spark: SparkSession,
@@ -264,19 +342,26 @@ class IceliteTable:
         predicate: str | None = None,
         keys: list[str] | None = None,
         key_df: DataFrame | None = None,
+        candidate_dirs: list[str] | None = None,
     ) -> tuple[set[str], int]:
         """Discovery scan for file-scoped CoW: returns (data dirs that
         hold at least one matching row, total matching rows) in ONE
         pass — matches selected by SQL ``predicate`` or by semi-join on
         ``key_df[keys]`` — using input_file_name() to attribute rows to
-        files. At Iceberg parity this would be a manifest min/max prune
-        with no scan at all; here the scan is predicate-pushed and
-        column-pruned, the cheapest discovery parquet allows."""
+        files. ``candidate_dirs`` (from manifest stats pruning)
+        restricts the scan; the result is exact within it. The scan
+        itself is predicate-pushed and column-pruned."""
         from urllib.parse import unquote, urlparse
 
         from pyspark.sql import functions as F
 
-        cur = self._read_dirs(spark, snap, snap.data_dirs).withColumn(
+        scan_dirs = (
+            list(candidate_dirs)
+            if candidate_dirs is not None else snap.data_dirs
+        )
+        if not scan_dirs:
+            return set(), 0
+        cur = self._read_dirs(spark, snap, scan_dirs).withColumn(
             "_f", F.input_file_name()
         )
         hits = (
@@ -323,17 +408,32 @@ class IceliteTable:
                 new_schema=self._schema_json(df),
             )
         key_df = df.select(*keys).distinct()
+        # manifest stats pruning: for a single-column key with a small
+        # probe set, skip dirs whose recorded range excludes every key
+        # before any data is read
+        cand = None
+        if len(keys) == 1 and (parent.dir_stats or {}):
+            probe = [r[0] for r in
+                     key_df.limit(self._PRUNE_MAX_PROBE + 1).collect()]
+            if len(probe) <= self._PRUNE_MAX_PROBE:
+                cand = self._prune_candidate_dirs(parent, keys[0], probe)
         hit_dirs, _ = self._matching_dirs(spark, parent, keys=keys,
-                                          key_df=key_df)
+                                          key_df=key_df,
+                                          candidate_dirs=cand)
         kept = [d for d in parent.data_dirs if d not in hit_dirs]
         written: list[str] = []
+        stats: dict = {}
         try:
             if hit_dirs:
                 survivors = self._read_dirs(
                     spark, parent, sorted(hit_dirs)
                 ).join(key_df, keys, "left_anti")
-                written.append(self._write_data(survivors))
-            written.append(self._write_data(df))
+                d, st = self._written(survivors)
+                written.append(d)
+                stats.update(st)
+            d, st = self._written(df)
+            written.append(d)
+            stats.update(st)
             return self._commit(
                 "upsert", kept + written,
                 summary or {"upsert_keys": keys,
@@ -343,6 +443,7 @@ class IceliteTable:
                 # schema evolution: table schema ∪ upsert frame schema
                 new_schema=self._evolve(parent.schema,
                                         self._schema_json(df)),
+                new_dir_stats=stats,
             )
         except RuntimeError:
             import shutil
@@ -387,7 +488,7 @@ class IceliteTable:
         survivors = self._read_dirs(spark, parent, sorted(hit_dirs)).filter(
             f"NOT ({predicate})"
         )
-        new_dir = self._write_data(survivors)
+        new_dir, stats = self._written(survivors)
         try:
             snap = self._commit(
                 "delete", kept + [new_dir],
@@ -397,6 +498,63 @@ class IceliteTable:
                             "kept_dirs": len(kept)},
                 require_parent_version=parent.version,
                 new_schema=parent.schema,
+                new_dir_stats=stats,
+            )
+        except RuntimeError:
+            import shutil
+
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+        return snap, n_del
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list,
+        summary: dict | None = None,
+    ) -> tuple[Snapshot, int]:
+        """Right-to-be-forgotten fast path: delete rows whose ``col``
+        is in ``values``, with manifest min/max pruning deciding which
+        dirs the discovery scan even opens — the plan an erasure
+        request wants on a 100 TB table: prune by stats, scan the
+        surviving candidates, rewrite only dirs that held a victim.
+        Avoids SQL-string quoting entirely (the probe is a DataFrame
+        semi-join, not an IN literal)."""
+        parent = self.snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot in {self.dir}")
+        cand = self._prune_candidate_dirs(parent, col, values)
+        if not cand:
+            return parent, 0
+        field = {f["name"]: f["type"]
+                 for f in (parent.schema or {}).get("fields", [])}.get(col)
+        typ = {"string": "string", "long": "bigint", "integer": "int",
+               "double": "double", "float": "float"}.get(field, "string")
+        probe = spark.createDataFrame([(v,) for v in values],
+                                      f"{col} {typ}").distinct()
+        hit_dirs, n_del = self._matching_dirs(
+            spark, parent, keys=[col], key_df=probe, candidate_dirs=cand
+        )
+        if not hit_dirs:
+            return parent, 0
+        kept = [d for d in parent.data_dirs if d not in hit_dirs]
+        survivors = self._read_dirs(spark, parent, sorted(hit_dirs)).join(
+            probe, [col], "left_anti"
+        )
+        new_dir, stats = self._written(survivors)
+        try:
+            snap = self._commit(
+                "delete", kept + [new_dir],
+                summary or {"delete_col": col,
+                            "rows_deleted": n_del,
+                            "rewritten_dirs": len(hit_dirs),
+                            "kept_dirs": len(kept),
+                            "pruned_dirs":
+                                len(parent.data_dirs) - len(cand)},
+                require_parent_version=parent.version,
+                new_schema=parent.schema,
+                new_dir_stats=stats,
             )
         except RuntimeError:
             import shutil
@@ -430,7 +588,7 @@ class IceliteTable:
         if snap is None:
             raise FileNotFoundError(f"no snapshot to compact in {self.dir}")
         df = self.read(spark).repartition(max(1, target_partitions))
-        new_dir = self._write_data(df)
+        new_dir, stats = self._written(df)
         try:
             return self._commit(
                 "compact",
@@ -439,6 +597,7 @@ class IceliteTable:
                             "compacted_dirs": len(snap.data_dirs)},
                 require_parent_version=snap.version,
                 new_schema=self._schema_json(df),
+                new_dir_stats=stats,
             )
         except RuntimeError:
             # lost the conditional commit: the freshly written data dir

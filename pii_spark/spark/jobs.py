@@ -316,9 +316,11 @@ def run_forget_job(
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
     t0 = time.time()
-    quoted = ", ".join("'" + u.replace("'", "''") + "'" for u in urls)
-    snap, n_del = out.delete_where(
-        spark, f"url IN ({quoted})", summary={"forget_run": run_id},
+    # delete_keys: manifest min/max pruning decides which dirs the
+    # discovery even opens, and the probe is a semi-join frame (no SQL
+    # string quoting of user-supplied urls)
+    snap, n_del = out.delete_keys(
+        spark, "url", urls, summary={"forget_run": run_id},
     )
     from ..schema import AUDIT
 

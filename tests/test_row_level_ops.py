@@ -208,3 +208,42 @@ def test_cow_is_file_scoped(spark, tmp_path):
     v = t.current_version()
     snap3, n3 = t.delete_where(spark, "k = 99999")
     assert n3 == 0 and t.current_version() == v
+
+
+def test_manifest_stats_prune_and_delete_keys(spark, tmp_path):
+    """Manifest min/max stats (Iceberg file-stats parity): each data
+    dir records per-column ranges at write; single-key probes prune
+    dirs with zero I/O, and delete_keys composes prune → scan →
+    file-scoped rewrite."""
+    t = IceliteTable(tmp_path / "tbl")
+    for g in range(4):
+        t.append(spark.createDataFrame(
+            [(g * 10 + i, f"v{g}_{i}") for i in range(5)],
+            "k int, v string"), summary={"group": g})
+    snap = t.snapshot()
+    # stats recorded for every dir, correct ranges
+    assert set(snap.dir_stats) == set(snap.data_dirs)
+    ranges = sorted(tuple(s["cols"]["k"]) for s in snap.dir_stats.values())
+    assert ranges == [(0, 4), (10, 14), (20, 24), (30, 34)]
+    assert all(s["rows"] == 5 for s in snap.dir_stats.values())
+
+    # pruning: a probe of 12 can only live in one dir; 99 in none
+    assert len(t._prune_candidate_dirs(snap, "k", [12])) == 1
+    assert t._prune_candidate_dirs(snap, "k", [99]) == []
+    # string column pruning works too
+    assert len(t._prune_candidate_dirs(snap, "v", ["v2_3"])) == 1
+    # a column with no stats keeps every candidate (never a filter)
+    assert len(t._prune_candidate_dirs(snap, "nope", [1])) == 4
+
+    # delete_keys: victims in two dirs → two rewritten, two pruned away
+    snap2, n = t.delete_keys(spark, "k", [12, 33])
+    assert n == 2
+    assert snap2.summary["rewritten_dirs"] == 2
+    assert snap2.summary["pruned_dirs"] == 2
+    assert t.read(spark).count() == 18
+    # untouched dirs' stats carried; rewritten dir got fresh stats
+    assert set(snap2.dir_stats) == set(snap2.data_dirs)
+    # no-match delete via stats alone: nothing committed, zero scan
+    v = t.current_version()
+    snap3, n3 = t.delete_keys(spark, "k", [999])
+    assert n3 == 0 and t.current_version() == v
