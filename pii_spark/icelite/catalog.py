@@ -109,8 +109,34 @@ class IceliteTable:
             if (s := self.snapshot(v)) is not None
         ]
 
+    def version_as_of(self, ts_ms: int) -> int | None:
+        """Timestamp time travel: the newest version committed at or
+        before ``ts_ms`` (Iceberg's snapshot-as-of-time lookup)."""
+        best = None
+        for s in self.snapshots():
+            if s.committed_at_ms <= ts_ms and (
+                best is None or s.version > best
+            ):
+                best = s.version
+        return best
+
+    def history(self) -> list[dict]:
+        """Commit log for observability: one entry per retained
+        snapshot (version, operation, commit time, summary, dirs)."""
+        return [
+            {
+                "version": s.version,
+                "operation": s.operation,
+                "committed_at_ms": s.committed_at_ms,
+                "summary": s.summary,
+                "n_data_dirs": len(s.data_dirs),
+            }
+            for s in self.snapshots()
+        ]
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the table at a snapshot (time travel via ``version``).
+        """Read the table at a snapshot (time travel via ``version``;
+        for as-of-timestamp reads resolve with ``version_as_of``).
 
         Schema evolution: the snapshot's manifest records the table
         schema at commit time, and the read pins it via

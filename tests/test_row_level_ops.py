@@ -247,3 +247,20 @@ def test_manifest_stats_prune_and_delete_keys(spark, tmp_path):
     v = t.current_version()
     snap3, n3 = t.delete_keys(spark, "k", [999])
     assert n3 == 0 and t.current_version() == v
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    ts_between = t.snapshot().committed_at_ms
+    time.sleep(0.01)
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+
+    assert t.version_as_of(ts_between) == 1
+    assert t.version_as_of(t.snapshot().committed_at_ms) == 2
+    assert t.version_as_of(0) is None
+    assert t.read(spark, t.version_as_of(ts_between)).count() == 1
+
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 2]
+    assert all(e["operation"] == "append" for e in h)
