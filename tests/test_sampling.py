@@ -1,0 +1,79 @@
+"""Deterministic sampling operators: layout-independence (the north
+rule's retry/partitioning stability applied to draws), exact sizes,
+uniformity sanity, and token-budget resolution."""
+
+from pyspark.sql import functions as F
+
+from pii_spark.spark.sampling import (
+    stratified_sample_n,
+    token_budget_sample,
+    uniform_sample_n,
+)
+
+
+def _docs(spark, sf="/root/testdata/sf0.01"):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def test_uniform_sample_exact_and_layout_stable(spark):
+    d = _docs(spark)
+    a = sorted(r.doc_id for r in uniform_sample_n(d, 100).collect())
+    b = sorted(
+        r.doc_id
+        for r in uniform_sample_n(d.repartition(13), 100).collect()
+    )
+    assert len(a) == 100 and a == b  # exact size, layout-independent
+    # different seed → different sample (it's actually seeded)
+    c = sorted(
+        r.doc_id for r in uniform_sample_n(d, 100, seed=7).collect()
+    )
+    assert c != a
+    # uniformity sanity: 20 uniform sources → each ≈ 5 of 100 drawn;
+    # no source should dominate or vanish entirely in aggregate
+    counts = (
+        uniform_sample_n(d, 100).groupBy("source").count().collect()
+    )
+    assert len(counts) >= 15 and all(r["count"] <= 15 for r in counts), counts
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    d = _docs(spark)
+    s = stratified_sample_n(d, "lang", 12)
+    per = {r.lang: r["count"]
+           for r in s.groupBy("lang").count().collect()}
+    sizes = {r.lang: r["count"]
+             for r in d.groupBy("lang").count().collect()}
+    for lang, n in sizes.items():
+        assert per[lang] == min(12, n), (lang, per[lang], n)
+    # layout independence
+    s2 = stratified_sample_n(d.repartition(9), "lang", 12)
+    assert sorted(r.doc_id for r in s.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+
+
+def test_token_budget_sample(spark):
+    d = _docs(spark).withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")),
+    )
+    total = d.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.3)
+    s = token_budget_sample(d, budget, "n_tokens")
+    got = s.agg(F.sum("n_tokens")).collect()[0][0]
+    # within one bucket's resolution of the budget (4096 buckets over
+    # 5k docs → buckets hold ~few docs; allow a generous ±5% of total)
+    assert abs(got - budget) <= max(0.05 * total, 1), (got, budget)
+    # deterministic across layouts
+    s2 = token_budget_sample(d.repartition(11), budget, "n_tokens")
+    assert sorted(r.doc_id for r in s.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    # and the draw is a hash-order prefix: re-running with a bigger
+    # budget strictly extends the sample (monotone draws — the property
+    # that lets a pipeline "top up" a corpus without resampling)
+    s3 = token_budget_sample(d, int(total * 0.6), "n_tokens")
+    ids, ids3 = {r.doc_id for r in s.collect()}, {
+        r.doc_id for r in s3.collect()
+    }
+    assert ids <= ids3
