@@ -272,12 +272,38 @@ class IceliteTable:
         df.write.mode("overwrite").parquet(str(snap_dir))
         return str(snap_dir)
 
+    # Iceberg-style string-stat truncation length: manifests must stay
+    # small, so string bounds store a prefix, never full document text
+    _STAT_STR_LEN = 16
+
+    @classmethod
+    def _truncate_bounds(cls, lo, hi):
+        """Widen string bounds to prefix form so manifests never embed
+        full values (Iceberg truncate(16)): the stored lower bound is a
+        PREFIX of the true min (≤ min, still a valid lower bound); the
+        stored upper bound is the truncated max with its last code
+        point incremented (≥ any string sharing the prefix, a valid
+        upper bound). An un-incrementable last char yields an unbounded
+        (None) upper — pruning treats one-sided ranges correctly."""
+        if isinstance(lo, str) and len(lo) > cls._STAT_STR_LEN:
+            lo = lo[: cls._STAT_STR_LEN]
+        if isinstance(hi, str) and len(hi) > cls._STAT_STR_LEN:
+            prefix = hi[: cls._STAT_STR_LEN]
+            last = prefix[-1]
+            if ord(last) < 0x10FFFF:
+                hi = prefix[:-1] + chr(ord(last) + 1)
+            else:
+                hi = None
+        return lo, hi
+
     def _collect_dir_stats(self, spark: SparkSession, d: str) -> dict:
         """Min/max column statistics for one freshly written data dir.
         Computed with a column-pruned read-back of the stat columns; a
         production implementation harvests the same numbers from the
         parquet footers written moments earlier (they are identical),
-        this keeps the sandbox dependency-free."""
+        this keeps the sandbox dependency-free. String bounds are
+        truncated to prefix form (see _truncate_bounds) so manifests
+        carry ≤17 chars per bound, never whole documents."""
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(d)
@@ -290,13 +316,12 @@ class IceliteTable:
             aggs += [F.min(c).alias(f"__min_{c}"),
                      F.max(c).alias(f"__max_{c}")]
         row = df.agg(*aggs).collect()[0]
-        return {
-            "rows": int(row["__rows"]),
-            "cols": {
-                c: [row[f"__min_{c}"], row[f"__max_{c}"]]
-                for c in eligible
-            },
-        }
+        cols = {}
+        for c in eligible:
+            lo, hi = self._truncate_bounds(row[f"__min_{c}"],
+                                           row[f"__max_{c}"])
+            cols[c] = [lo, hi]
+        return {"rows": int(row["__rows"]), "cols": cols}
 
     @staticmethod
     def _schema_json(df: DataFrame) -> dict:
@@ -344,17 +369,29 @@ class IceliteTable:
         value is skipped with zero I/O. Dirs without stats (legacy
         manifests, or a non-stat column type) stay candidates — pruning
         is an optimization, never a correctness filter."""
-        out = []
-        for d in snap.data_dirs:
-            rng = ((snap.dir_stats or {}).get(d) or {}).get(
-                "cols", {}).get(col)
-            if not rng or rng[0] is None or rng[1] is None:
-                out.append(d)
-                continue
+        # NULL probe values can never equi-match any row (SQL NULL
+        # semantics), so they neither keep nor prune a dir
+        probes = [v for v in values if v is not None]
+
+        def may_contain(rng) -> bool:
+            if not rng:
+                return True  # no stats → always a candidate
             lo, hi = rng
-            if any(lo <= v <= hi for v in values):
-                out.append(d)
-        return out
+            for v in probes:
+                try:
+                    if (lo is None or lo <= v) and (hi is None or v <= hi):
+                        return True
+                except TypeError:
+                    return True  # incomparable types → never prune
+            return False
+
+        return [
+            d for d in snap.data_dirs
+            if may_contain(
+                ((snap.dir_stats or {}).get(d) or {}).get("cols", {})
+                .get(col)
+            )
+        ]
 
     # probe-size cap for driver-side stats pruning: beyond this, the
     # key list is no longer "a handful of erasure requests" and the
@@ -433,7 +470,13 @@ class IceliteTable:
                 "upsert", [self._write_data(df)], summary or {},
                 new_schema=self._schema_json(df),
             )
-        key_df = df.select(*keys).distinct()
+        # persist the input for the operation: probe collect, discovery
+        # semi-join, survivor anti-join and the final write would
+        # otherwise recompute an arbitrarily expensive upstream plan
+        # (and a nondeterministic one could even desynchronize the
+        # pruning probe from the joined keys) — review r4b
+        df = df.persist()
+        key_df = df.select(*keys).distinct().persist()
         # manifest stats pruning: for a single-column key with a small
         # probe set, skip dirs whose recorded range excludes every key
         # before any data is read
@@ -477,6 +520,9 @@ class IceliteTable:
             for d in written:
                 shutil.rmtree(d, ignore_errors=True)
             raise
+        finally:
+            key_df.unpersist()
+            df.unpersist()
 
     def delete_where(
         self,
@@ -511,8 +557,12 @@ class IceliteTable:
         if not hit_dirs:
             return parent, 0
         kept = [d for d in parent.data_dirs if d not in hit_dirs]
+        # survivors = rows where the predicate is NOT TRUE. A bare
+        # NOT(pred) loses NULL-predicate rows to three-valued logic
+        # (they fail both pred and NOT pred — silent unaudited loss in
+        # the erasure path, review r4b); coalesce pins NULL to "keep".
         survivors = self._read_dirs(spark, parent, sorted(hit_dirs)).filter(
-            f"NOT ({predicate})"
+            f"NOT coalesce(({predicate}), false)"
         )
         new_dir, stats = self._written(survivors)
         try:
@@ -556,9 +606,16 @@ class IceliteTable:
         field = {f["name"]: f["type"]
                  for f in (parent.schema or {}).get("fields", [])}.get(col)
         typ = {"string": "string", "long": "bigint", "integer": "int",
-               "double": "double", "float": "float"}.get(field, "string")
-        probe = spark.createDataFrame([(v,) for v in values],
-                                      f"{col} {typ}").distinct()
+               "double": "double", "float": "float"}.get(field)
+        if typ is not None:
+            probe = spark.createDataFrame([(v,) for v in values],
+                                          f"{col} {typ}")
+        else:
+            # legacy manifest without a schema, or a non-stat column
+            # type (date/decimal/bool/...): let Spark infer the probe
+            # type from the values; the equi-join coerces as needed
+            probe = spark.createDataFrame([(v,) for v in values], [col])
+        probe = probe.distinct()
         hit_dirs, n_del = self._matching_dirs(
             spark, parent, keys=[col], key_df=probe, candidate_dirs=cand
         )

@@ -53,12 +53,7 @@ def decontaminate(
     common 8-gram; two selected-minimum collisions almost never are).
     Docs with zero shared fingerprints are absent (join semantics) —
     the caller left-anti-joins to drop contaminated rows."""
-    bench_fps = benchmark.select(
-        F.col("doc_id").alias("bench_id"), F.col("text")
-    )
-    bench_fps = doc_fingerprints(
-        bench_fps.withColumnRenamed("bench_id", "doc_id")
-    ).select(F.col("fp")).distinct()
+    bench_fps = doc_fingerprints(benchmark).select("fp").distinct()
     corpus_fps = doc_fingerprints(corpus)
     return (
         corpus_fps.join(F.broadcast(bench_fps), "fp")

@@ -333,6 +333,10 @@ def run_forget_job(
         schema=AUDIT,
     ).withColumn("committed_at", F.current_timestamp())
     audit.append(adf, summary={"forget_run": run_id})
-    if expire_now:
+    # only reclaim history when the delete actually removed rows: a
+    # no-op erasure (urls already gone, e.g. a replayed request) must
+    # not wipe the table's retention/time travel as a side effect
+    # (review r4b)
+    if expire_now and n_del > 0:
         out.expire_snapshots(keep_last=1)
     return n_del

@@ -88,7 +88,9 @@ def token_budget_sample(
         .agg(F.sum(token_col).alias("t"))
         .collect()  # ≤ 2^bits tiny rows by construction
     )
-    sums = {r._b: r.t for r in per_bucket}
+    # an all-NULL-token bucket sums to None (SQL sum semantics) —
+    # contributes zero tokens, must not poison the driver arithmetic
+    sums = {r._b: (r.t or 0) for r in per_bucket}
     running, cut = 0, -1
     for b in range(n_buckets):
         t = sums.get(b, 0)

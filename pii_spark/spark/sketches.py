@@ -76,17 +76,9 @@ def heavy_hitters(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        counters: dict[str, list[int]] = {}
-        n = 0
-
-        def stream():
-            nonlocal n
-            for pdf in batches:
-                for x in pdf[col]:
-                    n += 1
-                    yield x
-
-        counters = _space_saving(stream(), capacity)
+        counters = _space_saving(
+            (x for pdf in batches for x in pdf[col]), capacity
+        )
         # threshold: max count an ABSENT item could have in this
         # partition = the summary's min count when full, else 0
         threshold = (

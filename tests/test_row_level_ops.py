@@ -264,3 +264,79 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     h = t.history()
     assert [e["version"] for e in h] == [1, 2]
     assert all(e["operation"] == "append" for e in h)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """review r4b: rows where the predicate evaluates to NULL fail both
+    pred and NOT(pred) under three-valued logic — they must SURVIVE a
+    delete, not vanish uncounted."""
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "k int, v string"))
+    snap, n = t.delete_where(spark, "v = 'x'")
+    assert n == 1
+    rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert rows == [(2, None), (3, "y")]  # NULL row kept
+
+
+def test_prune_handles_null_probes_and_truncated_strings(spark, tmp_path):
+    """review r4b: NULL probe keys never match (and never crash); long
+    string bounds are stored truncated (≤17 chars) yet remain valid
+    bounds for pruning."""
+    t = IceliteTable(tmp_path / "tbl")
+    long_lo = "https://aaaa.example.com/" + "x" * 100
+    long_hi = "https://zzzz.example.com/" + "y" * 100
+    t.append(spark.createDataFrame(
+        [(long_lo, 1), (long_hi, 2)], "url string, k int"))
+    snap = t.snapshot()
+    lo, hi = snap.dir_stats[snap.data_dirs[0]]["cols"]["url"]
+    assert len(lo) <= 17 and (hi is None or len(hi) <= 17)
+    # full original strings still fall inside the stored bounds
+    assert t._prune_candidate_dirs(snap, "url", [long_lo]) \
+        == snap.data_dirs
+    assert t._prune_candidate_dirs(snap, "url", [long_hi]) \
+        == snap.data_dirs
+    # clearly-outside probe prunes; None probe matches nothing, no crash
+    assert t._prune_candidate_dirs(snap, "url", ["http://0"]) == []
+    assert t._prune_candidate_dirs(snap, "url", [None]) == []
+    # incomparable probe type → never prune (and never raise)
+    assert t._prune_candidate_dirs(snap, "url", [123]) == snap.data_dirs
+    # upsert with a NULL key: insert-only, no crash
+    t.upsert(spark, spark.createDataFrame(
+        [(None, 9)], "url string, k int"), keys=["url"])
+    assert t.read(spark).count() == 3
+
+
+def test_delete_keys_on_legacy_schemaless_manifest(spark, tmp_path):
+    """review r4b: tables committed before manifests carried a schema
+    must still support the erasure fast path (probe type inferred)."""
+    import json
+
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k int, v string"))
+    v1 = t.meta / "v1.json"
+    d = json.loads(v1.read_text())
+    del d["schema"]
+    del d["dir_stats"]
+    v1.write_text(json.dumps(d))
+
+    snap, n = t.delete_keys(spark, "k", [2, 4])
+    assert n == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 3, 5]
+
+
+def test_forget_noop_does_not_expire_history(spark, tmp_path):
+    """review r4b: an erasure request for absent urls must not wipe
+    retention history as a side effect."""
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.jobs import run_forget_job, run_quality_job
+
+    corpus = generate_corpus(spark, 20).cache()
+    out = run_quality_job(spark, corpus, str(tmp_path / "o"),
+                          str(tmp_path / "a"), groups=2)
+    versions_before = [s.version for s in out.snapshots()]
+    n = run_forget_job(spark, str(tmp_path / "o"), str(tmp_path / "a"),
+                       ["https://never.existed/x"], expire_now=True)
+    assert n == 0
+    assert [s.version for s in out.snapshots()] == versions_before

@@ -77,3 +77,18 @@ def test_token_budget_sample(spark):
         r.doc_id for r in s3.collect()
     }
     assert ids <= ids3
+
+
+def test_token_budget_survives_null_tokens(spark):
+    """review r4b: NULL token counts (e.g. a missed join) must not
+    poison the driver cumulation."""
+    from pyspark.sql import functions as F2
+
+    d = _docs(spark).withColumn(
+        "n_tokens",
+        F2.when(F2.col("doc_id") % 2 == 0, F2.lit(None).cast("long"))
+        .otherwise(F2.lit(10)),
+    )
+    s = token_budget_sample(d, 500, "n_tokens")
+    got = s.agg(F2.sum("n_tokens")).collect()[0][0]
+    assert got is not None and abs(got - 500) <= 200
