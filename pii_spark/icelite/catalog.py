@@ -424,14 +424,23 @@ class IceliteTable:
         )
         if not scan_dirs:
             return set(), 0
-        cur = self._read_dirs(spark, snap, scan_dirs).withColumn(
-            "_f", F.input_file_name()
-        )
-        hits = (
-            cur.filter(predicate)
-            if predicate is not None
-            else cur.join(key_df, keys, "left_semi")
-        )
+        cur = self._read_dirs(spark, snap, scan_dirs)
+        # ORDER MATTERS: input_file_name() is a nondeterministic
+        # expression, and Catalyst refuses to push a filter below a
+        # projection containing one — _f added before the filter left
+        # PushedFilters empty and the discovery scan read every row
+        # (plan-gated in tests/test_plan_quality.py). Filter first,
+        # attribute files after; for the semi-join path _f is computed
+        # in the scan stage and carried as data, so it stays correct
+        # under any join strategy.
+        if predicate is not None:
+            hits = cur.filter(predicate).withColumn(
+                "_f", F.input_file_name()
+            )
+        else:
+            hits = cur.withColumn("_f", F.input_file_name()).join(
+                key_df, keys, "left_semi"
+            )
         row = hits.agg(
             F.count("*").alias("n"),
             F.collect_set("_f").alias("files"),

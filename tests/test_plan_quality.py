@@ -161,3 +161,29 @@ def test_partition_pruning_on_date_layout(spark, tmp_path):
     n_all = spark.read.parquet(p).count()
     n_day = df.count()
     assert 0 < n_day < n_all
+
+
+def test_cow_discovery_scan_pushes_predicate(spark, tmp_path):
+    """File-scoped CoW relies on a cheap discovery scan: the delete
+    predicate must reach the parquet reader (PushedFilters), and the
+    scan must read only the predicate + attribution columns, not every
+    column of the table."""
+    from pii_spark.icelite.catalog import IceliteTable
+
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    snap = t.snapshot()
+    # the exact shape _matching_dirs builds for a predicate: filter
+    # FIRST, then input_file_name (nondeterministic exprs block
+    # pushdown when projected below the filter)
+    cur = t._read_dirs(spark, snap, snap.data_dirs)
+    plan = _plan(
+        cur.filter("doc_id = 7")
+        .withColumn("_f", F.input_file_name())
+        .select("_f")
+    )
+    assert "PushedFilters: [" in plan and "EqualTo(doc_id,7)" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("text" not in ln for ln in scans), scans
