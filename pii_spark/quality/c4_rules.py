@@ -36,14 +36,23 @@ _TERMINAL = (".", "!", "?", '"')
 _BOILERPLATE = ("javascript", "cookie policy", "terms of use",
                 "privacy policy")
 _MIN_LINE_WORDS = 3
-_MIN_LINES = 3
+_MIN_LINES = 5  # C4 §2.2: pages with fewer than 5 sentences discarded
+
+# whitespace is the ASCII class Java regex \s matches — BOTH twins use
+# it explicitly (review r4c: str.strip()/str.split() are Unicode-aware
+# while F.trim trims only spaces and Java \s is ASCII, so CRLF/tab/NBSP
+# documents diverged between the twins)
+_WS = " \t\n\x0b\f\r"
+import re as _re  # noqa: E402
+
+_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _line_ok(line: str) -> bool:
-    s = line.strip()
+    s = line.strip(_WS)
     if not s.endswith(_TERMINAL):
         return False
-    if len(s.split()) < _MIN_LINE_WORDS:
+    if len([w for w in _WS_RE.split(s) if w]) < _MIN_LINE_WORDS:
         return False
     low = s.lower()
     return not any(b in low for b in _BOILERPLATE)
@@ -68,11 +77,16 @@ def c4_clean(text: str) -> dict:
 
 
 def c4_exprs(text: Column) -> dict[str, Column]:
-    """The same cleaning as in-row Catalyst expressions."""
+    """The same cleaning as in-row Catalyst expressions. NULL text is
+    pinned to '' first so the twins agree on null rows (bare F.split
+    would propagate NULL into every output — review r4c)."""
+    text = F.coalesce(text, F.lit(""))
     lines = F.split(text, "\n")
 
     def ok(ln: Column) -> Column:
-        s = F.trim(ln)
+        # strip the ASCII \s class, matching the pure twin (F.trim
+        # removes only spaces)
+        s = F.regexp_replace(ln, r"^\s+|\s+$", "")
         low = F.lower(s)
         terminal = F.substring(s, -1, 1).isin(*_TERMINAL)
         words = F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))

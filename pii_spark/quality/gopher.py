@@ -5,11 +5,13 @@ The pipeline's keep/drop chain already enforces word-level repetition
 share + duplicate word-bigram fraction against a DuckDB oracle. This
 module completes the published rule set:
 
-  * duplicate line fraction            (share of lines seen before)
-  * duplicate paragraph fraction       (same, blank-line separated)
-  * duplicate line CHARACTER fraction  (chars inside repeated lines)
+  * duplicate line / paragraph fractions
+  * duplicate line / paragraph CHARACTER fractions
   * top 2-/3-/4-gram character share   (chars covered by the most
                                         frequent word n-gram)
+  * duplicate 5..10-gram character fractions (chars covered by ANY
+    occurrence of a repeated n-gram, overlaps counted once —
+    positional coverage, via gopher_dup_ngram_metrics)
 
 Every metric exists twice, pinned equal by tests/test_gopher.py:
 
@@ -42,9 +44,16 @@ THRESHOLDS = {
     "dup_line_frac": 0.30,
     "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
 }
 
 
@@ -54,11 +63,17 @@ def _words(text: str) -> list[str]:
     return [w for w in re.split(r"[^a-z0-9]+", (text or "").lower()) if w]
 
 
+_NONWS = __import__("re").compile(r"[^ \t\x0b\f\r]")  # ASCII \S sans \n
+
+
 def gopher_stats(text: str) -> dict[str, float]:
-    """Pure-Python twin of ``gopher_exprs``."""
+    """Pure-Python twin of ``gopher_exprs``. Blank detection uses the
+    ASCII whitespace class Java regex \\s matches, NOT str.strip()'s
+    Unicode set, so the twins agree on tab/CR-only lines (review
+    r4c)."""
     text = text or ""
-    lines = [ln for ln in text.split("\n") if ln.strip()]
-    paras = [p for p in text.split("\n\n") if p.strip()]
+    lines = [ln for ln in text.split("\n") if _NONWS.search(ln)]
+    paras = [p for p in text.split("\n\n") if _NONWS.search(p)]
 
     def dup_frac(items):
         if not items:
@@ -90,25 +105,47 @@ def gopher_stats(text: str) -> dict[str, float]:
             return 0.0
         return cnt * sum(len(w) for w in gram) / n_word_chars
 
-    return {
+    def dup_ngram_char_frac(n):
+        """Fraction of word-characters covered by ANY occurrence of a
+        repeated n-gram (positional coverage, overlaps counted once —
+        the table-A1 'duplicate n-gram' family for n=5..10)."""
+        if len(words) < n:
+            return 0.0
+        grams = [tuple(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        c = Counter(grams)
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        return sum(len(words[j]) for j in covered) / n_word_chars
+
+    out = {
         "dup_line_frac": dup_frac(lines),
         "dup_para_frac": dup_frac(paras),
         "dup_line_char_frac": dup_char_frac(lines),
+        "dup_para_char_frac": dup_char_frac(paras),
         "top_2gram_char_frac": top_ngram_char_frac(2),
         "top_3gram_char_frac": top_ngram_char_frac(3),
         "top_4gram_char_frac": top_ngram_char_frac(4),
     }
+    for n in range(5, 11):
+        out[f"dup_{n}gram_char_frac"] = dup_ngram_char_frac(n)
+    return out
 
 
 def gopher_line_exprs(text: Column) -> dict[str, Column]:
     """Line/paragraph repetition metrics as in-row Catalyst
     expressions. The per-element occurrence count in dup_char_frac is
     quadratic in the LINE count of one document — lines per doc are
-    dozens, not millions, so this stays cheap and shuffle-free."""
+    dozens, not millions, so this stays cheap and shuffle-free. NULL
+    text pins to ''; blank detection is rlike(\\S) on both twins
+    (F.trim strips only spaces — review r4c)."""
+    text = F.coalesce(text, F.lit(""))
     lines = F.filter(F.split(text, "\n"),
-                     lambda x: F.trim(x) != "")
+                     lambda x: x.rlike(r"\S"))
     paras = F.filter(F.split(text, "\n\n"),
-                     lambda x: F.trim(x) != "")
+                     lambda x: x.rlike(r"\S"))
 
     def dup_frac(items):
         n = F.size(items)
@@ -134,6 +171,7 @@ def gopher_line_exprs(text: Column) -> dict[str, Column]:
         "dup_line_frac": dup_frac(lines),
         "dup_para_frac": dup_frac(paras),
         "dup_line_char_frac": dup_char_frac(lines),
+        "dup_para_char_frac": dup_char_frac(paras),
     }
 
 
@@ -204,6 +242,91 @@ def gopher_ngram_metrics(
             F.coalesce(F.col("2"), F.lit(0.0)).alias("top_2gram_char_frac"),
             F.coalesce(F.col("3"), F.lit(0.0)).alias("top_3gram_char_frac"),
             F.coalesce(F.col("4"), F.lit(0.0)).alias("top_4gram_char_frac"),
+        )
+    )
+
+
+def gopher_dup_ngram_metrics(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    ns: tuple = (5, 6, 7, 8, 9, 10),
+):
+    """(id, text) → (id, dup_5gram_char_frac … dup_10gram_char_frac):
+    the character fraction covered by ANY occurrence of a repeated
+    n-gram, overlaps counted once (positional coverage, matching the
+    pure twin exactly). Relational plan, same family as
+    gopher_ngram_metrics: one explode of all gram sizes with their
+    start positions, one duplicate census, covered word positions via
+    an interval explode + distinct, then one weighted sum against the
+    per-position word lengths."""
+    from pyspark.sql import Window  # noqa: F401 (symmetry with sibling)
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    base = df.select(
+        F.col(id_col).alias("_id"), words.alias("w")
+    ).withColumn(
+        "_chars",
+        F.greatest(
+            F.aggregate("w", F.lit(0), lambda a, x: a + F.length(x)),
+            F.lit(1),
+        ),
+    )
+
+    def grams(n):
+        return F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.alias("i"),
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at("w", i + j + 1) for j in range(n)]
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    exploded = base.select(
+        "_id", "_chars",
+        F.explode(F.concat(*[grams(n) for n in ns])).alias("gr"),
+    ).select("_id", "_chars", "gr.n", "gr.i", "gr.g")
+    # occurrences of grams seen >1 times, with their start positions
+    dup_starts = (
+        exploded.groupBy("_id", "_chars", "n", "g")
+        .agg(F.count("*").alias("c"), F.collect_list("i").alias("starts"))
+        .filter(F.col("c") > 1)
+        .select("_id", "_chars", "n",
+                F.explode("starts").alias("start"))
+    )
+    covered = dup_starts.select(
+        "_id", "_chars", "n",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.col("n") - 1)
+        ).alias("idx"),
+    ).distinct()
+    word_lens = base.select(
+        "_id", F.posexplode("w").alias("idx", "_wv")
+    ).select("_id", "idx", F.length("_wv").alias("wl"))
+    frac = (
+        covered.join(word_lens, ["_id", "idx"])
+        .groupBy("_id", "n")
+        .agg((F.sum("wl") / F.first("_chars")).alias("frac"))
+        .groupBy("_id")
+        .pivot("n", list(ns))
+        .agg(F.first("frac"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(frac, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            *[
+                F.coalesce(F.col(str(n)), F.lit(0.0))
+                .alias(f"dup_{n}gram_char_frac")
+                for n in ns
+            ],
         )
     )
 

@@ -20,6 +20,12 @@ CASES = [
     "Only one good sentence here.\nnope\nnah",
     "First proper sentence right here.\nSecond proper sentence right "
     "here.\nThird proper sentence right here!",
+    # review r4c twin-divergence repros: CRLF endings, NBSP words, NULL
+    "Good sentence stays here.\r\nAnother good one stays.\r\n"
+    "A third good one stays.\r\nFourth good one stays.\r\n"
+    "Fifth good one stays.",
+    "Word\xa0word\xa0word.\nPlain word line stays here.",
+    None,
 ]
 
 
@@ -51,9 +57,11 @@ def test_each_rule_fires():
     r = c4_clean("Please enable JavaScript in your browser settings.")
     assert r["n_kept_lines"] == 0
     # lorem ipsum / code braces kill the doc even with good lines
-    good = "A good long sentence stays right here.\n" * 4
+    good = "A good long sentence stays right here.\n" * 6
     assert c4_clean(good)["keep"]
     assert not c4_clean("lorem ipsum filler.\n" + good)["keep"]
     assert not c4_clean("if (x) { y }\n" + good)["keep"]
-    # min surviving lines
-    assert not c4_clean("One good full sentence only.")["keep"]
+    # min surviving lines: C4 discards pages under 5 sentences
+    assert not c4_clean("A good long sentence stays right here.\n" * 4)["keep"]
+    # twins agree on NULL text (pinned to empty)
+    assert c4_clean(None)["keep"] is False
