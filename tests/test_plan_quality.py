@@ -187,3 +187,33 @@ def test_cow_discovery_scan_pushes_predicate(spark, tmp_path):
     assert "PushedFilters: [" in plan and "EqualTo(doc_id,7)" in plan, plan
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all("text" not in ln for ln in scans), scans
+
+
+def test_global_sort_uses_range_partitioning(spark, tmp_path):
+    """The canonical distributed global sort: repartitionByRange +
+    sortWithinPartitions writes globally ordered output WITHOUT a
+    single-reducer bottleneck — the plan samples range bounds and every
+    partition holds a disjoint key range. Gates: RangePartitioning in
+    the exchange, no global singleton sort, and the written files read
+    back in global order when concatenated by partition index."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ordered = docs.repartitionByRange(4, F.col("n_chars"), F.col("doc_id")) \
+        .sortWithinPartitions("n_chars", "doc_id")
+    plan = _plan(ordered)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+    out = str(tmp_path / "sorted")
+    ordered.write.parquet(out)
+    # partition files, read in order, concatenate: globally sorted
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) == 4
+    seq = []
+    for f in files:
+        seq += [
+            (r.n_chars, r.doc_id) for r in spark.read.parquet(f).collect()
+        ]
+    assert seq == sorted(seq)
+    assert len(seq) == docs.count()
