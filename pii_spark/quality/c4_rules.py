@@ -1,10 +1,12 @@
 """C4 line-level cleaning rules (Raffel et al. 2020, §2.2) — the other
 half of the north rule's "C4/Gopher heuristic quality rules".
 
-C4 cleans at LINE granularity before judging the document:
+C4 cleans at LINE granularity before judging the document (the
+paper's constants, §2.2: "discarded any page with fewer than 3
+sentences and only retained lines that contained at least 5 words"):
 
   * keep only lines ending in terminal punctuation (. ! ? ")
-  * drop lines with fewer than 3 words
+  * drop lines with fewer than 5 words
   * drop lines containing boilerplate markers ("javascript",
     "cookie policy", "terms of use", "privacy policy")
   * drop any document containing "lorem ipsum" or a curly brace
@@ -35,24 +37,24 @@ from pyspark.sql import functions as F
 _TERMINAL = (".", "!", "?", '"')
 _BOILERPLATE = ("javascript", "cookie policy", "terms of use",
                 "privacy policy")
-_MIN_LINE_WORDS = 3
-_MIN_LINES = 5  # C4 §2.2: pages with fewer than 5 sentences discarded
+# Raffel et al. 2020 §2.2, verbatim constants: lines need >= 5 words,
+# pages need >= 3 surviving sentences (review r4d caught these two
+# inverted)
+_MIN_LINE_WORDS = 5
+_MIN_LINES = 3
 
-# whitespace is the ASCII class Java regex \s matches — BOTH twins use
-# it explicitly (review r4c: str.strip()/str.split() are Unicode-aware
-# while F.trim trims only spaces and Java \s is ASCII, so CRLF/tab/NBSP
-# documents diverged between the twins)
-_WS = " \t\n\x0b\f\r"
-import re as _re  # noqa: E402
-
-_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+# whitespace is the shared ASCII contract (quality/textnorm.py):
+# str.strip()/str.split() are Unicode-aware while F.trim trims only
+# spaces and Java \s is ASCII, so CRLF/tab/NBSP documents diverged
+# between locally spelled twins (reviews r4c/r4d)
+from .textnorm import ASCII_WS, ascii_words  # noqa: E402
 
 
 def _line_ok(line: str) -> bool:
-    s = line.strip(_WS)
+    s = line.strip(ASCII_WS)
     if not s.endswith(_TERMINAL):
         return False
-    if len([w for w in _WS_RE.split(s) if w]) < _MIN_LINE_WORDS:
+    if len(ascii_words(s)) < _MIN_LINE_WORDS:
         return False
     low = s.lower()
     return not any(b in low for b in _BOILERPLATE)

@@ -63,17 +63,17 @@ def _words(text: str) -> list[str]:
     return [w for w in re.split(r"[^a-z0-9]+", (text or "").lower()) if w]
 
 
-_NONWS = __import__("re").compile(r"[^ \t\x0b\f\r]")  # ASCII \S sans \n
+from .textnorm import NON_WS_RE  # shared twin whitespace contract
 
 
 def gopher_stats(text: str) -> dict[str, float]:
-    """Pure-Python twin of ``gopher_exprs``. Blank detection uses the
-    ASCII whitespace class Java regex \\s matches, NOT str.strip()'s
-    Unicode set, so the twins agree on tab/CR-only lines (review
-    r4c)."""
+    """Pure-Python twin of the native metrics. Blank detection uses
+    the ASCII class Java \\s matches (quality/textnorm.py) — a local
+    hand-spelled class here once omitted \\n and broke parity on
+    newline-only paragraphs (review r4d)."""
     text = text or ""
-    lines = [ln for ln in text.split("\n") if _NONWS.search(ln)]
-    paras = [p for p in text.split("\n\n") if _NONWS.search(p)]
+    lines = [ln for ln in text.split("\n") if NON_WS_RE.search(ln)]
+    paras = [p for p in text.split("\n\n") if NON_WS_RE.search(p)]
 
     def dup_frac(items):
         if not items:
@@ -175,20 +175,13 @@ def gopher_line_exprs(text: Column) -> dict[str, Column]:
     }
 
 
-def gopher_ngram_metrics(
-    df, id_col: str = "doc_id", text_col: str = "text"
-):
-    """(id, text) → (id, top_2gram_char_frac, top_3gram_char_frac,
-    top_4gram_char_frac): ONE explode of all three gram sizes, ONE
-    count aggregation, one window per (doc, n) — the relational shape
-    that scales (see module docstring for the measured in-row
-    disaster). Docs with no qualifying gram (too short, or top count
-    < 2 — the rule measures repetition) get 0.0."""
-    from pyspark.sql import Window
-
+def _word_base(df, id_col: str, text_col: str):
+    """(id, text) → (_id, w array, _chars) — shared scaffolding of the
+    relational n-gram metrics (one definition, review r4d: the copies
+    had already started drifting)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                      lambda w: w != "")
-    base = df.select(
+    return df.select(
         F.col(id_col).alias("_id"), words.alias("w")
     ).withColumn(
         "_chars",
@@ -198,79 +191,10 @@ def gopher_ngram_metrics(
         ),
     )
 
-    def grams(n):
-        return F.when(
-            F.size("w") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - n),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(
-                        " ",
-                        *[F.element_at("w", i + j + 1) for j in range(n)]
-                    ).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array())
 
-    exploded = base.select(
-        "_id", "_chars",
-        F.explode(F.concat(grams(2), grams(3), grams(4))).alias("gr"),
-    ).select("_id", "_chars", "gr.n", "gr.g")
-    counts = exploded.groupBy("_id", "_chars", "n", "g").agg(
-        F.count("*").alias("c")
-    )
-    w = Window.partitionBy("_id", "n").orderBy(
-        F.col("c").desc(), F.col("g").desc()
-    )
-    top = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("c") >= 2))
-        .withColumn(
-            "frac",
-            F.col("c") * (F.length("g") - (F.col("n") - 1)) / F.col("_chars"),
-        )
-        .groupBy("_id")
-        .pivot("n", [2, 3, 4])
-        .agg(F.first("frac"))
-    )
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(top, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("2"), F.lit(0.0)).alias("top_2gram_char_frac"),
-            F.coalesce(F.col("3"), F.lit(0.0)).alias("top_3gram_char_frac"),
-            F.coalesce(F.col("4"), F.lit(0.0)).alias("top_4gram_char_frac"),
-        )
-    )
-
-
-def gopher_dup_ngram_metrics(
-    df, id_col: str = "doc_id", text_col: str = "text",
-    ns: tuple = (5, 6, 7, 8, 9, 10),
-):
-    """(id, text) → (id, dup_5gram_char_frac … dup_10gram_char_frac):
-    the character fraction covered by ANY occurrence of a repeated
-    n-gram, overlaps counted once (positional coverage, matching the
-    pure twin exactly). Relational plan, same family as
-    gopher_ngram_metrics: one explode of all gram sizes with their
-    start positions, one duplicate census, covered word positions via
-    an interval explode + distinct, then one weighted sum against the
-    per-position word lengths."""
-    from pyspark.sql import Window  # noqa: F401 (symmetry with sibling)
-
-    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                     lambda w: w != "")
-    base = df.select(
-        F.col(id_col).alias("_id"), words.alias("w")
-    ).withColumn(
-        "_chars",
-        F.greatest(
-            F.aggregate("w", F.lit(0), lambda a, x: a + F.length(x)),
-            F.lit(1),
-        ),
-    )
+def _gram_census(base, ns):
+    """word base → exploded (_id, _chars, n, i, g): every n-gram of
+    every requested size with its start position, one explode."""
 
     def grams(n):
         return F.when(
@@ -288,10 +212,74 @@ def gopher_dup_ngram_metrics(
             ),
         ).otherwise(F.array())
 
-    exploded = base.select(
+    return base.select(
         "_id", "_chars",
         F.explode(F.concat(*[grams(n) for n in ns])).alias("gr"),
     ).select("_id", "_chars", "gr.n", "gr.i", "gr.g")
+
+
+def _attach_fracs(df, id_col: str, pivoted, ns, name_fmt: str):
+    """left-join the pivoted per-(doc, n) fractions back onto every doc
+    id, defaulting absent cells (no qualifying gram) to 0.0."""
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(pivoted, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            *[
+                F.coalesce(F.col(str(n)), F.lit(0.0))
+                .alias(name_fmt.format(n=n))
+                for n in ns
+            ],
+        )
+    )
+
+
+def gopher_ngram_metrics(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    ns: tuple = (2, 3, 4),
+):
+    """(id, text) → (id, top_{n}gram_char_frac …): ONE explode of all
+    gram sizes, ONE count aggregation, one window per (doc, n) — the
+    relational shape that scales (see module docstring for the
+    measured in-row disaster). Docs with no qualifying gram (too
+    short, or top count < 2 — the rule measures repetition) get 0.0."""
+    from pyspark.sql import Window
+
+    counts = _gram_census(_word_base(df, id_col, text_col), ns).groupBy(
+        "_id", "_chars", "n", "g"
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("_id", "n").orderBy(
+        F.col("c").desc(), F.col("g").desc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("c") >= 2))
+        .withColumn(
+            "frac",
+            F.col("c") * (F.length("g") - (F.col("n") - 1)) / F.col("_chars"),
+        )
+        .groupBy("_id")
+        .pivot("n", list(ns))
+        .agg(F.first("frac"))
+    )
+    return _attach_fracs(df, id_col, top, ns, "top_{n}gram_char_frac")
+
+
+def gopher_dup_ngram_metrics(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    ns: tuple = (5, 6, 7, 8, 9, 10),
+):
+    """(id, text) → (id, dup_5gram_char_frac … dup_10gram_char_frac):
+    the character fraction covered by ANY occurrence of a repeated
+    n-gram, overlaps counted once (positional coverage, matching the
+    pure twin exactly). Relational plan, same family as
+    gopher_ngram_metrics: one explode of all gram sizes with their
+    start positions, one duplicate census, covered word positions via
+    an interval explode + distinct, then one weighted sum against the
+    per-position word lengths."""
+    base = _word_base(df, id_col, text_col)
+    exploded = _gram_census(base, ns)
     # occurrences of grams seen >1 times, with their start positions
     dup_starts = (
         exploded.groupBy("_id", "_chars", "n", "g")
@@ -317,18 +305,7 @@ def gopher_dup_ngram_metrics(
         .pivot("n", list(ns))
         .agg(F.first("frac"))
     )
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(frac, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            *[
-                F.coalesce(F.col(str(n)), F.lit(0.0))
-                .alias(f"dup_{n}gram_char_frac")
-                for n in ns
-            ],
-        )
-    )
+    return _attach_fracs(df, id_col, frac, ns, "dup_{n}gram_char_frac")
 
 
 def gopher_flags(stats: dict, thresholds: dict | None = None) -> dict:

@@ -23,20 +23,16 @@ from __future__ import annotations
 from ..config import QUALITY
 
 
-import re as _re
-
-# ASCII whitespace (what Java regex \s matches): str.split()/isspace()
-# are Unicode-aware and diverge from the native expressions on NBSP
-# and friends (hypothesis fuzz, r4) — the twins must share one class
-_ASCII_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
-_ASCII_WS = set(" \t\n\x0b\f\r")
+# shared whitespace contract — see quality/textnorm.py (the twins must
+# match Java \s, not Python's Unicode whitespace; hypothesis fuzz r4)
+from .textnorm import ASCII_WS_SET, ascii_words
 
 
 def quality_stats(text: str) -> dict[str, float]:
-    words = [w for w in _ASCII_WS_RE.split(text) if w]
+    words = ascii_words(text)
     n_words = len(words)
     n_chars = len(text)
-    nonspace = [c for c in text if c not in _ASCII_WS]
+    nonspace = [c for c in text if c not in ASCII_WS_SET]
     n_ns = len(nonspace) or 1
     n_alpha = sum(c.isalpha() for c in nonspace)
     n_digit = sum(c.isdigit() for c in nonspace)

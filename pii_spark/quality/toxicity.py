@@ -52,19 +52,16 @@ _P1 = re.compile(TOX_RE_W1)
 _P2 = re.compile(TOX_RE_W2)
 
 
-# the ASCII whitespace class Java regex \s matches — str.split() is
-# Unicode-aware (treats NBSP etc. as whitespace) and diverges from the
-# native expressions on non-ASCII spacing (hypothesis fuzz, r4)
-_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+from .textnorm import ascii_words  # shared twin whitespace contract
 
 
 def toxicity_stats(text: str) -> dict[str, float]:
     """Pure-Python twin of ``toxicity_exprs`` (pinned equal, including
-    on non-ASCII whitespace — see _ASCII_WS)."""
+    on non-ASCII whitespace — see quality/textnorm.py)."""
     low = (text or "").lower()
     h1 = len(_P1.findall(low))
     h2 = len(_P2.findall(low))
-    n_words = len([w for w in _ASCII_WS.split(text or "") if w]) or 1
+    n_words = len(ascii_words(text)) or 1
     hits = h1 + 2 * h2
     return {"tox_hits": float(hits), "tox_score": hits / n_words}
 

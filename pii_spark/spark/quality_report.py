@@ -29,8 +29,15 @@ def quality_report(
     include_ngrams: bool = False,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Corpus → one wide row of rates and distribution stats."""
-    base = df.select(F.col(text_col).alias("text"), F.col(id_col))
+    """Corpus → one wide row of rates and distribution stats. NULL
+    text pins to '' up front: bare size(split(NULL)) artifacts (-1
+    word counts) would otherwise average into the report while other
+    aggregates skip the same rows — inconsistent denominators inside
+    one report (review r4d)."""
+    base = df.select(
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        F.col(id_col),
+    )
     base = base.withColumns(quality_exprs())
     g = gopher_line_exprs(F.col("text"))
     c4 = c4_exprs(F.col("text"))

@@ -51,8 +51,10 @@ def test_native_matches_pure(spark):
 def test_each_rule_fires():
     # terminal punctuation
     assert c4_clean("no ending punct at all\n" * 5)["n_kept_lines"] == 0
-    # short lines
+    # short lines: the paper keeps only lines with at least 5 words
     assert c4_clean("Too short.\n" * 5)["n_kept_lines"] == 0
+    assert c4_clean("Only four words here.\n" * 5)["n_kept_lines"] == 0
+    assert c4_clean("Exactly five words right here.")["n_kept_lines"] == 1
     # boilerplate markers
     r = c4_clean("Please enable JavaScript in your browser settings.")
     assert r["n_kept_lines"] == 0
@@ -61,7 +63,8 @@ def test_each_rule_fires():
     assert c4_clean(good)["keep"]
     assert not c4_clean("lorem ipsum filler.\n" + good)["keep"]
     assert not c4_clean("if (x) { y }\n" + good)["keep"]
-    # min surviving lines: C4 discards pages under 5 sentences
-    assert not c4_clean("A good long sentence stays right here.\n" * 4)["keep"]
+    # min surviving lines: C4 discards pages under 3 sentences
+    assert not c4_clean("A good long sentence stays right here.\n" * 2)["keep"]
+    assert c4_clean("A good long sentence stays right here.\n" * 3)["keep"]
     # twins agree on NULL text (pinned to empty)
     assert c4_clean(None)["keep"] is False

@@ -28,6 +28,7 @@ CASES = [
     # review r4c twin-divergence repros: CR/tab-only lines, CRLF docs
     "a\n\t\na",
     "x\n\r\nx",
+    "dup\n\ndup\n\nx\n\n\n",  # newline-only trailing paragraph (r4d)
     "Good sentence stays here.\r\nAnother good one stays.\r\n"
     "A third good one stays.",
     None,
@@ -38,7 +39,6 @@ def test_native_matches_pure_on_handcrafted_and_generated(spark):
     from pii_spark.textgrammar.generator import build_example
 
     texts = CASES + [build_example(42, i)["text"] for i in range(40)]
-    texts = [t for t in texts]
     # inject newline structure into some generated docs
     texts += [t.replace(". ", ".\n") for t in texts[-10:]]
     df = spark.createDataFrame(
