@@ -51,10 +51,17 @@ class Snapshot:
 
 
 class IceliteTable:
-    def __init__(self, table_dir: str | Path):
+    def __init__(self, table_dir: str | Path, collect_stats: bool = True):
+        """``collect_stats=False`` skips the per-commit min/max stats
+        pass (one column-pruned read-back of each written dir): the
+        right trade for high-frequency micro-batch appends where the
+        stats pass rivals the batch itself — at the price of no
+        manifest pruning for row-level ops on those dirs (they stay
+        always-candidates; correctness is unaffected)."""
         self.dir = Path(table_dir)
         self.meta = self.dir / "metadata"
         self.data = self.dir / "data"
+        self.collect_stats = collect_stats
 
     # ------------------------------------------------------------ read side
 
@@ -328,8 +335,11 @@ class IceliteTable:
         return json.loads(df.schema.json())
 
     def _written(self, df: DataFrame) -> tuple[str, dict]:
-        """Write a data dir and collect its manifest stats."""
+        """Write a data dir and collect its manifest stats (unless the
+        table opted out — see __init__)."""
         d = self._write_data(df)
+        if not self.collect_stats:
+            return d, {}
         return d, {d: self._collect_dir_stats(df.sparkSession, d)}
 
     def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:

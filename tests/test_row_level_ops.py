@@ -340,3 +340,18 @@ def test_forget_noop_does_not_expire_history(spark, tmp_path):
                        ["https://never.existed/x"], expire_now=True)
     assert n == 0
     assert [s.version for s in out.snapshots()] == versions_before
+
+
+def test_stats_collection_opt_out(spark, tmp_path):
+    """collect_stats=False skips the per-commit stats pass; dirs
+    without stats stay always-candidates for pruning (correctness
+    unaffected, just no manifest skipping)."""
+    t = IceliteTable(tmp_path / "tbl", collect_stats=False)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k int, v string"))
+    snap = t.snapshot()
+    assert snap.dir_stats == {}
+    assert t._prune_candidate_dirs(snap, "k", [999]) == snap.data_dirs
+    # row-level ops still work without stats
+    snap2, n = t.delete_keys(spark, "k", [1])
+    assert n == 1 and t.read(spark).count() == 1
