@@ -619,6 +619,12 @@ class IceliteTable:
         parent = self.snapshot()
         if parent is None:
             raise FileNotFoundError(f"no snapshot in {self.dir}")
+        # empty / all-None probe: nothing can match, and
+        # createDataFrame([], [col]) on the legacy fallback throws
+        # "can not infer schema from empty dataset" (ADVICE r4)
+        values = [v for v in values if v is not None]
+        if not values:
+            return parent, 0
         cand = self._prune_candidate_dirs(parent, col, values)
         if not cand:
             return parent, 0

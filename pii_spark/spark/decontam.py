@@ -51,8 +51,13 @@ def decontaminate(
     at least one fingerprint with the benchmark; ``contaminated`` when
     ≥ ``min_shared`` (one shared fingerprint can be a coincidence of a
     common 8-gram; two selected-minimum collisions almost never are).
-    Docs with zero shared fingerprints are absent (join semantics) —
-    the caller left-anti-joins to drop contaminated rows."""
+    Docs with zero shared fingerprints are absent (join semantics).
+    To drop contaminated rows, filter on ``contaminated`` FIRST and
+    left-anti-join the corpus against that subset — anti-joining the
+    whole result would also drop clean docs that share a single
+    coincidental fingerprint (ADVICE r4):
+    ``corpus.join(out.filter("contaminated"), "doc_id", "left_anti")``
+    """
     bench_fps = doc_fingerprints(benchmark).select("fp").distinct()
     corpus_fps = doc_fingerprints(corpus)
     return (

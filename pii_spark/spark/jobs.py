@@ -185,6 +185,20 @@ def run_quality_job(
             }
             # expired manifests carry their summaries into ledger.json
             recorded.update(out._ledger_carry().get("files_fp", []))
+            if not recorded:
+                # groups exist but NONE records a files_fp: they were
+                # committed by the pre-path-mode DataFrame/hash-group
+                # scheme. Resuming here would silently reinterpret
+                # hash-of-url group ids as round-robin file-deal groups
+                # (ADVICE r4) — same loud refusal as a drifted listing.
+                raise RuntimeError(
+                    f"table {out_dir} has committed groups with no "
+                    "files_fp recorded — they were committed under a "
+                    "different group-assignment scheme; path-mode "
+                    "resume would remap group ids. Reprocess into a "
+                    "fresh table or resume with the original "
+                    "DataFrame-mode corpus"
+                )
             stale = recorded - {files_fp}
             if stale:
                 raise RuntimeError(

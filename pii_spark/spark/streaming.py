@@ -165,15 +165,27 @@ def run_stream_dedup(
         # per-chunk min, O(1) state per key: a hot url with millions of
         # duplicates must not be concatenated into one frame and sorted
         # (review r4 — that is the exact skew shape crawl dedup meets)
+        # NULL texts can't participate in min(): pandas object-dtype
+        # min() raises TypeError on str/None mixes and yields NaN on
+        # all-None chunks (ADVICE r4). Drop them per chunk; a key whose
+        # rows are ALL null-text still emits one (url, NULL) row —
+        # matching built-in dropDuplicates("url") semantics.
         best = None
+        saw_rows = False
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            m = pdf["text"].min()
-            row = pdf[pdf["text"] == m].iloc[[0]][["url", "text"]]
+            saw_rows = True
+            s = pdf.dropna(subset=["text"])
+            if not len(s):
+                continue
+            m = s["text"].min()
+            row = s[s["text"] == m].iloc[[0]][["url", "text"]]
             if best is None or row["text"].iat[0] < best["text"].iat[0]:
                 best = row
         state.update((True,))
+        if best is None and saw_rows:
+            best = pd.DataFrame({"url": [key[0]], "text": [None]})
         yield best if best is not None else pd.DataFrame(
             {"url": pd.Series(dtype=object),
              "text": pd.Series(dtype=object)})

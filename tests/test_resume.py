@@ -566,3 +566,26 @@ def test_path_mode_rejects_drifted_file_listing(spark, tmp_path):
     with pytest.raises(RuntimeError, match="file set .* changed"):
         run_quality_job(spark, str(corpus_dir), str(tmp_path / "o"),
                         str(tmp_path / "a"), groups=4)
+
+
+def test_path_mode_refuses_legacy_hash_group_table(spark, tmp_path):
+    """ADVICE r4: a table whose groups were committed by the
+    DataFrame/hash-group scheme records no files_fp — resuming it via
+    path mode would silently reinterpret hash-of-url group ids as
+    round-robin file-deal groups. The guard must fail loudly instead of
+    vacuously passing on an empty recorded set."""
+    corpus = generate_corpus(spark, 60).cache()
+    corpus_dir = tmp_path / "corpus"
+    corpus.repartition(4).write.parquet(str(corpus_dir))
+
+    # commit 2 of 4 groups under the DataFrame-mode scheme, then crash
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_quality_job(spark, corpus, str(tmp_path / "o"),
+                        str(tmp_path / "a"), groups=4,
+                        fail_after_groups=2)
+
+    # resume via path mode over the same rows → refuse, never remap
+    with pytest.raises(RuntimeError,
+                       match="different group-assignment scheme"):
+        run_quality_job(spark, str(corpus_dir), str(tmp_path / "o"),
+                        str(tmp_path / "a"), groups=4)

@@ -355,3 +355,31 @@ def test_stats_collection_opt_out(spark, tmp_path):
     # row-level ops still work without stats
     snap2, n = t.delete_keys(spark, "k", [1])
     assert n == 1 and t.read(spark).count() == 1
+
+
+def test_delete_keys_empty_and_all_none_probe(spark, tmp_path):
+    """ADVICE r4: delete_keys([]) / delete_keys([None, None]) must
+    early-return (parent, 0) — the legacy fallback's
+    createDataFrame([], [col]) throws on an empty probe."""
+    import json
+
+    t = IceliteTable(tmp_path / "tbl")
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k int, v string"))
+    parent = t.snapshot()
+
+    snap, n = t.delete_keys(spark, "k", [])
+    assert n == 0 and snap.version == parent.version
+    snap, n = t.delete_keys(spark, "k", [None, None])
+    assert n == 0 and snap.version == parent.version
+
+    # legacy schemaless manifest takes the inference fallback — the
+    # exact path the empty probe used to crash
+    v1 = t.meta / "v1.json"
+    d = json.loads(v1.read_text())
+    del d["schema"]
+    del d["dir_stats"]
+    v1.write_text(json.dumps(d))
+    snap, n = t.delete_keys(spark, "k", [])
+    assert n == 0 and snap.version == parent.version
+    assert t.read(spark).count() == 4

@@ -424,3 +424,32 @@ def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_stream_dedup_handles_null_text(spark, tmp_path):
+    """ADVICE r4: pandas object-dtype min() raises on str/None mixes and
+    yields NaN on all-None chunks — one NULL-text row must not kill the
+    streaming query. Nulls are ignored when picking the winner; a key
+    whose rows are ALL null-text keeps one (url, NULL) row, matching
+    built-in dropDuplicates("url")."""
+    import pandas as pd
+
+    from pii_spark.spark.streaming import run_stream_dedup
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pd.DataFrame(
+        [("u1", None), ("u1", "real text"), ("u1", "zz later"),
+         ("u2", None), ("u2", None),
+         ("u3", "only")],
+        columns=["url", "text"],
+    ).to_parquet(corpus / "a.parquet", index=False)
+
+    run_stream_dedup(spark, str(corpus), str(tmp_path / "out"),
+                     str(tmp_path / "ckpt"), groups=4)
+    got = {r.url: r.text for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"] == "real text"   # null ignored, min over non-null
+    assert got["u2"] is None          # all-null key keeps a NULL row
+    assert got["u3"] == "only"
