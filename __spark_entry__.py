@@ -1657,13 +1657,149 @@ def q_synth_corpus(spark, sf_dir):
     )
 
 
+def q_reference_sanity(spark, sf_dir):
+    """Bundle of the four near-trivial reference-sanity aggregates —
+    label_map (M11/J2), union_cohorts (W3), deterministic_limit (X4),
+    max_label_id (W2) — as aligned (probe, key, n, metric) rows.
+
+    Why bundled: the correctness driver records at most 50 queries per
+    round, and these four trivially-green slots are worth less than
+    hash-checked rows for the r4 operator families (VERDICT r4 #1).
+    Each component keeps its own function and full DuckDB twin; the
+    bundle unions them, so all four stay rows+schema+hash checked."""
+    lm = q_label_map(spark, sf_dir).select(
+        F.lit("label_map").alias("probe"),
+        F.col("category").alias("key"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("metric"),
+    )
+    uc = q_union_cohorts(spark, sf_dir).select(
+        F.lit("union_cohorts").alias("probe"),
+        F.col("cohort").alias("key"),
+        F.col("n_docs").cast("long").alias("n"),
+        F.col("max_chars").cast("double").alias("metric"),
+    )
+    dl = q_deterministic_limit(spark, sf_dir).select(
+        F.lit("deterministic_limit").alias("probe"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").cast("long").alias("n"),
+        F.lit(0.0).alias("metric"),
+    )
+    ml = q_max_label_id(spark, sf_dir).select(
+        F.lit("max_label_id").alias("probe"),
+        F.lit("corpus").alias("key"),
+        F.col("n_docs_with_entity").cast("long").alias("n"),
+        F.col("max_label_id").cast("double").alias("metric"),
+    )
+    return lm.unionByName(uc).unionByName(dl).unionByName(ml)
+
+
+# md5-keyed permutation shared by the sampling query and its oracle:
+# the production path is xxhash64 (pii_spark/spark/sampling.py); the
+# driver row swaps in this DuckDB-replicable key to hash-check the
+# operator LOGIC (permutation prefix / per-stratum window / bucketed
+# budget cut) end to end.
+_SAMPLE_KEY_SQL = "md5(concat(cast(doc_id as string), '_42'))"
+_SAMPLE_BUDGET = 30_000  # chars; ~20% of sf0.01, scale-independent rule
+
+
+def q_sampling(spark, sf_dir):
+    """Deterministic sampling operators (pii_spark/spark/sampling.py)
+    oracle-checked end to end: uniform prefix draw (40 docs),
+    stratified per-lang draw (10/stratum), and the bucketed
+    token-budget draw (~30k chars on n_chars), unioned as
+    (part, doc_id) membership rows — the oracle checks the exact
+    sampled SETS, not just sizes."""
+    from pii_spark.spark.sampling import (
+        stratified_sample_n,
+        token_budget_sample,
+        uniform_sample_n,
+    )
+
+    d = _docs(spark, sf_dir)
+
+    def md5_key(id_col, seed):
+        return F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"_{seed}"))
+        )
+
+    uni = uniform_sample_n(d, 40, key_fn=md5_key).select(
+        F.lit("uniform").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    strat = stratified_sample_n(d, "lang", 10, key_fn=md5_key).select(
+        F.concat(F.lit("stratified_"), F.col("lang")).alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    bucket = F.expr(
+        f"(instr('0123456789abcdef', substr({_SAMPLE_KEY_SQL}, 1, 1)) - 1)"
+        f" * 16 + (instr('0123456789abcdef',"
+        f" substr({_SAMPLE_KEY_SQL}, 2, 1)) - 1)"
+    )
+    tb = token_budget_sample(
+        d, _SAMPLE_BUDGET, "n_chars", bucket_bits=8, bucket_expr=bucket
+    ).select(
+        F.lit("token_budget").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return uni.unionByName(strat).unionByName(tb)
+
+
+def q_quality_report(spark, sf_dir):
+    """One-call corpus quality report (spark/quality_report.py) — the
+    single-scan rates row, fully DuckDB-oracleable: every rate is a
+    plain aggregate over per-doc native expressions (VERDICT r4 #1)."""
+    from pii_spark.spark.quality_report import quality_report
+
+    return quality_report(_docs(spark, sf_dir))
+
+
+def q_sketch_decontam(spark, sf_dir):
+    """Heavy-hitters sketch + benchmark decontamination, bundled as
+    (part, key, n) rows.
+
+    * heavy_hitters over `source` with capacity ≥ distinct sources:
+      the space-saving merge is EXACT in that regime (no evictions →
+      err 0, thresholds 0), so lower == upper == true count and DuckDB
+      checks both bounds against plain GROUP BY counts — the sketch's
+      exactness contract, driver-checked.
+    * decontaminate with corpus = documents, benchmark = every 50th
+      doc, md5 fingerprints (hash_fn swap; xxhash64 is the scale
+      path): per-doc shared-fingerprint counts with the contaminated
+      flag encoded in the part name."""
+    from pii_spark.spark.decontam import decontaminate
+    from pii_spark.spark.sketches import heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    hh = heavy_hitters(d, "source", k=64, capacity=64)
+    hh_df = spark.createDataFrame(
+        [("hh_lower", item, int(lo)) for item, lo, up in hh]
+        + [("hh_upper", item, int(up)) for item, lo, up in hh],
+        "part string, key string, n long",
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    dec = decontaminate(
+        d.select("doc_id", "text"), bench, hash_fn=F.md5
+    ).select(
+        F.when(F.col("contaminated"), "decontam_contaminated")
+        .otherwise("decontam_clean").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_shared_fp").cast("long").alias("n"),
+    )
+    return hh_df.unionByName(dec)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXACTLY 50 entries: the correctness driver records at most 50
     # queries per round (r1: 27/27, r2: 40/40, r3: 50 of 51 — the 51st,
     # synth_corpus, silently got no row). Consolidations that hold the
     # cap: token_count carries both token modes, scale_fast_variants
-    # bundles the three xxhash64 twins. tests/test_driver_contract.py
-    # pins len(queries()) <= 50.
+    # bundles the three xxhash64 twins, reference_sanity bundles four
+    # near-trivial aggregates (label_map, union_cohorts,
+    # deterministic_limit, max_label_id — each still fully
+    # hash-checked inside the bundle), freeing slots for the r4
+    # families (sampling, quality_report, sketch_decontam).
+    # tests/test_driver_contract.py pins len(queries()) <= 50.
     return {
         "lang_filter": q_lang_filter,
         "minlen_filter": q_minlen_filter,
@@ -1692,9 +1828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_scrub": q_regex_scrub,
         "regex_hit_counts": q_regex_hit_counts,
         "json_extract": q_json_extract,
-        "label_map": q_label_map,
-        "union_cohorts": q_union_cohorts,
-        "deterministic_limit": q_deterministic_limit,
+        "reference_sanity": q_reference_sanity,
+        "sampling": q_sampling,
+        "quality_report": q_quality_report,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
@@ -1705,7 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "domain_filter": q_domain_filter,
         "length_percentiles": q_length_percentiles,
-        "max_label_id": q_max_label_id,
+        "sketch_decontam": q_sketch_decontam,
         "over_under_prediction": q_over_under_prediction,
         "rollup_lang_source": q_rollup_lang_source,
         "set_ops": q_set_ops,
@@ -1779,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
     # toxicity lexicon/threshold (quality/toxicity.py, config.QUALITY)
     from pii_spark.config import LABEL2ID as _L2I
     from pii_spark.config import QUALITY as _Q
+    from pii_spark.quality.gopher import THRESHOLDS as _GT
     from pii_spark.quality.toxicity import TOX_RE_W1 as _TOX_RE_W1
     from pii_spark.quality.toxicity import TOX_RE_W2 as _TOX_RE_W2
 
@@ -2162,24 +2299,95 @@ def oracle_sql() -> dict[str, str]:
                          4) AS avg_k
             FROM events GROUP BY event_type
         """,
-        "label_map": """
-            SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
-                        WHEN event_type IN ('signup', 'purchase')
-                             THEN 'conversion'
-                        ELSE 'other' END AS category,
-                   count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1
-        """,
-        "union_cohorts": """
-            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS cohort,
-                   count(*) AS n_docs,
-                   CAST(max(n_chars) AS BIGINT) AS max_chars
-            FROM documents GROUP BY 1
-        """,
-        "deterministic_limit": """
-            SELECT lang, count(*) AS n_docs
+        # the four reference-sanity aggregates keep their full twins,
+        # just unioned into one aligned (probe, key, n, metric) relation
+        # so the bundle stays rows+schema+hash checked in one slot
+        "reference_sanity": f"""
+            SELECT 'label_map' AS probe, category AS key,
+                   CAST(n_events AS BIGINT) AS n, sum_value AS metric
+            FROM (SELECT CASE WHEN event_type IN ('click', 'view')
+                               THEN 'engagement'
+                              WHEN event_type IN ('signup', 'purchase')
+                               THEN 'conversion'
+                              ELSE 'other' END AS category,
+                         count(*) AS n_events,
+                         round(sum(value), 4) AS sum_value
+                  FROM events GROUP BY 1)
+            UNION ALL
+            SELECT 'union_cohorts', cohort, CAST(n_docs AS BIGINT),
+                   CAST(max_chars AS DOUBLE)
+            FROM (SELECT CASE WHEN lang = 'en' THEN 'en'
+                              ELSE 'other' END AS cohort,
+                         count(*) AS n_docs, max(n_chars) AS max_chars
+                  FROM documents GROUP BY 1)
+            UNION ALL
+            SELECT 'deterministic_limit', lang,
+                   CAST(count(*) AS BIGINT), 0.0
             FROM documents WHERE doc_id < 300 GROUP BY lang
+            UNION ALL
+            SELECT 'max_label_id', 'corpus',
+                   CAST(sum(CASE WHEN doc_max > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(max(doc_max) AS DOUBLE)
+            FROM (SELECT greatest(
+                       CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                            THEN {_L2I["U-EMAIL"]} ELSE 0 END,
+                       CASE WHEN regexp_matches(text, '{_PHONE_RE}')
+                            THEN {_L2I["U-PHONE"]} ELSE 0 END,
+                       CASE WHEN regexp_matches(text, '{_SSN_RE}')
+                            THEN {_L2I["U-SSN"]} ELSE 0 END) AS doc_max
+                  FROM documents)
+        """,
+        # deterministic sampling — the oracle re-derives the md5-keyed
+        # permutation and checks the exact sampled SETS for all three
+        # draw operators (uniform prefix, per-stratum window, bucketed
+        # token-budget cut). The budget-cut CTE mirrors the driver-side
+        # loop in token_budget_sample exactly: a bucket is included iff
+        # no earlier bucket already reached the budget (sprev < B) and
+        # either the running total stays within budget (s <= B) or the
+        # bucket is the first non-empty one (sprev = 0 — always taken).
+        # Empty buckets only extend the cut past the last selected doc,
+        # so restricting to non-empty buckets selects the same set.
+        "sampling": f"""
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     md5(CAST(doc_id AS VARCHAR) || '_42') AS h
+              FROM documents),
+            uni AS (
+              SELECT 'uniform' AS part, doc_id
+              FROM k ORDER BY h, doc_id LIMIT 40),
+            strat AS (
+              SELECT 'stratified_' || lang AS part, doc_id
+              FROM (SELECT lang, doc_id,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY h, doc_id) AS rn
+                    FROM k)
+              WHERE rn <= 10),
+            b AS (
+              SELECT doc_id, n_chars,
+                     (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bkt
+              FROM k),
+            per AS (SELECT bkt, sum(n_chars) AS t FROM b GROUP BY bkt),
+            cum AS (
+              SELECT bkt, t,
+                     sum(t) OVER (ORDER BY bkt) AS s,
+                     coalesce(sum(t) OVER (ORDER BY bkt
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS sprev
+              FROM per),
+            cut AS (
+              SELECT max(bkt) AS c FROM cum
+              WHERE (s <= {_SAMPLE_BUDGET} OR sprev = 0)
+                AND sprev < {_SAMPLE_BUDGET}),
+            tb AS (
+              SELECT 'token_budget' AS part, doc_id
+              FROM b, cut WHERE bkt <= c)
+            SELECT part, CAST(doc_id AS BIGINT) AS doc_id FROM uni
+            UNION ALL
+            SELECT part, CAST(doc_id AS BIGINT) FROM strat
+            UNION ALL
+            SELECT part, CAST(doc_id AS BIGINT) FROM tb
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -2353,20 +2561,170 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents
         """,
-        "max_label_id": f"""
-            WITH per AS (
-              SELECT greatest(
-                       CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
-                            THEN {_L2I["U-EMAIL"]} ELSE 0 END,
-                       CASE WHEN regexp_matches(text, '{_PHONE_RE}')
-                            THEN {_L2I["U-PHONE"]} ELSE 0 END,
-                       CASE WHEN regexp_matches(text, '{_SSN_RE}')
-                            THEN {_L2I["U-SSN"]} ELSE 0 END) AS doc_max
-              FROM documents)
-            SELECT CAST(max(doc_max) AS BIGINT) AS max_label_id,
-                   CAST(sum(CASE WHEN doc_max > 0 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_docs_with_entity
-            FROM per
+        # one-call corpus quality report: per-doc twins of
+        # quality_exprs / toxicity_exprs / c4_exprs / gopher_line_exprs
+        # (same constants, interpolated from the single config source),
+        # then the same rounded aggregates as quality_report()
+        "quality_report": f"""
+            WITH m AS (
+              SELECT length(txt) AS n_chars_t,
+                     length(regexp_replace(txt, '\\s', '', 'g'))
+                         AS n_ns_raw,
+                     greatest(length(regexp_replace(txt, '\\s', '',
+                                                    'g')), 1) AS n_ns,
+                     len(list_filter(string_split_regex(txt, '\\s+'),
+                                     x -> x <> '')) AS n_words,
+                     length(regexp_replace(
+                         regexp_replace(txt, '\\s', '', 'g'),
+                         '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(
+                         regexp_replace(txt, '\\s', '', 'g'),
+                         '[^\\p{{Nd}}]', '', 'g')) AS n_digit,
+                     CASE WHEN len(list_filter(
+                              string_split_regex(txt, '\\s+'),
+                              x -> x <> '')) > 0
+                          THEN 1.0 - len(list_distinct(list_transform(
+                              list_filter(
+                                  string_split_regex(txt, '\\s+'),
+                                  x -> x <> ''),
+                              x -> lower(x)))) * 1.0
+                            / len(list_filter(
+                                  string_split_regex(txt, '\\s+'),
+                                  x -> x <> ''))
+                          ELSE 1.0 END AS rep,
+                     len(regexp_extract_all(lower(txt), '{_TOX_RE_W1}'))
+                   + 2 * len(regexp_extract_all(lower(txt),
+                                                '{_TOX_RE_W2}'))
+                         AS tox_hits,
+                     len(list_filter(
+                         list_transform(string_split(txt, chr(10)),
+                             ln -> regexp_replace(ln, '^\\s+|\\s+$',
+                                                  '', 'g')),
+                         s -> right(s, 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(
+                                   string_split_regex(s, '\\s+'),
+                                   w -> w <> '')) >= 5
+                           AND NOT (contains(lower(s), 'javascript')
+                                 OR contains(lower(s), 'cookie policy')
+                                 OR contains(lower(s), 'terms of use')
+                                 OR contains(lower(s),
+                                             'privacy policy'))))
+                         AS n_kept,
+                     NOT contains(lower(txt), 'lorem ipsum')
+                         AND NOT contains(txt, '{{') AS c4_doc_ok,
+                     list_filter(string_split(txt, chr(10)),
+                                 x -> regexp_matches(x, '\\S'))
+                         AS lines_f,
+                     list_filter(string_split(txt, chr(10) || chr(10)),
+                                 x -> regexp_matches(x, '\\S'))
+                         AS paras_f
+              FROM (SELECT coalesce(text, '') AS txt FROM documents)),
+            d AS (
+              SELECT n_chars_t, n_words, rep, tox_hits, n_kept,
+                     c4_doc_ok AND n_kept >= 3 AS c4_keep,
+                     CASE WHEN n_words > 0
+                          THEN n_ns_raw * 1.0 / n_words
+                          ELSE 0.0 END AS mean_wl,
+                     (n_ns - n_alpha - n_digit) * 1.0 / n_ns AS sym_r,
+                     n_digit * 1.0 / n_ns AS dig_r,
+                     n_alpha * 1.0 / n_ns AS alp_r,
+                     tox_hits * 1.0 / greatest(n_words, 1) AS tox_score,
+                     CASE WHEN len(lines_f) > 0
+                          THEN 1.0 - len(list_distinct(lines_f)) * 1.0
+                               / len(lines_f)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN len(paras_f) > 0
+                          THEN 1.0 - len(list_distinct(paras_f)) * 1.0
+                               / len(paras_f)
+                          ELSE 0.0 END AS dup_para_frac,
+                     coalesce(list_sum(list_transform(lines_f,
+                         x -> length(x))), 0) AS line_chars,
+                     coalesce(list_sum(list_transform(lines_f,
+                         x -> CASE WHEN len(list_filter(lines_f,
+                                       y -> y = x)) > 1
+                                   THEN length(x) ELSE 0 END)), 0)
+                         AS dup_line_chars,
+                     coalesce(list_sum(list_transform(paras_f,
+                         x -> length(x))), 0) AS para_chars,
+                     coalesce(list_sum(list_transform(paras_f,
+                         x -> CASE WHEN len(list_filter(paras_f,
+                                       y -> y = x)) > 1
+                                   THEN length(x) ELSE 0 END)), 0)
+                         AS dup_para_chars
+              FROM m)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars_t), 2) AS avg_chars,
+                   round(quantile_cont(n_chars_t, 0.5), 1) AS p50_chars,
+                   round(quantile_cont(n_chars_t, 0.9), 1) AS p90_chars,
+                   round(avg(n_words), 2) AS avg_words,
+                   round(avg(CASE WHEN
+                       n_words BETWEEN {_Q["min_words"]}
+                                   AND {_Q["max_words"]}
+                       AND mean_wl BETWEEN {_Q["min_mean_word_len"]}
+                                       AND {_Q["max_mean_word_len"]}
+                       AND sym_r <= {_Q["max_symbol_ratio"]}
+                       AND rep <= {_Q["max_rep_ratio"]}
+                       AND dig_r <= {_Q["max_digit_ratio"]}
+                       AND alp_r >= {_Q["min_alpha_ratio"]}
+                       THEN 1.0 ELSE 0.0 END), 4)
+                       AS heuristics_pass_rate,
+                   round(avg(CASE WHEN tox_score > {_TOX_MAX}
+                             THEN 1.0 ELSE 0.0 END), 4)
+                       AS toxicity_flag_rate,
+                   round(avg(rep), 4) AS avg_rep_ratio,
+                   round(avg(CASE WHEN c4_keep THEN 1.0 ELSE 0.0 END),
+                         4) AS c4_keep_rate,
+                   round(avg(n_kept), 2) AS avg_c4_kept_lines,
+                   round(avg(CASE WHEN dup_line_frac
+                                       > {_GT["dup_line_frac"]}
+                             THEN 1.0 ELSE 0.0 END), 4)
+                       AS dup_line_frac_flag_rate,
+                   round(avg(CASE WHEN dup_para_frac
+                                       > {_GT["dup_para_frac"]}
+                             THEN 1.0 ELSE 0.0 END), 4)
+                       AS dup_para_frac_flag_rate,
+                   round(avg(CASE WHEN (CASE WHEN line_chars > 0
+                                 THEN dup_line_chars * 1.0 / line_chars
+                                 ELSE 0.0 END)
+                                       > {_GT["dup_line_char_frac"]}
+                             THEN 1.0 ELSE 0.0 END), 4)
+                       AS dup_line_char_frac_flag_rate,
+                   round(avg(CASE WHEN (CASE WHEN para_chars > 0
+                                 THEN dup_para_chars * 1.0 / para_chars
+                                 ELSE 0.0 END)
+                                       > {_GT["dup_para_char_frac"]}
+                             THEN 1.0 ELSE 0.0 END), 4)
+                       AS dup_para_char_frac_flag_rate
+            FROM d
+        """,
+        # heavy-hitters bounds (exact in the capacity ≥ distinct
+        # regime → both bounds equal plain GROUP BY counts) + md5
+        # winnowing decontamination shared-fingerprint counts
+        "sketch_decontam": """
+            WITH grams AS (
+              SELECT doc_id, CAST(floor((i - 1) / 16) AS BIGINT) AS win,
+                     md5(substr(text, i, 8)) AS h
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(length(text) - 7, 1), 1)) AS i) t),
+            fps AS (
+              SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id, win, min(h) AS fp
+                FROM grams GROUP BY doc_id, win)),
+            bfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0),
+            shared AS (
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM fps c JOIN bfp ON c.fp = bfp.fp
+              GROUP BY c.doc_id),
+            src AS (SELECT source AS key, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source)
+            SELECT 'hh_lower' AS part, key, n FROM src
+            UNION ALL SELECT 'hh_upper', key, n FROM src
+            UNION ALL
+            SELECT CASE WHEN n >= 2 THEN 'decontam_contaminated'
+                        ELSE 'decontam_clean' END,
+                   CAST(doc_id AS VARCHAR), n
+            FROM shared
         """,
         "over_under_prediction": f"""
             WITH s AS (

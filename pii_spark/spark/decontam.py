@@ -24,10 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def doc_fingerprints(df: DataFrame) -> DataFrame:
+def doc_fingerprints(df: DataFrame, hash_fn=F.xxhash64) -> DataFrame:
     """(doc_id, text) → distinct (doc_id, fp) winnowing fingerprints
     (xxhash64 scale path; window-position-free so the same gram content
-    matches regardless of where it sits in the document)."""
+    matches regardless of where it sits in the document). ``hash_fn``
+    overrides the gram hash — the driver's oracle query passes F.md5 so
+    DuckDB can replicate; production keeps 8-byte xxhash64 longs."""
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)),
                    F.lit(1))
@@ -36,7 +38,7 @@ def doc_fingerprints(df: DataFrame) -> DataFrame:
     grams = df.select("doc_id", pos, "text").select(
         "doc_id",
         F.floor((F.col("i") - 1) / 16).cast("long").alias("win"),
-        F.xxhash64(gram).alias("h"),
+        hash_fn(gram).alias("h"),
     )
     return (
         grams.groupBy("doc_id", "win").agg(F.min("h").alias("fp"))
@@ -45,7 +47,8 @@ def doc_fingerprints(df: DataFrame) -> DataFrame:
 
 
 def decontaminate(
-    corpus: DataFrame, benchmark: DataFrame, min_shared: int = 2
+    corpus: DataFrame, benchmark: DataFrame, min_shared: int = 2,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """(doc_id, n_shared_fp, contaminated) per corpus doc that shares
     at least one fingerprint with the benchmark; ``contaminated`` when
@@ -58,8 +61,8 @@ def decontaminate(
     coincidental fingerprint (ADVICE r4):
     ``corpus.join(out.filter("contaminated"), "doc_id", "left_anti")``
     """
-    bench_fps = doc_fingerprints(benchmark).select("fp").distinct()
-    corpus_fps = doc_fingerprints(corpus)
+    bench_fps = doc_fingerprints(benchmark, hash_fn).select("fp").distinct()
+    corpus_fps = doc_fingerprints(corpus, hash_fn)
     return (
         corpus_fps.join(F.broadcast(bench_fps), "fp")
         .groupBy("doc_id")

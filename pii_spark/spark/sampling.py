@@ -35,10 +35,17 @@ def _key(id_col: str, seed: int):
 
 
 def uniform_sample_n(
-    df: DataFrame, n: int, id_col: str = "doc_id", seed: int = 42
+    df: DataFrame, n: int, id_col: str = "doc_id", seed: int = 42,
+    key_fn=None,
 ) -> DataFrame:
-    """Exact-size seeded uniform sample (hash-permutation prefix)."""
-    return df.orderBy(_key(id_col, seed), F.col(id_col)).limit(n)
+    """Exact-size seeded uniform sample (hash-permutation prefix).
+
+    ``key_fn(id_col, seed)`` overrides the permutation key — the
+    driver's oracle query passes an md5-string key so DuckDB can
+    replicate the draw byte-for-byte; production keeps the default
+    xxhash64 (8-byte longs, no digest strings shuffled)."""
+    key = (key_fn or _key)(id_col, seed)
+    return df.orderBy(key, F.col(id_col)).limit(n)
 
 
 def stratified_sample_n(
@@ -47,14 +54,16 @@ def stratified_sample_n(
     n_per_stratum: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    key_fn=None,
 ) -> DataFrame:
     """Exactly ``n_per_stratum`` rows from each stratum (fewer when a
-    stratum is smaller), uniformly within the stratum."""
+    stratum is smaller), uniformly within the stratum. ``key_fn`` as in
+    ``uniform_sample_n``."""
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy(stratum_col)
-        .orderBy(_key(id_col, seed), F.col(id_col))
+        .orderBy((key_fn or _key)(id_col, seed), F.col(id_col))
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -70,6 +79,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     bucket_bits: int = 12,
+    bucket_expr=None,
 ) -> DataFrame:
     """Seeded random draw of documents totalling ≈ ``budget_tokens``
     (within one bucket's resolution). Deterministic across layouts.
@@ -78,10 +88,18 @@ def token_budget_sample(
     aggregation of token sums per bucket (2^bits rows) → driver-side
     cumulative scan picks the cut bucket → the sample is one
     predicate-pushed filter ``bucket <= cut``. No global sort, no
-    window over the whole corpus."""
+    window over the whole corpus.
+
+    ``bucket_expr`` overrides the default xxhash64-derived bucket with
+    any integer column in [0, 2^bucket_bits) — the driver's oracle
+    query passes an md5-hex-derived bucket so DuckDB can replicate the
+    cut deterministically."""
     n_buckets = 1 << bucket_bits
     # unsigned-shift the 64-bit key into [0, 2^bits)
-    bucket = F.shiftrightunsigned(_key(id_col, seed), 64 - bucket_bits)
+    bucket = (
+        bucket_expr if bucket_expr is not None
+        else F.shiftrightunsigned(_key(id_col, seed), 64 - bucket_bits)
+    )
     per_bucket = (
         df.select(bucket.alias("_b"), F.col(token_col))
         .groupBy("_b")
