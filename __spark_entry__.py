@@ -869,23 +869,34 @@ def q_ann_recall(spark, sf_dir):
     already-oracle-checked top-10 formulations and intersects them, so
     the recall values themselves are hash-checked, not just row counts.
     k=10 is a fixed literal (every testdata embeddings table has well
-    over 10 vectors; the three top-k queries all emit exactly 10)."""
+    over 10 vectors; the three top-k queries all emit exactly 10).
+
+    The two approximate legs are unioned BEFORE the join against the
+    brute-force set (VERDICT r4 #6), so the exact-top-10 subplan appears
+    exactly once in the DAG instead of once per recall row — at scale the
+    brute-force scan is the expensive leg and must not re-execute. A
+    2-row method frame left-joined on top keeps the output shape fixed
+    even if a method ever scores zero hits."""
     bf = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
-    lsh = q_ann_lsh_bucket(spark, sf_dir).select("vec_id")
-    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
-
-    def rec(df, method):
-        return (
-            df.join(bf, "vec_id")
-            .agg(F.count("*").alias("c"))
-            .select(
-                F.lit(method).alias("method"),
-                F.col("c").cast("long").alias("n_hits"),
-                F.round(F.col("c") / 10.0, 4).alias("recall"),
-            )
+    approx = (
+        q_ann_lsh_bucket(spark, sf_dir)
+        .select("vec_id").withColumn("method", F.lit("lsh_bucket"))
+        .unionByName(
+            q_ann_ivf_topk(spark, sf_dir)
+            .select("vec_id").withColumn("method", F.lit("ivf"))
         )
-
-    return rec(lsh, "lsh_bucket").unionByName(rec(ivf, "ivf"))
+    )
+    hits = approx.join(bf, "vec_id").groupBy("method").agg(
+        F.count("*").alias("c")
+    )
+    methods = spark.createDataFrame(
+        [("lsh_bucket",), ("ivf",)], "method string"
+    )
+    return methods.join(hits, "method", "left").select(
+        "method",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("c"), F.lit(0)) / 10.0, 4).alias("recall"),
+    )
 
 
 def q_token_count(spark, sf_dir):
@@ -2671,6 +2682,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN tox_score > {_TOX_MAX}
                              THEN 1.0 ELSE 0.0 END), 4)
                        AS toxicity_flag_rate,
+                   round(avg(CASE WHEN
+                       n_words BETWEEN {_Q["min_words"]}
+                                   AND {_Q["max_words"]}
+                       AND mean_wl BETWEEN {_Q["min_mean_word_len"]}
+                                       AND {_Q["max_mean_word_len"]}
+                       AND sym_r <= {_Q["max_symbol_ratio"]}
+                       AND rep <= {_Q["max_rep_ratio"]}
+                       AND dig_r <= {_Q["max_digit_ratio"]}
+                       AND alp_r >= {_Q["min_alpha_ratio"]}
+                       AND NOT tox_score > {_TOX_MAX}
+                       THEN 1.0 ELSE 0.0 END), 4)
+                       AS rule_keep_rate,
                    round(avg(rep), 4) AS avg_rep_ratio,
                    round(avg(CASE WHEN c4_keep THEN 1.0 ELSE 0.0 END),
                          4) AS c4_keep_rate,

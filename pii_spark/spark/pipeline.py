@@ -233,15 +233,73 @@ def run_pipeline(
     corpus: DataFrame,
     partitions: int | None = None,
     with_doc_id: bool = False,
+    profile: str = "default",
 ) -> DataFrame:
     """corpus(url, warc_ts, html, text, lang[, doc_id]) → output rows
     (FIXTURES.md §5 schema). Only url/text are actually read — html is
-    pruned at the scan by Catalyst because no expression touches it."""
+    pruned at the scan by Catalyst because no expression touches it.
+
+    ``profile`` gates the keep chain (VERDICT r4 #2):
+
+    * ``"default"`` — langid → perplexity → heuristics → toxicity;
+      byte-stable, pinned by tests/test_pipeline_e2e.py.
+    * ``"strict"`` — adds the extended rule families as further
+      conjuncts with their own drop_reasons: the C4 §2.2 document
+      judgment (drop_reason ``c4``), the Gopher line/paragraph
+      repetition flags (``gopher_lines``, in-row codegen), and the
+      Gopher n-gram census flags (``gopher_ngrams`` — the relational
+      explode plan joined back on url, the one extra shuffle strict
+      buys; see quality/gopher.py's measured plan lesson). Output
+      schema is identical across profiles. C4 granularity caveat
+      applies (quality/c4_rules.py): single-line corpora fail the
+      ≥3-surviving-lines rule wholesale. urls are assumed unique (the
+      table key) — the census join aggregates per url to keep
+      cardinality regardless.
+    """
+    if profile not in ("default", "strict"):
+        raise ValueError(f"unknown profile {profile!r}")
     q = QUALITY
     cols = ["url", "text"] + (["doc_id"] if with_doc_id else [])
     df = corpus.select(*cols)
     df = salted_repartition(df, partitions)
     df = df.withColumns(quality_exprs())
+    if profile == "strict":
+        from ..quality.c4_rules import c4_exprs
+        from ..quality.gopher import (
+            THRESHOLDS,
+            gopher_dup_ngram_metrics,
+            gopher_line_exprs,
+            gopher_ngram_metrics,
+        )
+
+        gl = gopher_line_exprs(F.col("text"))
+        line_flag = None
+        for k in ("dup_line_frac", "dup_para_frac",
+                  "dup_line_char_frac", "dup_para_char_frac"):
+            c = gl[k] > THRESHOLDS[k]
+            line_flag = c if line_flag is None else (line_flag | c)
+        df = df.withColumn("_c4_ok", c4_exprs(F.col("text"))["keep"])
+        df = df.withColumn("_gl_flag", line_flag)
+        # n-gram census: relational by necessity (explode → count →
+        # window), computed from a 2-column scan of the source and
+        # joined back; flags reduced per url before the join so row
+        # cardinality is preserved by construction
+        census_src = corpus.select("url", "text")
+        ng = gopher_ngram_metrics(census_src, id_col="url").join(
+            gopher_dup_ngram_metrics(census_src, id_col="url"), "url"
+        )
+        ng_flag = None
+        for k, v in THRESHOLDS.items():
+            if "gram" not in k:
+                continue
+            c = F.col(k) > v
+            ng_flag = c if ng_flag is None else (ng_flag | c)
+        ng = ng.groupBy("url").agg(
+            F.max(ng_flag.cast("boolean")).alias("_ng_flag")
+        )
+        df = df.join(ng, "url", "left").withColumn(
+            "_ng_flag", F.coalesce(F.col("_ng_flag"), F.lit(False))
+        )
     enriched = enrich_udf()(F.col("text"))
     df = df.withColumn("e", enriched)
     df = df.withColumn("q", F.struct(
@@ -258,13 +316,23 @@ def run_pipeline(
     ppl_ok = F.col("q.ppl") <= F.lit(q["max_ppl"])
     tox_ok = F.col("tox_score") <= F.lit(q["max_tox_score"])
     keep = lang_ok & ppl_ok & heur_ok & tox_ok
-    drop_reason = (
+    reason = (
         F.when(~lang_ok, F.lit("langid"))
         .when(~ppl_ok, F.lit("perplexity"))
         .when(~heur_ok, F.lit("heuristics"))
         .when(~tox_ok, F.lit("toxicity"))
-        .otherwise(F.lit(None).cast("string"))
     )
+    if profile == "strict":
+        c4_ok = F.col("_c4_ok")
+        gl_ok = ~F.col("_gl_flag")
+        ng_ok = ~F.col("_ng_flag")
+        keep = keep & c4_ok & gl_ok & ng_ok
+        reason = (
+            reason.when(~c4_ok, F.lit("c4"))
+            .when(~gl_ok, F.lit("gopher_lines"))
+            .when(~ng_ok, F.lit("gopher_ngrams"))
+        )
+    drop_reason = reason.otherwise(F.lit(None).cast("string"))
 
     out_cols = [
         F.col("url"),

@@ -57,6 +57,11 @@ def quality_report(
         F.round(F.avg("n_words"), 2).alias("avg_words"),
         rate(heur_ok).alias("heuristics_pass_rate"),
         rate(tox_flag).alias("toxicity_flag_rate"),
+        # the composed rule-family keep decision (heuristics AND not
+        # toxic) — matches run_pipeline's keep on any corpus where
+        # langid+perplexity pass, the consistency gate
+        # tests/test_strict_profile.py pins (VERDICT r4 #4)
+        rate(heur_ok & ~tox_flag).alias("rule_keep_rate"),
         F.round(F.avg("rep_ratio"), 4).alias("avg_rep_ratio"),
         rate(c4["keep"]).alias("c4_keep_rate"),
         F.round(F.avg(c4["n_kept_lines"]), 2).alias("avg_c4_kept_lines"),
