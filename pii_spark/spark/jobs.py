@@ -237,16 +237,34 @@ def run_quality_job(
         def group_files(g: int) -> list[str]:
             return [f"_staging/grp={g}"]
 
+    import re
+
     processed = 0
     for g in pending:
         t0 = time.time()
         part = group_df(g)
-        result = run_pipeline(part, partitions=partitions).withColumn(
-            "_pid", F.spark_partition_id()
+        result = run_pipeline(part, partitions=partitions)
+        # Commit FIRST, then derive the audit stats from the committed
+        # snapshot's own data files (VERDICT r4 #3). The old shape
+        # cached the full pipeline output to stamp spark_partition_id()
+        # before the write — at 100 TB / G=8 that is ~12 TB per group
+        # through MEMORY_AND_DISK for the sake of three aggregates. Now
+        # the pipeline executes exactly once (the write), and the stats
+        # come from a columnar re-read of keep+spans over ONLY the dir
+        # this append added — the same shape the backfill path already
+        # uses. partition_id is recovered from the parquet task index
+        # in each file name (part-NNNNN-…): one write task per pipeline
+        # partition, so the lineage granularity is unchanged; empty
+        # partitions never wrote a file and were absent before too.
+        snap = out.append(
+            result,
+            summary={"group": g, "run_id": run_id, **extra_summary},
         )
-        result = result.cache()
+        new_dir = snap.data_dirs[-1]  # append commits exactly one dir
         stats = (
-            result.groupBy("_pid")
+            out._read_dirs(spark, snap, [new_dir])
+            .select(F.input_file_name().alias("_f"), "keep", "spans")
+            .groupBy("_f")
             .agg(
                 F.count("*").alias("docs_in"),
                 F.sum(F.col("keep").cast("long")).alias("docs_kept"),
@@ -254,16 +272,17 @@ def run_quality_job(
             )
             .collect()
         )
-        snap = out.append(
-            result.drop("_pid"),
-            summary={"group": g, "run_id": run_id, **extra_summary},
-        )
+
+        def _pid(fname: str) -> int:
+            m = re.search(r"part-(\d+)", fname.rsplit("/", 1)[-1])
+            return int(m.group(1)) if m else -1
+
         wall_ms = int((time.time() - t0) * 1000)
         audit_rows = [
             {
                 "run_id": run_id,
                 "snapshot_id": snap.snapshot_id,
-                "partition_id": int(r["_pid"]),
+                "partition_id": _pid(r["_f"]),
                 "input_files": [f"group={g}", *group_files(g)],
                 "docs_in": int(r["docs_in"]),
                 "docs_kept": int(r["docs_kept"] or 0),
@@ -288,7 +307,6 @@ def run_quality_job(
             schema=AUDIT,
         ).withColumn("committed_at", F.current_timestamp())
         audit.append(adf, summary={"group": g, "run_id": run_id})
-        result.unpersist()
         processed += 1
         if fail_after_groups is not None and processed >= fail_after_groups:
             raise RuntimeError(
