@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--profile", choices=["default", "strict"],
+                    default="default",
+                    help="keep chain: default (langid/ppl/heuristics/"
+                         "toxicity) or strict (adds C4 + full Gopher)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
@@ -45,7 +49,7 @@ def main() -> None:
 
             table = run_streaming_job(
                 spark, args.input, args.output, args.checkpoint,
-                partitions=args.partitions,
+                partitions=args.partitions, profile=args.profile,
             )
         else:
             from pii_spark.spark.jobs import run_quality_job
@@ -57,6 +61,7 @@ def main() -> None:
                 groups=args.groups, run_id=args.run_id,
                 partitions=args.partitions,
                 compact_every=args.compact_every,
+                profile=args.profile,
             )
         n = table.read(spark).count()
         print(f"committed snapshot v{table.current_version()} ({n} rows)")

@@ -141,13 +141,15 @@ def run_quality_job(
     partitions: int | None = None,
     fail_after_groups: int | None = None,
     compact_every: int | None = None,
+    profile: str = "default",
 ) -> IceliteTable:
     """Run the quality+scrub pipeline over ``corpus`` with checkpointed
     group commits. ``corpus`` is a DataFrame (staged into grp
     partitions first) or a parquet directory path (files dealt
     round-robin into groups — zero staging cost). ``fail_after_groups``
     injects a crash for the resume test; ``compact_every=N`` compacts
-    the output table after every N group commits."""
+    the output table after every N group commits. ``profile`` selects
+    the keep chain (run_pipeline's default/strict)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
@@ -155,8 +157,36 @@ def run_quality_job(
     _backfill_missing_audit(spark, out, audit, done, run_id)
 
     pending = [g for g in range(groups) if g not in done]
+    if done:
+        # a resume must run the SAME keep chain the committed groups
+        # ran — mixing profiles across groups would make keep/drop
+        # depend on crash timing (the same silent-drift class as a
+        # changed file listing). Snapshots predating the field ran the
+        # only profile that existed then: default.
+        committed_profiles = {
+            s.summary.get("profile", "default")
+            for s in out.snapshots()
+            if "group" in s.summary
+        }
+        committed_profiles.update(
+            out._ledger_carry().get("profile", []) or []
+        )
+        if not committed_profiles:
+            # every group snapshot expired and the ledger carry predates
+            # profile tracking: those groups ran the only profile that
+            # existed then — never leave the check vacuous
+            committed_profiles = {"default"}
+        stale_profiles = committed_profiles - {profile}
+        if stale_profiles:
+            raise RuntimeError(
+                f"table {out_dir} has groups committed under profile(s) "
+                f"{sorted(stale_profiles)} but this run requests "
+                f"{profile!r} — resuming would mix keep semantics "
+                "across groups; reprocess into a fresh table or resume "
+                "with the original profile"
+            )
     staging: str | None = None
-    extra_summary: dict = {}
+    extra_summary: dict = {"profile": profile}
     if isinstance(corpus, str):
         files = sorted(
             str(p) for p in Path(corpus).rglob("*.parquet")
@@ -176,7 +206,7 @@ def run_quality_job(
             ("\n".join(Path(f).name for f in files) + f":{groups}")
             .encode()
         ).hexdigest()[:16]
-        extra_summary = {"files_fp": files_fp}
+        extra_summary["files_fp"] = files_fp
         if done:
             recorded = {
                 s.summary["files_fp"]
@@ -243,7 +273,8 @@ def run_quality_job(
     for g in pending:
         t0 = time.time()
         part = group_df(g)
-        result = run_pipeline(part, partitions=partitions)
+        result = run_pipeline(part, partitions=partitions,
+                              profile=profile)
         # Commit FIRST, then derive the audit stats from the committed
         # snapshot's own data files (VERDICT r4 #3). The old shape
         # cached the full pipeline output to stamp spark_partition_id()

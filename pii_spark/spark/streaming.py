@@ -30,8 +30,13 @@ def run_streaming_job(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     partitions: int | None = None,
+    profile: str = "default",
 ) -> IceliteTable:
-    """Process all currently-available corpus files exactly once."""
+    """Process all currently-available corpus files exactly once.
+    ``profile`` selects run_pipeline's keep chain; like the batch job,
+    it is recorded per batch summary so a restart under a different
+    profile is detectable (every batch of one checkpoint must run the
+    same chain)."""
     out = IceliteTable(out_dir)
 
     reader = (
@@ -66,6 +71,27 @@ def run_streaming_job(
     # legacy ints there would silently DROP it (review r4: the same
     # cross-stream collision the namespacing fix exists to prevent).
     ck_is_resume = (_P(checkpoint_dir) / "offsets").exists()
+    if ck_is_resume:
+        # a restarted stream must run the same keep chain its committed
+        # batches ran (mirror of the batch job's profile guard): check
+        # this checkpoint's batches — namespaced keys, plus legacy
+        # bare-int keys which only a resumed checkpoint may own
+        prev = {
+            s.summary.get("profile", "default")
+            for s in out.snapshots()
+            if "stream_batch" in s.summary
+            and (str(s.summary["stream_batch"]).startswith(f"{ck_ns}:")
+                 or isinstance(s.summary["stream_batch"], int))
+        }
+        stale = prev - {profile}
+        if stale:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} has batches committed "
+                f"under profile(s) {sorted(stale)} but this restart "
+                f"requests {profile!r} — keep semantics would differ "
+                "across batches; use the original profile or a fresh "
+                "checkpoint + table"
+            )
 
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
@@ -76,8 +102,10 @@ def run_streaming_job(
         key = f"{ck_ns}:{int(batch_id)}"
         if key in done or (ck_is_resume and int(batch_id) in done):
             return
-        result = run_pipeline(batch_df, partitions=partitions)
-        out.append(result, summary={"stream_batch": key})
+        result = run_pipeline(batch_df, partitions=partitions,
+                              profile=profile)
+        out.append(result, summary={"stream_batch": key,
+                                    "profile": profile})
         done.add(key)
 
     q = (

@@ -114,6 +114,43 @@ def test_strict_census_on_generated_corpus(spark):
     assert all(s[u].drop_reason == "c4" for u in kept_default)
 
 
+def test_resume_refuses_profile_mismatch(spark, tmp_path):
+    """A table whose groups were committed under one profile must not
+    be resumed under another — keep/drop would depend on crash timing.
+    Pre-profile-tracking snapshots count as default."""
+    from pii_spark.spark.jobs import run_quality_job
+
+    corpus = generate_corpus(spark, 30).cache()
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_quality_job(spark, corpus, str(tmp_path / "o"),
+                        str(tmp_path / "a"), groups=3,
+                        fail_after_groups=1, profile="strict")
+    with pytest.raises(RuntimeError, match="profile"):
+        run_quality_job(spark, corpus, str(tmp_path / "o"),
+                        str(tmp_path / "a"), groups=3)
+    # same profile resumes fine and completes
+    out = run_quality_job(spark, corpus, str(tmp_path / "o"),
+                          str(tmp_path / "a"), groups=3,
+                          profile="strict")
+    assert out.read(spark).count() == 30
+
+
+def test_streaming_restart_refuses_profile_mismatch(spark, tmp_path):
+    from pii_spark.spark.streaming import run_streaming_job
+
+    src = str(tmp_path / "src")
+    generate_corpus(spark, 20).write.parquet(src)
+    ck = str(tmp_path / "ck")
+    run_streaming_job(spark, src, str(tmp_path / "o"), ck,
+                      profile="strict")
+    with pytest.raises(RuntimeError, match="profile"):
+        run_streaming_job(spark, src, str(tmp_path / "o"), ck)
+    # same profile restarts cleanly (no new files → no new batches)
+    out = run_streaming_job(spark, src, str(tmp_path / "o"), ck,
+                            profile="strict")
+    assert out.read(spark).count() == 20
+
+
 def test_report_keep_rate_matches_pipeline(spark):
     """VERDICT r4 #4: the report's composed rule_keep_rate equals the
     pipeline's actual keep fraction on a corpus where langid+perplexity
