@@ -158,30 +158,80 @@ def q_hash_split(spark, sf_dir):  # X1/X2: shuffle-free deterministic split
     )
 
 
-def q_dedup_exact(spark, sf_dir):  # W4 exact content dedup
-    return (
+def q_dedup_exact(spark, sf_dir):
+    """W4 exact + fingerprint dedup, bundled (round-5 consolidation,
+    same pattern as reference_sanity): per-source exact-hash dup counts
+    and the normalized-fingerprint multiplicity histogram as aligned
+    (probe, key, n, metric) rows — both components stay fully
+    hash-checked while using one registry slot, freeing a slot for
+    substring_dedup."""
+    exact = (
         _docs(spark, sf_dir)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
         )
-        .withColumn("n_dups", (F.col("n_docs") - F.col("n_distinct")).cast("long"))
+        .select(
+            F.lit("exact").alias("probe"),
+            F.col("source").alias("key"),
+            F.col("n_docs").cast("long").alias("n"),
+            (F.col("n_docs") - F.col("n_distinct")).cast("long")
+            .alias("metric"),
+        )
     )
-
-
-def q_dedup_fingerprint(spark, sf_dir):  # document fingerprinting
     fp = F.substring(
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 16
     )
-    return (
+    finger = (
         _docs(spark, sf_dir)
         .select(fp.alias("fp"))
         .groupBy("fp")
-        .agg(F.count("*").alias("n"))
-        .groupBy("n")
+        .agg(F.count("*").alias("m"))
+        .groupBy("m")
         .agg(F.count("*").alias("n_fingerprints"))
+        .select(
+            F.lit("fingerprint").alias("probe"),
+            F.col("m").cast("string").alias("key"),
+            F.col("n_fingerprints").cast("long").alias("n"),
+            F.lit(0).cast("long").alias("metric"),
+        )
     )
+    return exact.unionByName(finger)
+
+
+_SUBSTR_K = 8  # tokens; the check-scale stand-in for the paper's ~50
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Corpus-level duplicate-substring removal (SURVEY R64, Lee et al.
+    2022 semantics — see pii_spark/spark/substr_dedup.py for the
+    duplicated-k-gram-cover identity that replaces the suffix array).
+    hashed=False here so DuckDB replicates the census byte-for-byte;
+    the xxhash64 production census is pinned identical by
+    tests/test_substr_dedup.py. Returns only docs that LOST tokens
+    plus the corpus totals row — the full cleaned-text column for
+    every doc would dominate the hash check with untouched bytes."""
+    from pii_spark.spark.substr_dedup import substring_dedup
+
+    out = substring_dedup(
+        _docs(spark, sf_dir), k=_SUBSTR_K, hashed=False
+    )
+    touched = out.filter(F.col("n_removed_tokens") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_tokens", "n_removed_tokens", "frac_removed",
+    )
+    totals = out.agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("corpus").alias("cleaned_md5"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+        F.round(
+            F.sum("n_removed_tokens") / F.sum("n_tokens"), 4
+        ).alias("frac_removed"),
+    )
+    return touched.unionByName(totals)
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -1809,7 +1859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # near-trivial aggregates (label_map, union_cohorts,
     # deterministic_limit, max_label_id — each still fully
     # hash-checked inside the bundle), freeing slots for the r4
-    # families (sampling, quality_report, sketch_decontam).
+    # families (sampling, quality_report, sketch_decontam); round 5
+    # folds dedup_fingerprint into dedup_exact, freeing the slot for
+    # substring_dedup.
     # tests/test_driver_contract.py pins len(queries()) <= 50.
     return {
         "lang_filter": q_lang_filter,
@@ -1819,7 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "synth_corpus": q_synth_corpus,
         "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
+        "substring_dedup": q_substring_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1985,18 +2037,84 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY 1
         """,
         "dedup_exact": """
-            SELECT source, count(*) AS n_docs,
-                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
-            FROM documents GROUP BY source
-        """,
-        "dedup_fingerprint": """
-            WITH fp AS (
+            WITH exact AS (
+              SELECT 'exact' AS probe, source AS key,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                         AS metric
+              FROM documents GROUP BY source),
+            fp AS (
               SELECT substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                             1, 16) AS fp
               FROM documents),
-            c AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
-            SELECT n, count(*) AS n_fingerprints FROM c GROUP BY n
+            c AS (SELECT fp, count(*) AS m FROM fp GROUP BY fp),
+            finger AS (
+              SELECT 'fingerprint' AS probe, CAST(m AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(0 AS BIGINT) AS metric
+              FROM c GROUP BY m)
+            SELECT * FROM exact UNION ALL SELECT * FROM finger
+        """,
+        "substring_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(text,
+                                             '[ \\t\\n\\x0b\\f\\r]+'),
+                       w -> w <> '') AS tk
+              FROM documents),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(range(0, greatest(len(tk) - {_SUBSTR_K} + 1,
+                                              0))) AS s,
+                     tk
+              FROM toks),
+            g3 AS (
+              SELECT doc_id, s,
+                     array_to_string(tk[s + 1 : s + {_SUBSTR_K}], ' ') AS g
+              FROM g2),
+            dup AS (SELECT g FROM g3 GROUP BY g HAVING count(*) > 1),
+            cov AS (
+              SELECT DISTINCT doc_id,
+                     unnest(range(s, s + {_SUBSTR_K})) AS pos
+              FROM g3 WHERE g IN (SELECT g FROM dup)),
+            tok_rows AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     unnest(range(0, len(tk))) AS pos
+              FROM toks),
+            kept AS (
+              SELECT t.doc_id, t.tok, t.pos
+              FROM tok_rows t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.pos = c.pos
+              WHERE c.pos IS NULL),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            per_doc AS (
+              SELECT b.doc_id,
+                     coalesce(a.cleaned_text, '') AS cleaned_text,
+                     CAST(len(b.tk) AS BIGINT) AS n_tokens,
+                     CAST(len(b.tk) - coalesce(a.n_kept, 0) AS BIGINT)
+                         AS n_removed_tokens
+              FROM toks b LEFT JOIN agg a ON b.doc_id = a.doc_id),
+            touched AS (
+              SELECT doc_id, md5(cleaned_text) AS cleaned_md5, n_tokens,
+                     n_removed_tokens,
+                     round(n_removed_tokens /
+                           greatest(n_tokens, 1), 4) AS frac_removed
+              FROM per_doc WHERE n_removed_tokens > 0),
+            totals AS (
+              SELECT CAST(-1 AS BIGINT) AS doc_id,
+                     'corpus' AS cleaned_md5,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(sum(n_removed_tokens) AS BIGINT)
+                         AS n_removed_tokens,
+                     round(sum(n_removed_tokens) / sum(n_tokens), 4)
+                         AS frac_removed
+              FROM per_doc)
+            SELECT * FROM touched UNION ALL SELECT * FROM totals
         """,
         "dedup_minhash": """
             WITH sh AS (
