@@ -28,9 +28,19 @@ Scale notes: ``hashed=True`` (the production path) runs the census on
 ``xxhash64`` of the gram instead of the gram string — the dominant
 shuffle carries 8-byte longs instead of ~50-token strings. Check-scale
 callers keep ``hashed=False`` so DuckDB can replicate byte-for-byte.
-The census is the same shape as the MinHash shingle census
-(``__spark_entry__.py q_dedup_minhash``) and inherits its skew
-behavior: gram keys are near-unique, so no salting is needed.
+
+Plan audit (read, not guessed): the gram explode executes exactly
+TWICE — once under the census aggregate, once as the probe side of
+the coverage join — and is never cached (a TB-scale intermediate has
+no business in executor storage). The single-execution alternative, a
+``count() over (partition by g)`` window, was rejected: a window
+cannot partial-aggregate, so one viral boilerplate gram ("click here
+to subscribe …" at 10^8 occurrences) colocates all its rows on one
+reducer, while the groupBy census map-side-combines it to one row per
+partition. The remaining scans (token rows, per-doc sizes, final
+join) are cheap two-column columnar reads. The coverage join shuffles
+by gram; ``hashed=True`` makes that the 8-byte shuffle. Reassembly
+shuffles by (doc, pos) then by doc — both key-local, skew-free.
 
 Reference analogue: none — the reference repo deduplicates nothing;
 this is a §2.9-class LLM-pipeline addition (SURVEY R64).

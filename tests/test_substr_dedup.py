@@ -75,8 +75,14 @@ def test_fully_duplicated_doc_empties(spark):
 
 
 _VOCAB = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
+# whitespace soup between words: the ASCII class Java \s matches plus
+# NBSP (which it does NOT) — the twin-drift surface (textnorm.py)
+_SEP = st.sampled_from([" ", "  ", "\t", "\n", "\r\n", "\x0b", "\f",
+                        " \xa0 "])
 _CORPORA = st.lists(
-    st.lists(_VOCAB, min_size=0, max_size=25).map(" ".join),
+    st.tuples(
+        st.lists(_VOCAB, min_size=0, max_size=25), _SEP
+    ).map(lambda t: t[1].join(t[0])),
     min_size=1, max_size=8,
 )
 
