@@ -1767,11 +1767,13 @@ _SAMPLE_BUDGET = 30_000  # chars; ~20% of sf0.01, scale-independent rule
 def q_sampling(spark, sf_dir):
     """Deterministic sampling operators (pii_spark/spark/sampling.py)
     oracle-checked end to end: uniform prefix draw (40 docs),
-    stratified per-lang draw (10/stratum), and the bucketed
-    token-budget draw (~30k chars on n_chars), unioned as
-    (part, doc_id) membership rows — the oracle checks the exact
-    sampled SETS, not just sizes."""
+    stratified per-lang draw (10/stratum), the bucketed token-budget
+    draw (~30k chars on n_chars), and CCNet head/middle/tail
+    bucketing (R65), unioned as (part, doc_id) membership rows — the
+    oracle checks the exact sampled SETS and bucket assignments, not
+    just sizes."""
     from pii_spark.spark.sampling import (
+        ccnet_buckets,
         stratified_sample_n,
         token_budget_sample,
         uniform_sample_n,
@@ -1803,7 +1805,18 @@ def q_sampling(spark, sf_dir):
         F.lit("token_budget").alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"),
     )
-    return uni.unionByName(strat).unionByName(tb)
+    # CCNet head/middle/tail bucketing (R65): per-lang ntile over a
+    # score column. n_chars stands in for the LM perplexity so DuckDB
+    # replicates the bucketing LOGIC exactly (same swap pattern as the
+    # md5 permutation key); production scores with quality/perplexity
+    ccn = ccnet_buckets(d, "n_chars").select(
+        F.concat(
+            F.lit("ccnet_"), F.col("lang"), F.lit("_"),
+            F.col("ccnet_bucket"),
+        ).alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return uni.unionByName(strat).unionByName(tb).unionByName(ccn)
 
 
 def q_quality_report(spark, sf_dir):
@@ -2512,11 +2525,22 @@ def oracle_sql() -> dict[str, str]:
             tb AS (
               SELECT 'token_budget' AS part, doc_id
               FROM b, cut WHERE bkt <= c)
+            , ccn AS (
+              SELECT 'ccnet_' || lang || '_' ||
+                     CASE ntile(3) OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id)
+                          WHEN 1 THEN 'head'
+                          WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS part,
+                     doc_id
+              FROM k)
             SELECT part, CAST(doc_id AS BIGINT) AS doc_id FROM uni
             UNION ALL
             SELECT part, CAST(doc_id AS BIGINT) FROM strat
             UNION ALL
             SELECT part, CAST(doc_id AS BIGINT) FROM tb
+            UNION ALL
+            SELECT part, CAST(doc_id AS BIGINT) FROM ccn
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

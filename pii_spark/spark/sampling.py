@@ -119,3 +119,46 @@ def token_budget_sample(
         if running >= budget_tokens:
             break
     return df.filter(bucket <= F.lit(cut))
+
+
+_CCNET_NAMES = {3: ("head", "middle", "tail")}
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.3): within each language, rank documents by an
+    LM perplexity score and split into equal-size buckets — head
+    (lowest perplexity, best), middle, tail. CCNet trains on head or
+    head+middle depending on the target; the bucket label is the
+    routing key.
+
+    Rank-based on purpose: ntile needs no percentile-interpolation
+    semantics to agree across engines (the paper also cuts at fixed
+    FRACTIONS of the per-language distribution, which is exactly what
+    equal-size rank buckets are), and the id tie-break makes the split
+    deterministic under score ties and any partitioning. ONE window
+    per stratum — the same single-shuffle shape as
+    ``stratified_sample_n``; nothing global.
+
+    Adds a ``ccnet_bucket`` string column ("head"/"middle"/"tail" for
+    the canonical 3, else "b1".."bN")."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col), F.col(id_col)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    names = _CCNET_NAMES.get(n_buckets)
+    if names:
+        label = F.element_at(
+            F.array(*[F.lit(x) for x in names]), tile
+        )
+    else:
+        label = F.concat(F.lit("b"), tile.cast("string"))
+    return df.withColumn("ccnet_bucket", label)

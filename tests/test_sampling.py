@@ -5,6 +5,7 @@ uniformity sanity, and token-budget resolution."""
 from pyspark.sql import functions as F
 
 from pii_spark.spark.sampling import (
+    ccnet_buckets,
     stratified_sample_n,
     token_budget_sample,
     uniform_sample_n,
@@ -92,3 +93,63 @@ def test_token_budget_survives_null_tokens(spark):
     s = token_budget_sample(d, 500, "n_tokens")
     got = s.agg(F2.sum("n_tokens")).collect()[0][0]
     assert got is not None and abs(got - 500) <= 200
+
+
+def test_ccnet_buckets_balanced_ordered_stable(spark):
+    """CCNet head/middle/tail (R65): per-lang buckets are equal-size
+    (±1), score-ordered (head ≤ middle ≤ tail boundary-wise), and
+    layout-independent."""
+    d = _docs(spark)
+    out = ccnet_buckets(d, "n_chars").cache()
+    rows = out.select("lang", "doc_id", "n_chars", "ccnet_bucket").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(
+            r.ccnet_bucket, []
+        ).append(r)
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in
+                 ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if all(sizes):
+            assert max(x.n_chars for x in buckets["head"]) <= min(
+                x.n_chars for x in buckets["middle"]
+            ), lang
+            assert max(x.n_chars for x in buckets["middle"]) <= min(
+                x.n_chars for x in buckets["tail"]
+            ), lang
+    # layout independence: identical assignment after a reshuffle
+    again = {
+        (r.doc_id): r.ccnet_bucket
+        for r in ccnet_buckets(d.repartition(13), "n_chars")
+        .select("doc_id", "ccnet_bucket").collect()
+    }
+    assert {r.doc_id: r.ccnet_bucket for r in rows} == again
+    out.unpersist()
+
+
+def test_ccnet_buckets_real_perplexity_path(spark):
+    """The production wiring: score with the char-trigram LM (the
+    offline KenLM stand-in), bucket per lang — head must have lower
+    mean perplexity than tail."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark.quality.perplexity import perplexity_batch
+
+    @pandas_udf("double")
+    def ppl(texts: pd.Series) -> pd.Series:
+        return pd.Series(perplexity_batch(texts.fillna("").tolist()))
+
+    d = _docs(spark).withColumn("ppl", ppl("text"))
+    out = ccnet_buckets(d, "ppl", stratum_col="lang")
+    stats = {
+        (r.lang, r.ccnet_bucket): r.m
+        for r in out.groupBy("lang", "ccnet_bucket")
+        .agg(F.avg("ppl").alias("m")).collect()
+    }
+    langs = {k[0] for k in stats}
+    assert langs
+    for lang in langs:
+        if (lang, "head") in stats and (lang, "tail") in stats:
+            assert stats[(lang, "head")] < stats[(lang, "tail")], lang
