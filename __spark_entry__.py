@@ -2057,7 +2057,7 @@ def oracle_sql() -> dict[str, str]:
                          AS metric
               FROM documents GROUP BY source),
             fp AS (
-              SELECT substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+              SELECT substr(md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
                             1, 16) AS fp
               FROM documents),
             c AS (SELECT fp, count(*) AS m FROM fp GROUP BY fp),
@@ -2318,11 +2318,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             WITH s AS (
               SELECT lang,
-                     len(list_filter(string_split_regex(text, '\\s+'),
+                     len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                      x -> x <> '')) AS ws,
                      len(regexp_extract_all(text,
                          '{_BPE_RE.replace("'", "''")}'))
-                   - len(regexp_extract_all(text, '\\s+')) AS ntok
+                   - len(regexp_extract_all(text, '[ \\t\\n\\x0b\\f\\r]+')) AS ntok
               FROM documents)
             SELECT lang,
                    CAST(sum(ws) AS BIGINT) AS sum_tokens,
@@ -2342,18 +2342,18 @@ def oracle_sql() -> dict[str, str]:
         "quality_heuristics": f"""
             WITH s AS (
               SELECT lang,
-                     greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)
+                     greatest(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')), 1)
                          AS n_ns,
-                     len(list_filter(string_split_regex(text, '\\s+'),
+                     len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                      x -> x <> '')) AS n_words,
                      length(regexp_replace(
-                         regexp_replace(text, '\\s', '', 'g'),
+                         regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g'),
                          '[^\\p{{L}}]', '', 'g')) AS n_alpha,
                      1.0 - len(list_distinct(list_transform(
-                         list_filter(string_split_regex(text, '\\s+'),
+                         list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                      x -> x <> ''), x -> lower(x))))
                          * 1.0 / len(list_filter(
-                             string_split_regex(text, '\\s+'),
+                             string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                              x -> x <> '')) AS rep,
                      len(regexp_extract_all(lower(text), '{_TOX_RE_W1}'))
                    + 2 * len(regexp_extract_all(lower(text), '{_TOX_RE_W2}'))
@@ -2721,28 +2721,28 @@ def oracle_sql() -> dict[str, str]:
         "quality_report": f"""
             WITH m AS (
               SELECT length(txt) AS n_chars_t,
-                     length(regexp_replace(txt, '\\s', '', 'g'))
+                     length(regexp_replace(txt, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))
                          AS n_ns_raw,
-                     greatest(length(regexp_replace(txt, '\\s', '',
+                     greatest(length(regexp_replace(txt, '[ \\t\\n\\x0b\\f\\r]', '',
                                                     'g')), 1) AS n_ns,
-                     len(list_filter(string_split_regex(txt, '\\s+'),
+                     len(list_filter(string_split_regex(txt, '[ \\t\\n\\x0b\\f\\r]+'),
                                      x -> x <> '')) AS n_words,
                      length(regexp_replace(
-                         regexp_replace(txt, '\\s', '', 'g'),
+                         regexp_replace(txt, '[ \\t\\n\\x0b\\f\\r]', '', 'g'),
                          '[^\\p{{L}}]', '', 'g')) AS n_alpha,
                      length(regexp_replace(
-                         regexp_replace(txt, '\\s', '', 'g'),
+                         regexp_replace(txt, '[ \\t\\n\\x0b\\f\\r]', '', 'g'),
                          '[^\\p{{Nd}}]', '', 'g')) AS n_digit,
                      CASE WHEN len(list_filter(
-                              string_split_regex(txt, '\\s+'),
+                              string_split_regex(txt, '[ \\t\\n\\x0b\\f\\r]+'),
                               x -> x <> '')) > 0
                           THEN 1.0 - len(list_distinct(list_transform(
                               list_filter(
-                                  string_split_regex(txt, '\\s+'),
+                                  string_split_regex(txt, '[ \\t\\n\\x0b\\f\\r]+'),
                                   x -> x <> ''),
                               x -> lower(x)))) * 1.0
                             / len(list_filter(
-                                  string_split_regex(txt, '\\s+'),
+                                  string_split_regex(txt, '[ \\t\\n\\x0b\\f\\r]+'),
                                   x -> x <> ''))
                           ELSE 1.0 END AS rep,
                      len(regexp_extract_all(lower(txt), '{_TOX_RE_W1}'))
@@ -2751,11 +2751,11 @@ def oracle_sql() -> dict[str, str]:
                          AS tox_hits,
                      len(list_filter(
                          list_transform(string_split(txt, chr(10)),
-                             ln -> regexp_replace(ln, '^\\s+|\\s+$',
+                             ln -> regexp_replace(ln, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$',
                                                   '', 'g')),
                          s -> right(s, 1) IN ('.', '!', '?', '"')
                            AND len(list_filter(
-                                   string_split_regex(s, '\\s+'),
+                                   string_split_regex(s, '[ \\t\\n\\x0b\\f\\r]+'),
                                    w -> w <> '')) >= 5
                            AND NOT (contains(lower(s), 'javascript')
                                  OR contains(lower(s), 'cookie policy')
@@ -2766,10 +2766,10 @@ def oracle_sql() -> dict[str, str]:
                      NOT contains(lower(txt), 'lorem ipsum')
                          AND NOT contains(txt, '{{') AS c4_doc_ok,
                      list_filter(string_split(txt, chr(10)),
-                                 x -> regexp_matches(x, '\\S'))
+                                 x -> regexp_matches(x, '[^ \\t\\n\\x0b\\f\\r]'))
                          AS lines_f,
                      list_filter(string_split(txt, chr(10) || chr(10)),
-                                 x -> regexp_matches(x, '\\S'))
+                                 x -> regexp_matches(x, '[^ \\t\\n\\x0b\\f\\r]'))
                          AS paras_f
               FROM (SELECT coalesce(text, '') AS txt FROM documents)),
             d AS (

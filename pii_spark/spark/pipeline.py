@@ -261,8 +261,6 @@ def run_pipeline(
     q = QUALITY
     cols = ["url", "text"] + (["doc_id"] if with_doc_id else [])
     df = corpus.select(*cols)
-    df = salted_repartition(df, partitions)
-    df = df.withColumns(quality_exprs())
     if profile == "strict":
         from ..quality.c4_rules import c4_exprs
         from ..quality.gopher import (
@@ -281,9 +279,13 @@ def run_pipeline(
         df = df.withColumn("_c4_ok", c4_exprs(F.col("text"))["keep"])
         df = df.withColumn("_gl_flag", line_flag)
         # n-gram census: relational by necessity (explode → count →
-        # window), computed from a 2-column scan of the source and
+        # window), computed from 2-column scans of the source and
         # joined back; flags reduced per url before the join so row
-        # cardinality is preserved by construction
+        # cardinality is preserved by construction. The join happens
+        # BEFORE the salted repartition below (review r5): placed
+        # after it, the join's AQE-coalesced shuffle would replace the
+        # pinned partitioning and collapse the enrich-UDF stage's
+        # parallelism — exactly what the pin exists to prevent.
         census_src = corpus.select("url", "text")
         ng = gopher_ngram_metrics(census_src, id_col="url").join(
             gopher_dup_ngram_metrics(census_src, id_col="url"), "url"
@@ -300,6 +302,8 @@ def run_pipeline(
         df = df.join(ng, "url", "left").withColumn(
             "_ng_flag", F.coalesce(F.col("_ng_flag"), F.lit(False))
         )
+    df = salted_repartition(df, partitions)
+    df = df.withColumns(quality_exprs())
     enriched = enrich_udf()(F.col("text"))
     df = df.withColumn("e", enriched)
     df = df.withColumn("q", F.struct(

@@ -83,6 +83,17 @@ def run_streaming_job(
             and (str(s.summary["stream_batch"]).startswith(f"{ck_ns}:")
                  or isinstance(s.summary["stream_batch"], int))
         }
+        # expired batch manifests carry their summaries into
+        # ledger.json — without consulting it the guard would go
+        # silently vacuous after expire_snapshots() (review r5; the
+        # carry is table-wide, which matches the guard's scope: one
+        # table must run one keep chain)
+        prev.update(out._ledger_carry().get("profile", []) or [])
+        if not prev and done:
+            # committed batches exist but none records a profile: they
+            # predate profile tracking and ran the only chain that
+            # existed then — never leave the check vacuous
+            prev = {"default"}
         stale = prev - {profile}
         if stale:
             raise RuntimeError(

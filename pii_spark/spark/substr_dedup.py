@@ -56,11 +56,15 @@ from ..quality.textnorm import ASCII_WS_RE
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, text) → (_id, tk array) under the shared ASCII-whitespace
-    contract (quality/textnorm.py)."""
+    contract (quality/textnorm.py). NULL text tokenizes as empty (the
+    r4c convention every quality expr follows) — without the coalesce,
+    split(NULL) propagates NULL through every output metric while the
+    pure twin returns 0/0/0.0 (review r5)."""
     return df.select(
         F.col(id_col).alias("_id"),
         F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != "",
         ).alias("tk"),
     )
 

@@ -149,6 +149,12 @@ def test_streaming_restart_refuses_profile_mismatch(spark, tmp_path):
     out = run_streaming_job(spark, src, str(tmp_path / "o"), ck,
                             profile="strict")
     assert out.read(spark).count() == 20
+    # review r5: the guard must survive manifest expiry — batch
+    # summaries live on in the ledger carry, and the check consults it
+    out.append(out.read(spark).limit(0), summary={"pad": True})
+    out.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="profile"):
+        run_streaming_job(spark, src, str(tmp_path / "o"), ck)
 
 
 def test_report_keep_rate_matches_pipeline(spark):

@@ -65,6 +65,20 @@ def test_hashed_variant_identical(spark):
     }
 
 
+def test_null_text_matches_pure_twin(spark):
+    """Review r5: NULL text must tokenize as empty (0/0/0.0), not
+    propagate NULL through the metrics."""
+    docs = {0: None, 1: "some perfectly ordinary words here", 2: ""}
+    got = _run(spark, docs)
+    pure = substring_dedup_pure(docs, k=K)
+    for i in docs:
+        assert got[i].cleaned_text == pure[i]["cleaned_text"]
+        assert got[i].n_tokens == pure[i]["n_tokens"]
+        assert got[i].n_removed_tokens == pure[i]["n_removed_tokens"]
+        assert got[i].frac_removed == pure[i]["frac_removed"]
+    assert got[0].n_tokens == 0 and got[0].frac_removed == 0.0
+
+
 def test_fully_duplicated_doc_empties(spark):
     docs = {0: "a b c d e f", 1: "a b c d e f"}
     got = _run(spark, docs)
@@ -80,9 +94,12 @@ _VOCAB = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
 _SEP = st.sampled_from([" ", "  ", "\t", "\n", "\r\n", "\x0b", "\f",
                         " \xa0 "])
 _CORPORA = st.lists(
-    st.tuples(
-        st.lists(_VOCAB, min_size=0, max_size=25), _SEP
-    ).map(lambda t: t[1].join(t[0])),
+    st.one_of(
+        st.none(),
+        st.tuples(
+            st.lists(_VOCAB, min_size=0, max_size=25), _SEP
+        ).map(lambda t: t[1].join(t[0])),
+    ),
     min_size=1, max_size=8,
 )
 
