@@ -79,6 +79,34 @@ def test_explicit_partition_count_survives_aqe(spark, corpus_path):
     assert pids == 8
 
 
+def test_strict_profile_keeps_repartition_pin(spark, corpus_path):
+    """Review r5: the strict census join must sit BELOW the salted
+    repartition so the enrich-UDF stage runs on the pinned
+    partitioning, not on the join's AQE-coalesced shuffle (the 1-task
+    collapse class). Gate: the topmost exchange under the Python UDF
+    is the REPARTITION_BY_NUM one, and it sits above the census join's
+    ENSURE_REQUIREMENTS exchanges. Executed-plan partition count is
+    gated too — the property that actually matters."""
+    df = spark.read.parquet(corpus_path)
+    out = run_pipeline(df, partitions=8, profile="strict")
+    plan = _plan(out)
+    udf = plan.find("ArrowEvalPython")
+    if udf < 0:
+        udf = plan.find("BatchEvalPython")
+    assert udf >= 0, plan
+    first_ex = plan.find("Exchange", udf)
+    assert first_ex > 0, plan
+    assert "REPARTITION" in plan[first_ex:first_ex + 120], (
+        "topmost exchange under the UDF is not the pinned repartition:\n"
+        + plan[first_ex:first_ex + 200]
+    )
+    pids = (
+        out.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert pids == 8
+
+
 def test_new_query_plans_are_scale_safe(spark):
     """Round-2 operators: column pruning reaches the scan, no cartesian
     products (the only BroadcastNestedLoopJoin allowed is the 1-row
