@@ -286,7 +286,18 @@ def run_pipeline(
         # after it, the join's AQE-coalesced shuffle would replace the
         # pinned partitioning and collapse the enrich-UDF stage's
         # parallelism — exactly what the pin exists to prevent.
-        census_src = corpus.select("url", "text")
+        #
+        # Census input is pre-filtered to docs that pass the in-row C4
+        # and line gates: the n-gram metrics are PER-DOC (no cross-doc
+        # state), and drop_reason precedence puts c4/gopher_lines
+        # before gopher_ngrams, so a doc failing either never consults
+        # its census flag — the filtered plan is output-identical
+        # (gated by tests/test_strict_profile.py) while the explode
+        # only pays for the surviving fraction (on the sf0.1 drive,
+        # ~6% of pages — BENCH/strict_profile.json).
+        census_src = corpus.select("url", "text").where(
+            c4_exprs(F.col("text"))["keep"] & ~line_flag
+        )
         ng = gopher_ngram_metrics(census_src, id_col="url").join(
             gopher_dup_ngram_metrics(census_src, id_col="url"), "url"
         )
@@ -296,10 +307,19 @@ def run_pipeline(
                 continue
             c = F.col(k) > v
             ng_flag = c if ng_flag is None else (ng_flag | c)
-        ng = ng.groupBy("url").agg(
-            F.max(ng_flag.cast("boolean")).alias("_ng_flag")
+        # join ONLY the flagged urls (measured r5: joining the full
+        # per-doc flag frame made the corpus — text column included —
+        # shuffle+sort by url for the SMJ, which was the entire strict
+        # overhead; the census itself is ~2s at sf0.1). The flagged
+        # set is the pathological fraction, small enough for AQE to
+        # broadcast, so the corpus side never moves for this join.
+        flagged = (
+            ng.groupBy("url")
+            .agg(F.max(ng_flag.cast("boolean")).alias("f"))
+            .filter("f")
+            .select("url", F.lit(True).alias("_ng_flag"))
         )
-        df = df.join(ng, "url", "left").withColumn(
+        df = df.join(flagged, "url", "left").withColumn(
             "_ng_flag", F.coalesce(F.col("_ng_flag"), F.lit(False))
         )
     df = salted_repartition(df, partitions)

@@ -114,6 +114,57 @@ def test_strict_census_on_generated_corpus(spark):
     assert all(s[u].drop_reason == "c4" for u in kept_default)
 
 
+def test_strict_reason_precedence_matches_pure_twins(spark):
+    """The census-input pre-filter (docs failing c4/gopher_lines are
+    excluded from the n-gram explode) must be output-invisible: for a
+    corpus mixing every pathology, each strict drop_reason equals the
+    one derived independently from the PURE twins under the documented
+    precedence."""
+    mix = {}
+    mix["clean"] = CLEAN
+    mix["c4_and_ngrams"] = (  # fails c4 AND has an n-gram pathology:
+        GOPHER_NGRAMS.replace("\n", " ")  # single line → c4 wins
+    )
+    mix["lines_and_ngrams"] = "\n".join(  # line flag AND ngram flag
+        ["Good morning team, good morning folks, good morning friends."]
+        * 4
+    )
+    mix["ngrams_only"] = GOPHER_NGRAMS
+    mix["c4_only"] = C4_FAIL
+    mix["lines_only"] = GOPHER_LINES
+    corpus = spark.createDataFrame(
+        [(f"https://p.example.com/{k}", t) for k, t in mix.items()],
+        "url string, text string",
+    )
+    dflt = {r.url: r for r in run_pipeline(corpus).collect()}
+    out = {r.url: r for r in
+           run_pipeline(corpus, profile="strict").collect()}
+    for k, t in mix.items():
+        u = f"https://p.example.com/{k}"
+        if not dflt[u].keep:
+            expected = dflt[u].drop_reason
+        else:
+            s = gopher_stats(t)
+            line_bad = any(
+                s[x] > THRESHOLDS[x]
+                for x in ("dup_line_frac", "dup_para_frac",
+                          "dup_line_char_frac", "dup_para_char_frac")
+            )
+            ngram_bad = any(
+                s[x] > THRESHOLDS[x] for x in s if "gram" in x
+            )
+            if not c4_clean(t)["keep"]:
+                expected = "c4"
+            elif line_bad:
+                expected = "gopher_lines"
+            elif ngram_bad:
+                expected = "gopher_ngrams"
+            else:
+                expected = None
+        assert out[u].drop_reason == expected, (k, out[u].drop_reason,
+                                                expected)
+
+
 def test_resume_refuses_profile_mismatch(spark, tmp_path):
     """A table whose groups were committed under one profile must not
     be resumed under another — keep/drop would depend on crash timing.
