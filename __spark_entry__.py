@@ -159,12 +159,13 @@ def q_hash_split(spark, sf_dir):  # X1/X2: shuffle-free deterministic split
 
 
 def q_dedup_exact(spark, sf_dir):
-    """W4 exact + fingerprint dedup, bundled (round-5 consolidation,
-    same pattern as reference_sanity): per-source exact-hash dup counts
-    and the normalized-fingerprint multiplicity histogram as aligned
-    (probe, key, n, metric) rows — both components stay fully
-    hash-checked while using one registry slot, freeing a slot for
-    substring_dedup."""
+    """W4 exact + fingerprint + url-canonicalization dedup, bundled
+    (round-5 consolidation, same pattern as reference_sanity):
+    per-source exact-hash dup counts, the normalized-fingerprint
+    multiplicity histogram, and the canonical-url collision histogram
+    as aligned (probe, key, n, metric) rows — all components stay
+    fully hash-checked while using one registry slot, freeing slots
+    for substring_dedup and paragraph_dedup."""
     exact = (
         _docs(spark, sf_dir)
         .groupBy("source")
@@ -197,7 +198,13 @@ def q_dedup_exact(spark, sf_dir):
             F.lit(0).cast("long").alias("metric"),
         )
     )
-    return exact.unionByName(finger)
+    urlc = q_url_canonical_dedup(spark, sf_dir).select(
+        F.lit("url_canonical").alias("probe"),
+        F.col("n_variants").cast("string").alias("key"),
+        F.col("n_urls").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("metric"),
+    )
+    return exact.unionByName(finger).unionByName(urlc)
 
 
 _SUBSTR_K = 8  # tokens; the check-scale stand-in for the paper's ~50
@@ -947,6 +954,58 @@ def q_ann_recall(spark, sf_dir):
         F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce(F.col("c"), F.lit(0)) / 10.0, 4).alias("recall"),
     )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Dolma-style keep-first paragraph dedup (SURVEY R66,
+    pii_spark/spark/para_dedup.py). The documents testdata is
+    single-line with unique texts, so paragraph structure is
+    synthesized deterministically (the url_canonical pattern): page i
+    carries the texts of docs i, (i+7)%N, (i+14)%N as its three
+    paragraphs — every text appears in exactly 3 pages, giving
+    keep-first real cross-document work whose per-page cleaned bytes
+    the oracle hash-checks. Same output discipline as substring_dedup:
+    docs that LOST paragraphs + the corpus totals row."""
+    from pii_spark.spark.para_dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n = d.count()  # doc_ids are dense 0..N-1 in every testdata sf
+    pages = (
+        d.select("doc_id")
+        .withColumn(
+            "k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+        )
+        .withColumn("src", (F.col("doc_id") + F.col("k") * 7) % n)
+        .join(
+            d.select(F.col("doc_id").alias("src"), "text"), "src"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    out = paragraph_dedup(pages)
+    touched = out.filter(F.col("n_removed_paras") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_paras", "n_removed_paras", "frac_removed",
+    )
+    totals = out.agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("corpus").alias("cleaned_md5"),
+        F.sum("n_paras").cast("long").alias("n_paras"),
+        F.sum("n_removed_paras").cast("long").alias("n_removed_paras"),
+        F.round(
+            F.sum("n_removed_paras") / F.sum("n_paras"), 4
+        ).alias("frac_removed"),
+    )
+    return touched.unionByName(totals)
 
 
 def q_token_count(spark, sf_dir):
@@ -1885,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synth_corpus": q_synth_corpus,
         "dedup_exact": q_dedup_exact,
         "substring_dedup": q_substring_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1912,7 +1972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "fingerprint_winnow": q_fingerprint_winnow,
         "gopher_repetition": q_gopher_repetition,
-        "url_canonical_dedup": q_url_canonical_dedup,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "domain_filter": q_domain_filter,
@@ -2065,8 +2124,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'fingerprint' AS probe, CAST(m AS VARCHAR) AS key,
                      CAST(count(*) AS BIGINT) AS n,
                      CAST(0 AS BIGINT) AS metric
-              FROM c GROUP BY m)
+              FROM c GROUP BY m),
+            uraw AS (
+              SELECT (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                           ELSE 'http://' END)
+                     || (CASE WHEN doc_id % 4 < 2 THEN 'WWW'
+                              ELSE 'www' END)
+                     || '.example.com/doc/'
+                     || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                              THEN '?utm_source=feed' ELSE '' END) AS u
+              FROM documents),
+            ucanon AS (
+              SELECT regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(u), '\\?utm_[^#]*$', ''),
+                         '^http://', 'https://'),
+                       '/$', '') AS canonical_url
+              FROM uraw),
+            ucls AS (
+              SELECT canonical_url, count(*) AS n_variants
+              FROM ucanon GROUP BY canonical_url),
+            urlc AS (
+              SELECT 'url_canonical' AS probe,
+                     CAST(n_variants AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(0 AS BIGINT) AS metric
+              FROM ucls GROUP BY n_variants)
             SELECT * FROM exact UNION ALL SELECT * FROM finger
+            UNION ALL SELECT * FROM urlc
         """,
         "substring_dedup": f"""
             WITH toks AS (
@@ -2125,6 +2212,73 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(n_removed_tokens) AS BIGINT)
                          AS n_removed_tokens,
                      round(sum(n_removed_tokens) / sum(n_tokens), 4)
+                         AS frac_removed
+              FROM per_doc)
+            SELECT * FROM touched UNION ALL SELECT * FROM totals
+        """,
+        "paragraph_dedup": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            pages AS (
+              SELECT p.doc_id,
+                     string_agg(d.text, chr(10) ORDER BY k.k) AS text
+              FROM documents p,
+                   (SELECT unnest([0, 1, 2]) AS k) k,
+                   documents d, n
+              WHERE d.doc_id = (p.doc_id + k.k * 7) % n.n
+              GROUP BY p.doc_id),
+            sp AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS ps
+              FROM pages),
+            occ AS (
+              SELECT doc_id, unnest(ps) AS para,
+                     unnest(range(0, len(ps))) AS pos
+              FROM sp),
+            occ2 AS (
+              SELECT doc_id, pos, para,
+                     regexp_matches(para, '[^ \\t\\n\\x0b\\f\\r]')
+                         AS content
+              FROM occ),
+            dup AS (
+              SELECT para, min(doc_id) AS fid
+              FROM occ2 WHERE content GROUP BY para
+              HAVING count(*) > 1),
+            dup2 AS (
+              SELECT d.para, d.fid, min(o.pos) AS fpos
+              FROM dup d JOIN occ2 o
+                ON o.para = d.para AND o.doc_id = d.fid
+              GROUP BY d.para, d.fid),
+            kept AS (
+              SELECT o.doc_id, o.pos, o.para
+              FROM occ2 o LEFT JOIN dup2 d ON o.para = d.para
+              WHERE d.para IS NULL
+                 OR (o.doc_id = d.fid AND o.pos = d.fpos)),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos)
+                         AS cleaned_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            per_doc AS (
+              SELECT b.doc_id,
+                     coalesce(a.cleaned_text, '') AS cleaned_text,
+                     CAST(len(b.ps) AS BIGINT) AS n_paras,
+                     CAST(len(b.ps) - coalesce(a.n_kept, 0) AS BIGINT)
+                         AS n_removed_paras
+              FROM sp b LEFT JOIN agg a ON b.doc_id = a.doc_id),
+            touched AS (
+              SELECT doc_id, md5(cleaned_text) AS cleaned_md5, n_paras,
+                     n_removed_paras,
+                     round(n_removed_paras /
+                           greatest(n_paras, 1), 4) AS frac_removed
+              FROM per_doc WHERE n_removed_paras > 0),
+            totals AS (
+              SELECT CAST(-1 AS BIGINT) AS doc_id,
+                     'corpus' AS cleaned_md5,
+                     CAST(sum(n_paras) AS BIGINT) AS n_paras,
+                     CAST(sum(n_removed_paras) AS BIGINT)
+                         AS n_removed_paras,
+                     round(sum(n_removed_paras) / sum(n_paras), 4)
                          AS frac_removed
               FROM per_doc)
             SELECT * FROM touched UNION ALL SELECT * FROM totals
@@ -2616,31 +2770,6 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_fp), 4) AS avg_fp_per_doc,
                    n_shared_fp
             FROM per_doc, shared GROUP BY n_shared_fp
-        """,
-        "url_canonical_dedup": """
-            WITH raw AS (
-              SELECT (CASE WHEN doc_id % 2 = 0 THEN 'https://'
-                           ELSE 'http://' END)
-                     || (CASE WHEN doc_id % 4 < 2 THEN 'WWW'
-                              ELSE 'www' END)
-                     || '.example.com/doc/'
-                     || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR)
-                     || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
-                     || (CASE WHEN doc_id % 5 = 0
-                              THEN '?utm_source=feed' ELSE '' END) AS u
-              FROM documents),
-            canon AS (
-              SELECT regexp_replace(
-                       regexp_replace(
-                         regexp_replace(lower(u), '\\?utm_[^#]*$', ''),
-                         '^http://', 'https://'),
-                       '/$', '') AS canonical_url
-              FROM raw),
-            cls AS (
-              SELECT canonical_url, count(*) AS n_variants
-              FROM canon GROUP BY canonical_url)
-            SELECT n_variants, CAST(count(*) AS BIGINT) AS n_urls
-            FROM cls GROUP BY n_variants
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
