@@ -1833,6 +1833,7 @@ def q_sampling(spark, sf_dir):
     just sizes."""
     from pii_spark.spark.sampling import (
         ccnet_buckets,
+        mixture_sample,
         stratified_sample_n,
         token_budget_sample,
         uniform_sample_n,
@@ -1875,7 +1876,19 @@ def q_sampling(spark, sf_dir):
         ).alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"),
     )
-    return uni.unionByName(strat).unionByName(tb).unionByName(ccn)
+    # mixture draw (source-reweighting): weights 5/3/2 over three
+    # sources at total 37 → largest-remainder quotas 19/11/7, a pure
+    # function of the weights, so the oracle encodes them as literals
+    mix = mixture_sample(
+        d, {"src0": 5, "src1": 3, "src2": 2}, 37, key_fn=md5_key
+    ).select(
+        F.concat(F.lit("mixture_"), F.col("source")).alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return (
+        uni.unionByName(strat).unionByName(tb)
+        .unionByName(ccn).unionByName(mix)
+    )
 
 
 def q_quality_report(spark, sf_dir):
@@ -2646,7 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         # so restricting to non-empty buckets selects the same set.
         "sampling": f"""
             WITH k AS (
-              SELECT doc_id, lang, n_chars,
+              SELECT doc_id, lang, source, n_chars,
                      md5(CAST(doc_id AS VARCHAR) || '_42') AS h
               FROM documents),
             uni AS (
@@ -2688,6 +2701,16 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'tail' END AS part,
                      doc_id
               FROM k)
+            , mix AS (
+              SELECT 'mixture_' || t.source AS part, t.doc_id
+              FROM (SELECT source, doc_id,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY h, doc_id) AS rn
+                    FROM k) t
+              JOIN (VALUES ('src0', 19), ('src1', 11), ('src2', 7))
+                   q(src, n)
+                ON t.source = q.src
+              WHERE t.rn <= q.n)
             SELECT part, CAST(doc_id AS BIGINT) AS doc_id FROM uni
             UNION ALL
             SELECT part, CAST(doc_id AS BIGINT) FROM strat
@@ -2695,6 +2718,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, CAST(doc_id AS BIGINT) FROM tb
             UNION ALL
             SELECT part, CAST(doc_id AS BIGINT) FROM ccn
+            UNION ALL
+            SELECT part, CAST(doc_id AS BIGINT) FROM mix
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

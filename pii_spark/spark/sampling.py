@@ -121,6 +121,56 @@ def token_budget_sample(
     return df.filter(bucket <= F.lit(cut))
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    total_n: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    key_fn=None,
+) -> DataFrame:
+    """Data-mixing draw: sample ≈``total_n`` rows with per-stratum
+    counts proportional to ``weights`` (the DoReMi/Pile-style static
+    source-reweighting step). Strata absent from ``weights`` are
+    excluded.
+
+    Quotas use largest-remainder apportionment (floor the
+    proportional share, hand the leftover rows to the largest
+    fractional parts, stratum name as the tie-break) — exact integer
+    counts summing to ``total_n``, deterministically. Within a
+    stratum the draw is the same seeded hash-permutation prefix as
+    ``stratified_sample_n``; a stratum smaller than its quota yields
+    all its rows (no silent redistribution — the shortfall is the
+    caller's signal that the mix is infeasible). One window + one
+    broadcast-size quota join; nothing global."""
+    from pyspark.sql import Window
+
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {s: w / total_w * total_n for s, w in weights.items()}
+    quotas = {s: int(share) for s, share in shares.items()}
+    leftover = total_n - sum(quotas.values())
+    for s in sorted(
+        shares, key=lambda s: (-(shares[s] - quotas[s]), s)
+    )[:leftover]:
+        quotas[s] += 1
+    qdf = df.sparkSession.createDataFrame(
+        [(s, n) for s, n in sorted(quotas.items())],
+        f"{stratum_col} string, _quota int",
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        (key_fn or _key)(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.join(qdf, stratum_col)  # inner: unweighted strata drop out
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
 _CCNET_NAMES = {3: ("head", "middle", "tail")}
 
 

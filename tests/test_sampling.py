@@ -153,3 +153,32 @@ def test_ccnet_buckets_real_perplexity_path(spark):
     for lang in langs:
         if (lang, "head") in stats and (lang, "tail") in stats:
             assert stats[(lang, "head")] < stats[(lang, "tail")], lang
+
+
+def test_mixture_sample_quotas_and_shortfall(spark):
+    """Data-mixing draw: exact largest-remainder quotas, unweighted
+    strata excluded, undersized strata yield all rows (shortfall is
+    visible, never silently redistributed), deterministic."""
+    from pii_spark.spark.sampling import mixture_sample
+
+    d = _docs(spark)
+    got = (
+        mixture_sample(d, {"src0": 5, "src1": 3, "src2": 2}, 37)
+        .groupBy("source").count().collect()
+    )
+    assert {r.source: r["count"] for r in got} == {
+        "src0": 19, "src1": 11, "src2": 7
+    }
+    # quota larger than the stratum: all 25 rows, shortfall visible
+    got2 = (
+        mixture_sample(d, {"src0": 9, "src1": 1}, 300)
+        .groupBy("source").count().collect()
+    )
+    by = {r.source: r["count"] for r in got2}
+    assert by == {"src0": 25, "src1": 25}  # 270-quota capped at 25
+    # determinism across layouts
+    a = {r.doc_id for r in
+         mixture_sample(d, {"src0": 1}, 10).collect()}
+    b = {r.doc_id for r in
+         mixture_sample(d.repartition(11), {"src0": 1}, 10).collect()}
+    assert a == b and len(a) == 10
