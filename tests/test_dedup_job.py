@@ -1,0 +1,57 @@
+"""Composable dedup job (jobs/run_dedup.py stages, driven in-process)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+from pii_spark.icelite.catalog import IceliteTable
+
+ROOT = Path(__file__).resolve().parents[1]
+
+SHARED_PARA = "Subscribe to our newsletter for weekly updates."
+SHARED_SPAN = "the quick brown fox jumps over the lazy sleeping dog"
+DOCS = [
+    (0, f"Unique opening line one.\n{SHARED_PARA}"),
+    (1, f"Unique opening line two.\n{SHARED_PARA}"),
+    (2, f"Article about foxes where {SHARED_SPAN} happily today."),
+    (3, f"Other piece noting {SHARED_SPAN} in the meadow."),
+    (4, "An exact duplicate document body."),
+    (5, "An exact duplicate document body."),
+    (6, "A perfectly clean and unique document with nothing shared."),
+]
+
+
+def test_dedup_job_cli(spark, tmp_path):
+    src = str(tmp_path / "in")
+    spark.createDataFrame(DOCS, "doc_id long, text string") \
+        .write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_dedup.py"),
+         "--input", src, "--output", out_dir,
+         "--stages", "exact,paragraph,substring", "--k", "8"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "committed snapshot" in r.stdout
+
+    t = IceliteTable(out_dir)
+    rows = {x.doc_id: x.text for x in t.read(spark).collect()}
+    # exact: one of the twin docs survives (min doc_id wins)
+    assert 4 in rows and 5 not in rows
+    # paragraph: the shared footer survives only in its first page
+    assert SHARED_PARA in rows[0]
+    assert SHARED_PARA not in rows[1]
+    assert rows[1].startswith("Unique opening line two.")
+    # substring: the 10-token shared span is gone from BOTH carriers
+    assert SHARED_SPAN not in rows[2] and SHARED_SPAN not in rows[3]
+    assert rows[2].startswith("Article about foxes")
+    # clean doc untouched end to end
+    assert rows[6] == DOCS[6][1]
+    # audit summary records the chain and per-stage deltas
+    s = t.snapshot().summary
+    assert s["dedup_stages"] == "exact,paragraph,substring"
+    assert s["removed_exact_rows"] == 1
+    assert s["removed_paragraph_rows"] == 0
+    assert s["removed_paragraph_chars"] > 0
+    assert s["removed_substring_chars"] > 0
