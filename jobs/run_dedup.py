@@ -50,6 +50,12 @@ def main() -> None:
     bad = [s for s in stages if s not in STAGES]
     if bad:
         ap.error(f"unknown stage(s) {bad}; valid: {STAGES}")
+    if len(set(stages)) != len(stages):
+        # the audit summary keys by stage name; a repeated stage would
+        # silently overwrite its first occurrence's delta (review r5b).
+        # Re-running a stage is a second job run, not a chain entry.
+        ap.error("stages must be unique; rerun the job for a second "
+                 "pass of the same stage")
 
     from pyspark.sql import functions as F
 
@@ -60,6 +66,23 @@ def main() -> None:
     try:
         df = spark.read.parquet(args.input)
         idc, txc = args.id_col, args.text_col
+        # a rewrite job must not silently lose or multiply rows: the
+        # stage join-backs key on id, so NULL ids would vanish (NULL
+        # never equi-joins) and duplicate ids would multiply (review
+        # r5b). Validate loudly up front — two id-column aggregates.
+        n_null = df.filter(F.col(idc).isNull()).count()
+        if n_null:
+            raise SystemExit(
+                f"{n_null} rows have NULL {idc}; assign ids first"
+            )
+        n_dup = (
+            df.groupBy(idc).count().filter("count > 1").count()
+        )
+        if n_dup:
+            raise SystemExit(
+                f"{n_dup} {idc} values are duplicated; ids must be "
+                "unique for a corpus rewrite"
+            )
         deltas: dict = {}
 
         def stats(frame):
@@ -71,16 +94,22 @@ def main() -> None:
             return int(r.rows), int(r.chars or 0)
 
         rows, chars = stats(df)
+        prev = None
         for s in stages:
             if s == "exact":
-                from pyspark.sql import Window
-
-                w = Window.partitionBy(F.md5(F.coalesce(
-                    F.col(txc), F.lit("")))).orderBy(idc)
-                df = (
-                    df.withColumn("_rn", F.row_number().over(w))
-                    .filter("_rn = 1").drop("_rn")
+                # skew-safe winner selection: groupBy + min partial-
+                # aggregates map-side, so a viral page duplicated 10^8
+                # times combines to one row per partition instead of
+                # colocating every copy on one window reducer (review
+                # r5b — same reasoning as para_dedup's census)
+                h = F.md5(F.coalesce(F.col(txc), F.lit("")))
+                keep_ids = (
+                    df.select(h.alias("_h"), F.col(idc).alias("_i"))
+                    .groupBy("_h")
+                    .agg(F.min("_i").alias(idc))
+                    .select(idc)
                 )
+                df = df.join(keep_ids, idc, "left_semi")
             elif s == "paragraph":
                 from pii_spark.spark.para_dedup import paragraph_dedup
 
@@ -91,13 +120,36 @@ def main() -> None:
             elif s == "substring":
                 from pii_spark.spark.substr_dedup import substring_dedup
 
-                cleaned = substring_dedup(
+                # replace text ONLY where a span was actually removed:
+                # substring_dedup reassembles tokens with single
+                # spaces, and rewriting untouched docs would destroy
+                # their original whitespace corpus-wide and inflate
+                # the chars audit with whitespace collapse (review
+                # r5b). Touched docs do get token-joined text — the
+                # documented contract of the operator.
+                ss = substring_dedup(
                     df, id_col=idc, text_col=txc, k=args.k, hashed=True
-                ).select(idc, F.col("cleaned_text").alias(txc))
-                df = df.drop(txc).join(cleaned, idc)
-            # per-stage delta: forces the stage (each census is a
-            # corpus-global barrier anyway) and records the audit row
+                ).select(idc, "cleaned_text", "n_removed_tokens")
+                df = (
+                    df.join(ss, idc)
+                    .withColumn(
+                        txc,
+                        F.when(
+                            F.col("n_removed_tokens") > 0,
+                            F.col("cleaned_text"),
+                        ).otherwise(F.col(txc)),
+                    )
+                    .drop("cleaned_text", "n_removed_tokens")
+                )
+            # persist each stage before its stats action: without it,
+            # every stats() and the final overwrite would re-execute
+            # the whole upstream chain — with 3 stages the first
+            # census would run 4x (review r5b)
+            df = df.persist()
             r2, c2 = stats(df)
+            if prev is not None:
+                prev.unpersist()
+            prev = df
             deltas[s] = {"rows": rows - r2, "chars": chars - c2}
             rows, chars = r2, c2
 

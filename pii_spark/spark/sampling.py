@@ -146,6 +146,12 @@ def mixture_sample(
     broadcast-size quota join; nothing global."""
     from pyspark.sql import Window
 
+    if any(w < 0 for w in weights.values()):
+        # a negative weight would give another stratum a quota above
+        # total_n while its own negative quota selects nothing — the
+        # call would silently return MORE than total_n rows (review
+        # r5b). Zero is fine: quota 0 = explicit exclusion.
+        raise ValueError("weights must be non-negative")
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -156,9 +162,16 @@ def mixture_sample(
         shares, key=lambda s: (-(shares[s] - quotas[s]), s)
     )[:leftover]:
         quotas[s] += 1
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # quota frame typed from the stratum column's ACTUAL dtype — a
+    # hardcoded string schema fails on int stratum keys (review r5b)
     qdf = df.sparkSession.createDataFrame(
         [(s, n) for s, n in sorted(quotas.items())],
-        f"{stratum_col} string, _quota int",
+        StructType([
+            StructField(stratum_col, df.schema[stratum_col].dataType),
+            StructField("_quota", IntegerType()),
+        ]),
     )
     w = Window.partitionBy(stratum_col).orderBy(
         (key_fn or _key)(id_col, seed), F.col(id_col)

@@ -55,3 +55,50 @@ def test_dedup_job_cli(spark, tmp_path):
     assert s["removed_paragraph_rows"] == 0
     assert s["removed_paragraph_chars"] > 0
     assert s["removed_substring_chars"] > 0
+
+
+def test_dedup_job_preserves_untouched_whitespace_and_validates_ids(
+    spark, tmp_path
+):
+    """Review r5b: a doc with no duplicated span keeps its original
+    bytes (newlines included) through the substring stage; NULL or
+    duplicate ids abort loudly before any rewrite."""
+    src = str(tmp_path / "in2")
+    docs = [
+        (0, "line one\nline two\nno duplicated spans in here at all"),
+        (1, "totally different words that share nothing with zero"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(src)
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_dedup.py"),
+         "--input", src, "--output", str(tmp_path / "out2"),
+         "--stages", "substring", "--k", "4"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = {x.doc_id: x.text for x in
+            IceliteTable(str(tmp_path / "out2")).read(spark).collect()}
+    assert rows[0] == docs[0][1]  # newlines intact
+    assert "'substring': {'rows': 0, 'chars': 0}" in r.stdout
+
+    # NULL id refused
+    src3 = str(tmp_path / "in3")
+    spark.createDataFrame([(None, "a"), (1, "b")],
+                          "doc_id long, text string").write.parquet(src3)
+    r3 = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_dedup.py"),
+         "--input", src3, "--output", str(tmp_path / "out3"),
+         "--stages", "exact"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r3.returncode != 0 and "NULL doc_id" in (r3.stderr + r3.stdout)
+
+    # duplicate stage names refused
+    r4 = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_dedup.py"),
+         "--input", src, "--output", str(tmp_path / "out4"),
+         "--stages", "exact,exact"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r4.returncode != 0 and "unique" in (r4.stderr + r4.stdout)

@@ -182,3 +182,23 @@ def test_mixture_sample_quotas_and_shortfall(spark):
     b = {r.doc_id for r in
          mixture_sample(d.repartition(11), {"src0": 1}, 10).collect()}
     assert a == b and len(a) == 10
+
+
+def test_mixture_sample_rejects_negative_and_types_int_strata(spark):
+    import pytest as _pt
+
+    from pii_spark.spark.sampling import mixture_sample
+
+    d = _docs(spark)
+    with _pt.raises(ValueError, match="non-negative"):
+        mixture_sample(d, {"src0": -1, "src1": 2}, 100)
+    # zero weight = explicit exclusion, not an error
+    got = mixture_sample(d, {"src0": 1, "src1": 0}, 10) \
+        .groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"src0": 10}
+    # integer stratum column works (quota frame typed from the data)
+    di = d.withColumn("bucket", (F.col("doc_id") % 3).cast("int"))
+    got2 = mixture_sample(
+        di, {0: 1, 1: 1}, 20, stratum_col="bucket"
+    ).groupBy("bucket").count().collect()
+    assert {r.bucket: r["count"] for r in got2} == {0: 10, 1: 10}
