@@ -106,6 +106,42 @@ def q_minlen_filter(spark, sf_dir):  # F2 (generalized Gopher min-length)
     )
 
 
+def q_length_analytics(spark, sf_dir):
+    """A1/A2 + exact percentiles bundled as aligned (probe, key,
+    value) rows (round-5 consolidation, reference_sanity pattern) —
+    all three length-analytics components stay hash-checked in one
+    registry slot, freeing slots for warc_extract."""
+    st = q_length_stats(spark, sf_dir).select(
+        F.explode(
+            F.create_map(
+                F.lit("n"), F.col("n").cast("double"),
+                F.lit("mean_chars"), F.col("mean_chars"),
+                F.lit("median_chars"), F.col("median_chars"),
+                F.lit("min_chars"), F.col("min_chars").cast("double"),
+                F.lit("max_chars"), F.col("max_chars").cast("double"),
+                F.lit("std_chars"), F.col("std_chars"),
+            )
+        ).alias("key", "value")
+    ).select(F.lit("stats").alias("probe"), "key", "value")
+    hist = q_length_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("probe"),
+        F.col("bucket").alias("key"),
+        F.col("n_docs").cast("double").alias("value"),
+    )
+    pct = q_length_percentiles(spark, sf_dir).select(
+        F.explode(
+            F.create_map(
+                F.lit("p25"), F.col("p25"),
+                F.lit("p50"), F.col("p50"),
+                F.lit("p90"), F.col("p90"),
+                F.lit("p99"), F.col("p99"),
+                F.lit("n_docs"), F.col("n_docs").cast("double"),
+            )
+        ).alias("key", "value")
+    ).select(F.lit("percentiles").alias("probe"), "key", "value")
+    return st.unionByName(hist).unionByName(pct)
+
+
 def q_length_stats(spark, sf_dir):  # A1
     return _docs(spark, sf_dir).agg(
         F.count("*").cast("long").alias("n"),
@@ -1006,6 +1042,45 @@ def q_paragraph_dedup(spark, sf_dir):
         ).alias("frac_removed"),
     )
     return touched.unionByName(totals)
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC record parsing (SURVEY R69, pii_spark/spark/warc.py)
+    driver-checked: one WARC record string is synthesized per doc
+    (every 50th as a warcinfo record to prove the type filter), parsed
+    with the SAME pure-Catalyst exprs read_warc uses, and the load-
+    bearing outputs — url, type filtering, exact HTTP body bytes (as
+    md5) — are twinned in DuckDB. File I/O and timestamp parsing are
+    pytest-covered (tests/test_warc.py); this row pins the parse."""
+    from pii_spark.spark.warc import warc_record_exprs
+
+    d = _docs(spark, sf_dir)
+    is_info = F.col("doc_id") % 50 == 0
+    rec = F.concat(
+        F.when(is_info, F.lit("WARC-Type: warcinfo\r\n")).otherwise(
+            F.concat(
+                F.lit("WARC-Type: response\r\nWARC-Target-URI: "
+                      "https://w.example.com/"),
+                F.col("doc_id").cast("string"),
+                F.lit("\r\n"),
+            )
+        ),
+        F.lit("WARC-Date: 2017-03-22T17:22:30Z\r\n\r\n"),
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              "<html><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    cols = warc_record_exprs(rec)
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            cols["warc_type"].alias("warc_type"),
+            cols["url"].alias("url"),
+            F.md5(cols["http_body"]).alias("body_md5"),
+        )
+        .filter(F.col("warc_type") == "response")
+    )
 
 
 def q_token_count(spark, sf_dir):
@@ -1951,8 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_filter": q_lang_filter,
         "minlen_filter": q_minlen_filter,
-        "length_stats": q_length_stats,
-        "length_histogram": q_length_histogram,
+        "length_analytics": q_length_analytics,
+        "warc_extract": q_warc_extract,
         "hash_split": q_hash_split,
         "synth_corpus": q_synth_corpus,
         "dedup_exact": q_dedup_exact,
@@ -1988,7 +2063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "domain_filter": q_domain_filter,
-        "length_percentiles": q_length_percentiles,
         "sketch_decontam": q_sketch_decontam,
         "over_under_prediction": q_over_under_prediction,
         "rollup_lang_source": q_rollup_lang_source,
@@ -2089,22 +2163,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE length(text) >= 200 GROUP BY lang
         """,
-        "length_stats": """
-            SELECT CAST(count(*) AS BIGINT) AS n,
-                   round(avg(n_chars), 4) AS mean_chars,
-                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
-                   CAST(min(n_chars) AS BIGINT) AS min_chars,
-                   CAST(max(n_chars) AS BIGINT) AS max_chars,
-                   round(stddev(n_chars), 4) AS std_chars
-            FROM documents
+        "length_analytics": """
+            WITH s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     round(avg(n_chars), 4) AS mean_chars,
+                     round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                     CAST(min(n_chars) AS DOUBLE) AS min_chars,
+                     CAST(max(n_chars) AS DOUBLE) AS max_chars,
+                     round(stddev(n_chars), 4) AS std_chars
+              FROM documents),
+            stats AS (
+              SELECT 'stats' AS probe, u.key, u.value
+              FROM s, LATERAL (
+                SELECT unnest(['n','mean_chars','median_chars',
+                               'min_chars','max_chars','std_chars'])
+                           AS key,
+                       unnest([n, mean_chars, median_chars, min_chars,
+                               max_chars, std_chars]) AS value) u),
+            hist AS (
+              SELECT 'histogram' AS probe,
+                     CASE WHEN n_chars < 100 THEN 'lt100'
+                          WHEN n_chars < 200 THEN '100-200'
+                          WHEN n_chars < 400 THEN '200-400'
+                          ELSE 'ge400' END AS key,
+                     CAST(count(*) AS DOUBLE) AS value
+              FROM documents GROUP BY 2),
+            p AS (
+              SELECT round(quantile_cont(length(text), 0.25), 4) AS p25,
+                     round(quantile_cont(length(text), 0.5), 4) AS p50,
+                     round(quantile_cont(length(text), 0.9), 4) AS p90,
+                     round(quantile_cont(length(text), 0.99), 4) AS p99,
+                     CAST(count(*) AS DOUBLE) AS n_docs
+              FROM documents),
+            pct AS (
+              SELECT 'percentiles' AS probe, u.key, u.value
+              FROM p, LATERAL (
+                SELECT unnest(['p25','p50','p90','p99','n_docs'])
+                           AS key,
+                       unnest([p25, p50, p90, p99, n_docs]) AS value) u)
+            SELECT * FROM stats UNION ALL SELECT * FROM hist
+            UNION ALL SELECT * FROM pct
         """,
-        "length_histogram": """
-            SELECT CASE WHEN n_chars < 100 THEN 'lt100'
-                        WHEN n_chars < 200 THEN '100-200'
-                        WHEN n_chars < 400 THEN '200-400'
-                        ELSE 'ge400' END AS bucket,
-                   count(*) AS n_docs
-            FROM documents GROUP BY 1
+        "warc_extract": """
+            WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+            rec AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 50 = 0
+                           THEN 'WARC-Type: warcinfo' || c.c
+                           ELSE 'WARC-Type: response' || c.c
+                                || 'WARC-Target-URI: '
+                                || 'https://w.example.com/'
+                                || CAST(doc_id AS VARCHAR) || c.c
+                      END)
+                     || 'WARC-Date: 2017-03-22T17:22:30Z' || c.c || c.c
+                     || 'HTTP/1.1 200 OK' || c.c
+                     || 'Content-Type: text/html' || c.c || c.c
+                     || '<html><body><p>' || text
+                     || '</p></body></html>' AS r,
+                     c.c AS c
+              FROM documents, crlf c),
+            parsed AS (
+              SELECT doc_id,
+                     strpos(r, c || c) AS hdr_end, r, c
+              FROM rec),
+            hdr AS (
+              SELECT doc_id,
+                     substr(r, 1, hdr_end - 1) AS headers,
+                     substr(r, hdr_end + 4) AS pay, c
+              FROM parsed WHERE hdr_end > 0),
+            fields AS (
+              SELECT doc_id,
+                     regexp_extract(headers,
+                         'WARC-Type: *([^\r\n]+)', 1) AS warc_type,
+                     regexp_extract(headers,
+                         'WARC-Target-URI: *([^\r\n]+)', 1) AS url,
+                     CASE WHEN strpos(pay, c || c) > 0
+                          THEN substr(pay, strpos(pay, c || c) + 4)
+                     END AS body
+              FROM hdr)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, warc_type, url,
+                   md5(body) AS body_md5
+            FROM fields WHERE warc_type = 'response'
         """,
         "hash_split": """
             WITH b AS (
@@ -2859,14 +2998,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source NOT IN ('src0', 'src3')
             GROUP BY source
-        """,
-        "length_percentiles": """
-            SELECT round(quantile_cont(length(text), 0.25), 4) AS p25,
-                   round(quantile_cont(length(text), 0.5), 4) AS p50,
-                   round(quantile_cont(length(text), 0.9), 4) AS p90,
-                   round(quantile_cont(length(text), 0.99), 4) AS p99,
-                   CAST(count(*) AS BIGINT) AS n_docs
-            FROM documents
         """,
         # one-call corpus quality report: per-doc twins of
         # quality_exprs / toxicity_exprs / c4_exprs / gopher_line_exprs
