@@ -1069,7 +1069,9 @@ def q_warc_extract(spark, sf_dir):
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
               "<html><body><p>"),
         F.col("text"),
-        F.lit("</p></body></html>"),
+        # the record terminator a real lineSep chunk carries — its
+        # strip (review r5c) is part of what this row pins
+        F.lit("</p></body></html>\r\n\r\n"),
     )
     cols = warc_record_exprs(rec)
     return (
@@ -2219,7 +2221,7 @@ def oracle_sql() -> dict[str, str]:
                      || 'HTTP/1.1 200 OK' || c.c
                      || 'Content-Type: text/html' || c.c || c.c
                      || '<html><body><p>' || text
-                     || '</p></body></html>' AS r,
+                     || '</p></body></html>' || c.c || c.c AS r,
                      c.c AS c
               FROM documents, crlf c),
             parsed AS (
@@ -2229,7 +2231,8 @@ def oracle_sql() -> dict[str, str]:
             hdr AS (
               SELECT doc_id,
                      substr(r, 1, hdr_end - 1) AS headers,
-                     substr(r, hdr_end + 4) AS pay, c
+                     regexp_replace(substr(r, hdr_end + 4),
+                                    '\\r\\n\\r\\n$', '') AS pay, c
               FROM parsed WHERE hdr_end > 0),
             fields AS (
               SELECT doc_id,

@@ -56,11 +56,26 @@ def warc_record_exprs(rec: Column) -> dict[str, Column]:
     headers = F.when(hdr_end > 0, F.substring(rec, F.lit(1), hdr_end - 1))
     warc_type = F.regexp_extract(headers, r"WARC-Type: *([^\r\n]+)", 1)
     url = F.regexp_extract(headers, r"WARC-Target-URI: *([^\r\n]+)", 1)
-    ts = F.to_timestamp(
-        F.regexp_extract(headers, r"WARC-Date: *([^\r\n]+)", 1),
-        "yyyy-MM-dd'T'HH:mm:ssX",
+    # try_to_timestamp, never to_timestamp: under ANSI mode a single
+    # missing/variant date would abort the whole read job (review r5c)
+    # — a bad record among millions must yield NULL, not kill ingest.
+    # Legal WARC dates may carry fractional seconds (warcio/wget);
+    # strip the fraction rather than enumerate its widths.
+    ts = F.try_to_timestamp(
+        F.regexp_replace(
+            F.regexp_extract(headers, r"WARC-Date: *([^\r\n]+)", 1),
+            r"\.\d+", "",
+        ),
+        F.lit("yyyy-MM-dd'T'HH:mm:ssX"),
     )
     pay = F.when(hdr_end > 0, F.substring(rec, hdr_end + 4, 2**30))
+    # the chunk ends with the record's mandatory \r\n\r\n terminator
+    # (lineSep removes only the NEXT record's leading delimiter) —
+    # strip it or every html column carries 4 spurious trailer bytes
+    # (review r5c). A real body ending in CRLFCRLF loses those bytes;
+    # exact byte recovery would need Content-Length in BYTES, which
+    # the UTF-8 decode path cannot index (documented caveat above).
+    pay = F.regexp_replace(pay, r"\r\n\r\n$", "")
     # HTTP body: after the HTTP header block's own blank line; records
     # whose payload has no header block (warcinfo etc.) yield NULL
     body_off = F.locate("\r\n\r\n", pay)

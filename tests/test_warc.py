@@ -40,8 +40,10 @@ def test_read_warc_parses_responses_only(spark, tmp_path):
     # the warcinfo record and file preamble are filtered out
     assert [r.url for r in rows] == [u for u, _, _ in PAGES]
     assert rows[0].warc_ts == datetime.datetime(2017, 3, 22, 17, 22, 30)
-    # html carries the raw HTTP body bytes
-    assert bytes(rows[0].html).startswith(b"<html>")
+    # html carries the raw HTTP body bytes EXACTLY — no leaked record
+    # terminator (review r5c pinned: parse emits the body, not
+    # body + '\r\n\r\n')
+    assert bytes(rows[0].html) == PAGES[0][2].encode()
     assert b"jane.doe@gmail.com" in bytes(rows[0].html)
     # text is the regex-tier extraction: tags/style gone, text kept
     assert "quick brown fox" in rows[0].text
@@ -61,6 +63,27 @@ def test_read_warc_multifile_and_pipeline_e2e(spark, tmp_path):
     # the email is scrubbed, the page text survives
     assert "jane.doe@gmail.com" not in a.scrubbed_text
     assert "quick brown fox" in a.scrubbed_text
+
+
+def test_variant_dates_never_abort_the_job(spark, tmp_path):
+    """Review r5c: under ANSI mode a plain to_timestamp would throw on
+    one bad date and kill the whole ingest. Fractional seconds (legal
+    WARC, warcio/wget emit them) must parse; a missing/garbage date
+    must yield NULL, never an exception."""
+    pages = [
+        ("https://f.example.com/frac", "2017-03-22T17:22:30.123456Z",
+         "<html><body><p>fractional seconds page body here</p></body></html>"),
+        ("https://g.example.com/bad", "not-a-date",
+         "<html><body><p>garbage date page body right here</p></body></html>"),
+    ]
+    d = tmp_path / "wd"
+    d.mkdir()
+    (d / "p.warc").write_bytes(make_warc_bytes(pages))
+    rows = {r.url: r for r in read_warc(spark, str(d)).collect()}
+    assert rows["https://f.example.com/frac"].warc_ts == \
+        datetime.datetime(2017, 3, 22, 17, 22, 30)
+    assert rows["https://g.example.com/bad"].warc_ts is None
+    assert "garbage date page" in rows["https://g.example.com/bad"].text
 
 
 def test_content_length_not_trusted_for_split(spark, tmp_path):
