@@ -96,13 +96,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     only, html = raw HTTP body bytes, text extracted with the
     pipeline's regex-tier extractor, lang left NULL for the langid
     stage to fill."""
+    # the chunk BEFORE the first delimiter is file preamble (usually
+    # empty); real records contain a WARC-Type header and are kept by
+    # the response filter inside _parse_records
+    raw = spark.read.option("lineSep", _DELIM).text(path)
+    return _parse_records(raw)
+
+
+def _parse_records(raw: DataFrame) -> DataFrame:
+    """Shared batch/streaming tail: delimiter chunks → corpus schema."""
     from .html import html_text_expr
 
-    rec = F.col("value")
-    raw = spark.read.option("lineSep", _DELIM).text(path)
-    # the chunk BEFORE the first delimiter is file preamble (usually
-    # empty); real records contain a WARC-Type header
-    cols = warc_record_exprs(rec)
+    cols = warc_record_exprs(F.col("value"))
     out = (
         raw.select(
             cols["warc_type"].alias("warc_type"),
@@ -121,6 +126,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         html_text_expr(html).alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_warc``: watch a directory for newly
+    landed .warc files (the shape of a live crawl ingest) and emit the
+    same corpus schema. Compose with ``writeStream`` + a checkpoint —
+    or feed ``run_pipeline`` inside ``foreachBatch`` exactly like
+    streaming.run_streaming_job does for parquet — for exactly-once
+    file-granular ingest with resume. Same record-delimiter splitting
+    and pure-Catalyst parse as the batch path (one definition)."""
+    raw = spark.readStream.option("lineSep", _DELIM).text(path)
+    return _parse_records(raw)
 
 
 def make_warc_bytes(pages: list[tuple[str, str, str]]) -> bytes:
