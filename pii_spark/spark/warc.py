@@ -61,13 +61,17 @@ def warc_record_exprs(rec: Column) -> dict[str, Column]:
     # — a bad record among millions must yield NULL, not kill ingest.
     # Legal WARC dates may carry fractional seconds (warcio/wget);
     # strip the fraction rather than enumerate its widths.
-    ts = F.try_to_timestamp(
-        F.regexp_replace(
-            F.regexp_extract(headers, r"WARC-Date: *([^\r\n]+)", 1),
-            r"\.\d+", "",
-        ),
-        F.lit("yyyy-MM-dd'T'HH:mm:ssX"),
+    date_str = F.regexp_replace(
+        F.regexp_extract(headers, r"WARC-Date: *([^\r\n]+)", 1),
+        r"\.\d+", "",
     )
+    # offset variants: 'Z'/'+01' (X), '+0000' (XX), '+00:00' (XXX) —
+    # no single Java pattern matches all three, so try each (review
+    # r5d: a numeric-offset crawl must not silently lose every ts)
+    ts = F.coalesce(*[
+        F.try_to_timestamp(date_str, F.lit(f"yyyy-MM-dd'T'HH:mm:ss{x}"))
+        for x in ("X", "XX", "XXX")
+    ])
     pay = F.when(hdr_end > 0, F.substring(rec, hdr_end + 4, 2**30))
     # the chunk ends with the record's mandatory \r\n\r\n terminator
     # (lineSep removes only the NEXT record's leading delimiter) —
@@ -131,11 +135,14 @@ def _parse_records(raw: DataFrame) -> DataFrame:
 def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming twin of ``read_warc``: watch a directory for newly
     landed .warc files (the shape of a live crawl ingest) and emit the
-    same corpus schema. Compose with ``writeStream`` + a checkpoint —
-    or feed ``run_pipeline`` inside ``foreachBatch`` exactly like
-    streaming.run_streaming_job does for parquet — for exactly-once
-    file-granular ingest with resume. Same record-delimiter splitting
-    and pure-Catalyst parse as the batch path (one definition)."""
+    same corpus schema. A built-in sink + checkpoint gives file-
+    granular exactly-once; a ``foreachBatch`` composition is
+    AT-LEAST-once (a crash between the sink write and the offset
+    commit replays the batch) and needs an idempotence ledger on top —
+    exactly what streaming.run_streaming_job's snapshot-summary dedup
+    provides; pair with it rather than a bare foreachBatch. Same
+    record-delimiter splitting and pure-Catalyst parse as the batch
+    path (one definition)."""
     raw = spark.readStream.option("lineSep", _DELIM).text(path)
     return _parse_records(raw)
 

@@ -75,6 +75,10 @@ def test_variant_dates_never_abort_the_job(spark, tmp_path):
          "<html><body><p>fractional seconds page body here</p></body></html>"),
         ("https://g.example.com/bad", "not-a-date",
          "<html><body><p>garbage date page body right here</p></body></html>"),
+        ("https://h.example.com/off1", "2017-03-22T17:22:30+00:00",
+         "<html><body><p>colon offset page body goes here</p></body></html>"),
+        ("https://i.example.com/off2", "2017-03-22T18:22:30+0100",
+         "<html><body><p>compact offset page body goes here</p></body></html>"),
     ]
     d = tmp_path / "wd"
     d.mkdir()
@@ -84,6 +88,11 @@ def test_variant_dates_never_abort_the_job(spark, tmp_path):
         datetime.datetime(2017, 3, 22, 17, 22, 30)
     assert rows["https://g.example.com/bad"].warc_ts is None
     assert "garbage date page" in rows["https://g.example.com/bad"].text
+    # numeric UTC offsets (colon and compact) parse, not NULL: both
+    # name the same instant, 17:22:30 UTC
+    same = datetime.datetime(2017, 3, 22, 17, 22, 30)
+    assert rows["https://h.example.com/off1"].warc_ts == same
+    assert rows["https://i.example.com/off2"].warc_ts == same
 
 
 def test_content_length_not_trusted_for_split(spark, tmp_path):
