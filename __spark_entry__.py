@@ -1085,6 +1085,41 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+def q_url_score(spark, sf_dir):
+    """URL keyword scoring (pii_spark/quality/urlscore.py — the token
+    tier of crawl URL filtering; the blocklist tier is domain_filter).
+    Urls are synthesized deterministically from doc_id with spammy
+    path tokens salted onto a fraction of them, scored with the native
+    exprs, and censused per (score, flagged) — hits, weights, the
+    flag threshold, and per-bucket counts are all DuckDB-twinned."""
+    from pii_spark.quality.urlscore import url_score_exprs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/free-pills-casino"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("?ref=xxx-adult"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&q=discount"))
+        .otherwise(F.lit("")),
+    )
+    cols = url_score_exprs(url)
+    return (
+        d.select(
+            cols["url_score"].cast("long").alias("score"),
+            cols["url_flagged"].alias("flagged"),
+            cols["url_hits_w1"].cast("long").alias("hits_w1"),
+            cols["url_hits_w2"].cast("long").alias("hits_w2"),
+        )
+        .groupBy("score", "flagged", "hits_w1", "hits_w2")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+
+
 def q_token_count(spark, sf_dir):
     """Token counting, BOTH modes in one entry: whitespace tokens and
     BPE-ish tokens (GPT-2-style pretokenizer classes — contractions,
@@ -2030,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minlen_filter": q_minlen_filter,
         "length_analytics": q_length_analytics,
         "warc_extract": q_warc_extract,
+        "url_score": q_url_score,
         "hash_split": q_hash_split,
         "synth_corpus": q_synth_corpus,
         "dedup_exact": q_dedup_exact,
@@ -2142,6 +2178,9 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality.gopher import THRESHOLDS as _GT
     from pii_spark.quality.toxicity import TOX_RE_W1 as _TOX_RE_W1
     from pii_spark.quality.toxicity import TOX_RE_W2 as _TOX_RE_W2
+    from pii_spark.quality.urlscore import URL_SCORE_FLAG as _URL_FLAG
+    from pii_spark.quality.urlscore import URL_W1 as _URL_W1
+    from pii_spark.quality.urlscore import URL_W2 as _URL_W2
 
     _TOX_MAX = _Q["max_tox_score"]
 
@@ -2247,6 +2286,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, warc_type, url,
                    md5(body) AS body_md5
             FROM fields WHERE warc_type = 'response'
+        """,
+        "url_score": f"""
+            WITH u AS (
+              SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/page/'
+                     || CAST(doc_id AS VARCHAR)
+                     || (CASE WHEN doc_id % 5 = 0
+                              THEN '/free-pills-casino' ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 0
+                              THEN '?ref=xxx-adult' ELSE '' END)
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN '&q=discount' ELSE '' END) AS url
+              FROM documents),
+            h AS (
+              SELECT len(regexp_extract_all(lower(url),
+                  '\\b({'|'.join(_URL_W1)})\\b', 1))
+                     AS hits_w1,
+                     len(regexp_extract_all(lower(url),
+                  '\\b({'|'.join(_URL_W2)})\\b', 1))
+                     AS hits_w2
+              FROM u),
+            s AS (
+              SELECT CAST(hits_w1 + 3 * hits_w2 AS BIGINT) AS score,
+                     (hits_w1 + 3 * hits_w2) >= {_URL_FLAG} AS flagged,
+                     CAST(hits_w1 AS BIGINT) AS hits_w1,
+                     CAST(hits_w2 AS BIGINT) AS hits_w2
+              FROM h)
+            SELECT score, flagged, hits_w1, hits_w2,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM s GROUP BY 1, 2, 3, 4
         """,
         "hash_split": """
             WITH b AS (

@@ -102,3 +102,41 @@ def test_toxic_doc_dropped_by_pipeline(spark):
     assert out["1"].quality.tox_score > 0.08
     assert out["2"].keep and out["2"].drop_reason is None
     assert out["2"].quality.tox_score == 0.0
+
+
+def test_url_score_native_matches_pure_twin(spark):
+    """URL keyword scoring (quality/urlscore.py): native exprs ==
+    pure twin on representative and edge urls; flag threshold fires
+    on the strong-signal tier."""
+    from pyspark.sql import functions as F
+
+    from pii_spark.quality.urlscore import (
+        URL_SCORE_FLAG,
+        url_score_exprs,
+        url_score_stats,
+    )
+
+    urls = [
+        "https://site.example.com/page/1",
+        "https://spam.example.com/free-pills-casino-discount",
+        "https://bad.example.com/xxx/adult?ref=porn",
+        "https://ok.example.com/freedom-pillsbury",  # substrings no-hit
+        "HTTPS://CAPS.EXAMPLE.COM/FREE/CASINO",      # case-folded
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        "url",
+        *[v.alias(k) for k, v in url_score_exprs(F.col("url")).items()],
+    ).collect()
+    for r in rows:
+        pure = url_score_stats(r.url)
+        for k in pure:
+            assert r[k] == pure[k], (repr(r.url), k)
+    by = {r.url: r for r in rows}
+    assert by["https://ok.example.com/freedom-pillsbury"].url_score == 0
+    assert by["https://spam.example.com/free-pills-casino-discount"] \
+        .url_score >= URL_SCORE_FLAG
+    assert by["https://bad.example.com/xxx/adult?ref=porn"].url_flagged
+    assert not by[None].url_flagged and by[None].url_score == 0
