@@ -1059,8 +1059,15 @@ def q_warc_extract(spark, sf_dir):
     rec = F.concat(
         F.when(is_info, F.lit("WARC-Type: warcinfo\r\n")).otherwise(
             F.concat(
-                F.lit("WARC-Type: response\r\nWARC-Target-URI: "
-                      "https://w.example.com/"),
+                # every 3rd record spells header NAMES in non-CC
+                # casing — pins the (?i) match (VERDICT r5 #4)
+                F.when(
+                    F.col("doc_id") % 3 == 1,
+                    F.lit("Warc-Type: response\r\nWarc-Target-Uri: "),
+                ).otherwise(
+                    F.lit("WARC-Type: response\r\nWARC-Target-URI: ")
+                ),
+                F.lit("https://w.example.com/"),
                 F.col("doc_id").cast("string"),
                 F.lit("\r\n"),
             )
@@ -2251,6 +2258,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      (CASE WHEN doc_id % 50 = 0
                            THEN 'WARC-Type: warcinfo' || c.c
+                           WHEN doc_id % 3 = 1
+                           THEN 'Warc-Type: response' || c.c
+                                || 'Warc-Target-Uri: '
+                                || 'https://w.example.com/'
+                                || CAST(doc_id AS VARCHAR) || c.c
                            ELSE 'WARC-Type: response' || c.c
                                 || 'WARC-Target-URI: '
                                 || 'https://w.example.com/'
@@ -2275,10 +2287,12 @@ def oracle_sql() -> dict[str, str]:
               FROM parsed WHERE hdr_end > 0),
             fields AS (
               SELECT doc_id,
+                     -- (?i): header names are case-insensitive in
+                     -- lockstep with warc_record_exprs (VERDICT r5 #4)
                      regexp_extract(headers,
-                         'WARC-Type: *([^\r\n]+)', 1) AS warc_type,
+                         '(?i)WARC-Type: *([^\r\n]+)', 1) AS warc_type,
                      regexp_extract(headers,
-                         'WARC-Target-URI: *([^\r\n]+)', 1) AS url,
+                         '(?i)WARC-Target-URI: *([^\r\n]+)', 1) AS url,
                      CASE WHEN strpos(pay, c || c) > 0
                           THEN substr(pay, strpos(pay, c || c) + 4)
                      END AS body
@@ -2299,11 +2313,15 @@ def oracle_sql() -> dict[str, str]:
                      || (CASE WHEN doc_id % 3 = 0
                               THEN '&q=discount' ELSE '' END) AS url
               FROM documents),
+            -- separators normalized to spaces before \b, matching
+            -- urlscore.URL_SEP_RE ('_' is a word char in RE2 too)
             h AS (
-              SELECT len(regexp_extract_all(lower(url),
+              SELECT len(regexp_extract_all(
+                  regexp_replace(lower(url), '[-_/.?=&]', ' ', 'g'),
                   '\\b({'|'.join(_URL_W1)})\\b', 1))
                      AS hits_w1,
-                     len(regexp_extract_all(lower(url),
+                     len(regexp_extract_all(
+                  regexp_replace(lower(url), '[-_/.?=&]', ' ', 'g'),
                   '\\b({'|'.join(_URL_W2)})\\b', 1))
                      AS hits_w2
               FROM u),

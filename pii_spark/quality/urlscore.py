@@ -11,8 +11,11 @@ small demonstration lexicon (config-swappable for a maintained list),
 two word-boundary regexp passes in pure Catalyst — whole-stage
 codegen, zero shuffle, linear at any corpus size — plus a pure-Python
 twin and a DuckDB oracle fragment kept in lockstep. URL tokens are
-matched on the lowercased url with separators (``/-_.?=&``) treated
-as word boundaries, which ``\\b`` already provides for ASCII.
+matched on the lowercased url with separators (``/-_.?=&``) first
+replaced by spaces so they all act as word boundaries; ``\\b`` alone
+would miss ``_`` (a word character in both Java and Python regex, so
+``free_pills_casino`` scored zero before the replace — review r5
+ADVICE).
 
 Score: (w1 hits + 3 * w2 hits); a url scoring ≥ ``URL_SCORE_FLAG``
 is flagged (the caller drops or routes it). Weights are integers and
@@ -35,13 +38,20 @@ URL_SCORE_FLAG = 3
 URL_RE_W1 = r"\b(" + "|".join(URL_W1) + r")\b"
 URL_RE_W2 = r"\b(" + "|".join(URL_W2) + r")\b"
 
+# url separators normalized to spaces BEFORE the \b match — '_' is a
+# word char, so without this 'free_pills' never matches. Kept as a
+# char class (not \W) so all three engines (Java, Python re, DuckDB
+# RE2) agree byte-for-byte.
+URL_SEP_RE = r"[-_/.?=&]"
+
 _P1 = re.compile(URL_RE_W1)
 _P2 = re.compile(URL_RE_W2)
+_PSEP = re.compile(URL_SEP_RE)
 
 
 def url_score_stats(url: str) -> dict:
     """Pure-Python twin."""
-    u = (url or "").lower()
+    u = _PSEP.sub(" ", (url or "").lower())
     h1, h2 = len(_P1.findall(u)), len(_P2.findall(u))
     score = h1 + 3 * h2
     return {
@@ -54,7 +64,9 @@ def url_score_stats(url: str) -> dict:
 
 def url_score_exprs(url: Column) -> dict[str, Column]:
     """Native Spark columns (two codegen regex passes, no UDF)."""
-    u = F.lower(F.coalesce(url, F.lit("")))
+    u = F.regexp_replace(
+        F.lower(F.coalesce(url, F.lit(""))), URL_SEP_RE, " "
+    )
     h1 = F.size(F.regexp_extract_all(u, F.lit(URL_RE_W1), F.lit(1)))
     h2 = F.size(F.regexp_extract_all(u, F.lit(URL_RE_W2), F.lit(1)))
     score = h1 + h2 * F.lit(3)

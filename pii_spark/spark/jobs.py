@@ -287,6 +287,13 @@ def run_quality_job(
         # in each file name (part-NNNNN-…): one write task per pipeline
         # partition, so the lineage granularity is unchanged; empty
         # partitions never wrote a file and were absent before too.
+        # ASSUMPTION (review r5 ADVICE): one file per write task —
+        # true here because the append never sets maxRecordsPerFile /
+        # maxPartitionBytes-driven splits; if a task ever emits
+        # several files they share a part-NNNNN index and their stats
+        # rows collapse onto one partition_id (counts still correct,
+        # granularity degraded). A filename the pattern cannot parse
+        # maps to -1 and is WARNED about below, never silent.
         snap = out.append(
             result,
             summary={"group": g, "run_id": run_id, **extra_summary},
@@ -306,7 +313,15 @@ def run_quality_job(
 
         def _pid(fname: str) -> int:
             m = re.search(r"part-(\d+)", fname.rsplit("/", 1)[-1])
-            return int(m.group(1)) if m else -1
+            if not m:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "audit lineage: file name %r has no part-NNNNN "
+                    "index; recording partition_id=-1", fname,
+                )
+                return -1
+            return int(m.group(1))
 
         wall_ms = int((time.time() - t0) * 1000)
         audit_rows = [

@@ -79,7 +79,18 @@ def substring_dedup(
     """(id, text) → (id, cleaned_text, n_tokens, n_removed_tokens,
     frac_removed): drop every token covered by a k-gram that occurs
     more than once in the corpus (cross-document AND within-document
-    repeats both count, like the paper's suffix-array match)."""
+    repeats both count, like the paper's suffix-array match).
+
+    ``hashed=True`` runs the census on ``xxhash64(gram)`` (8-byte
+    shuffle keys instead of strings). The Lee-et-al-style tradeoff,
+    stated honestly: once the corpus holds ≳2^32 DISTINCT k-grams,
+    64-bit birthday collisions are expected (~n²/2^65 colliding
+    pairs — about one per 2×10^10 distinct grams at n=10^10), and a
+    collision marks two unique grams as duplicated, deleting k clean
+    tokens per site — a small false-positive deletion rate, never a
+    missed duplicate. ``hashed=False`` is exact (and what the DuckDB
+    oracle checks); the pin test asserts the two paths agree on the
+    check corpus."""
     toks = _tokens(df, id_col, text_col)
 
     # one (start, gram) row per k-window; short docs contribute none.

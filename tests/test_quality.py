@@ -122,6 +122,7 @@ def test_url_score_native_matches_pure_twin(spark):
         "https://bad.example.com/xxx/adult?ref=porn",
         "https://ok.example.com/freedom-pillsbury",  # substrings no-hit
         "HTTPS://CAPS.EXAMPLE.COM/FREE/CASINO",      # case-folded
+        "https://u.example.com/free_pills_casino",   # '_' separators
         "",
         None,
     ]
@@ -139,4 +140,7 @@ def test_url_score_native_matches_pure_twin(spark):
     assert by["https://spam.example.com/free-pills-casino-discount"] \
         .url_score >= URL_SCORE_FLAG
     assert by["https://bad.example.com/xxx/adult?ref=porn"].url_flagged
+    # underscore separators count as boundaries (review r5 ADVICE:
+    # '_' is a word char, \b alone silently never matched these)
+    assert by["https://u.example.com/free_pills_casino"].url_score == 3
     assert not by[None].url_flagged and by[None].url_score == 0
