@@ -1969,14 +1969,20 @@ def q_sampling(spark, sf_dir):
         F.lit("uniform").alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"),
     )
-    strat = stratified_sample_n(d, "lang", 10, key_fn=md5_key).select(
-        F.concat(F.lit("stratified_"), F.col("lang")).alias("part"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-    )
+    # leading-two-hex-chars bucket of the md5 key: order-consistent
+    # with the key string (hex digits sort '0'<'9'<'a'<'f' in ASCII),
+    # which is the r6 bucketed-cut engine's correctness precondition —
+    # the same bucket feeds the token-budget cut below
     bucket = F.expr(
         f"(instr('0123456789abcdef', substr({_SAMPLE_KEY_SQL}, 1, 1)) - 1)"
         f" * 16 + (instr('0123456789abcdef',"
         f" substr({_SAMPLE_KEY_SQL}, 2, 1)) - 1)"
+    )
+    strat = stratified_sample_n(
+        d, "lang", 10, key_fn=md5_key, bucket_expr=bucket
+    ).select(
+        F.concat(F.lit("stratified_"), F.col("lang")).alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
     )
     tb = token_budget_sample(
         d, _SAMPLE_BUDGET, "n_chars", bucket_bits=8, bucket_expr=bucket
@@ -1999,7 +2005,8 @@ def q_sampling(spark, sf_dir):
     # sources at total 37 → largest-remainder quotas 19/11/7, a pure
     # function of the weights, so the oracle encodes them as literals
     mix = mixture_sample(
-        d, {"src0": 5, "src1": 3, "src2": 2}, 37, key_fn=md5_key
+        d, {"src0": 5, "src1": 3, "src2": 2}, 37, key_fn=md5_key,
+        bucket_expr=bucket,
     ).select(
         F.concat(F.lit("mixture_"), F.col("source")).alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"),

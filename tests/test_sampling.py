@@ -184,6 +184,120 @@ def test_mixture_sample_quotas_and_shortfall(spark):
     assert a == b and len(a) == 10
 
 
+def test_bucketed_cut_matches_window_reference(spark):
+    """VERDICT r5 #1 exactness pin: the bucketed-histogram-cut
+    implementations must produce BYTE-IDENTICAL membership/labels to
+    the single-window reference formulations — including score ties,
+    NULL scores (now ranked last, the r5 ADVICE fix), a point-mass
+    stratum (degenerate one-bin histogram), and strata smaller than
+    their quota."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(400):
+        lang = ["en", "de", "fr", "pt"][i % 4]
+        score = (
+            None if i % 37 == 0
+            else 5.0 if lang == "pt"          # point mass: one bin
+            else float((i * 7919) % 97)        # heavy ties
+        )
+        rows.append((i, lang, score))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+
+    # stratified draw vs row_number window reference
+    got = sorted(
+        r.doc_id for r in stratified_sample_n(
+            d, "lang", 30, bucket_bits=4  # tiny buckets → real cuts
+        ).collect()
+    )
+    wref = Window.partitionBy("lang").orderBy(
+        F.xxhash64(F.col("doc_id"), F.lit(42)), F.col("doc_id")
+    )
+    ref = sorted(
+        r.doc_id
+        for r in d.withColumn("rn", F.row_number().over(wref))
+        .filter("rn <= 30").collect()
+    )
+    assert got == ref
+
+    # mixture draw (incl. an undersized stratum) vs the same reference
+    from pii_spark.spark.sampling import mixture_sample
+
+    got_m = sorted(
+        r.doc_id for r in mixture_sample(
+            d.filter("lang != 'pt' or doc_id < 20"),
+            {"en": 5, "de": 3, "pt": 2}, 150, stratum_col="lang",
+            bucket_bits=4,
+        ).collect()
+    )
+    quota = {"en": 75, "de": 45, "pt": 30}  # largest remainder on 5/3/2
+    ref_m = sorted(
+        r.doc_id
+        for r in d.filter("lang != 'pt' or doc_id < 20")
+        .withColumn("rn", F.row_number().over(wref))
+        .filter(F.col("lang").isin(*quota))
+        .filter(
+            F.col("rn") <= F.coalesce(*[
+                F.when(F.col("lang") == s, F.lit(n))
+                for s, n in quota.items()
+            ])
+        ).collect()
+    )
+    assert got_m == ref_m
+
+    # ccnet labels vs the ntile window reference (NULLS LAST)
+    got_c = {
+        r.doc_id: r.ccnet_bucket
+        for r in ccnet_buckets(d, "score", hist_bits=3).collect()
+    }
+    wn = Window.partitionBy("lang").orderBy(
+        F.col("score").asc_nulls_last(), F.col("doc_id")
+    )
+    ref_c = {
+        r.doc_id: ("head", "middle", "tail")[r.t - 1]
+        for r in d.withColumn("t", F.ntile(3).over(wn)).collect()
+    }
+    assert got_c == ref_c
+    # NULL scores landed in the tail, never the head (r5 ADVICE)
+    null_ids = {i for i, _, s in rows if s is None}
+    assert all(got_c[i] == "tail" for i in null_ids)
+
+
+def test_skewed_stratum_never_sorts_stratum_wide(spark):
+    """VERDICT r5 #1 scale gate: with a 90%-one-lang corpus (the
+    dominant-language shape of a real crawl), no executed Window may
+    partition by the raw stratum alone — every window spec must
+    include the bucket column, so the largest sort task is one bucket,
+    not 90% of the corpus."""
+    import re
+
+    from pii_spark.spark.sampling import mixture_sample
+
+    d = _docs(spark, "/root/testdata/sf0.01").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 10 < 9, "en").otherwise(F.col("lang")),
+    )
+
+    def window_specs(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+    for out in (
+        stratified_sample_n(d, "lang", 50),
+        mixture_sample(d, {"en": 3, "de": 1}, 200, stratum_col="lang"),
+        ccnet_buckets(d, "n_chars"),
+    ):
+        out.collect()  # materialize so AQE finalizes the plan
+        specs = window_specs(out)
+        assert specs, "expected a boundary window in the plan"
+        for spec in specs:
+            assert "_bkt" in spec or "_sb" in spec, spec
+    # and the draws stay correct under the skew
+    s = stratified_sample_n(d, "lang", 50)
+    per = {r.lang: r["count"] for r in s.groupBy("lang").count().collect()}
+    assert per["en"] == 50
+
+
 def test_mixture_sample_rejects_negative_and_types_int_strata(spark):
     import pytest as _pt
 
