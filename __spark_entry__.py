@@ -1026,7 +1026,10 @@ def q_paragraph_dedup(spark, sf_dir):
             ).alias("text")
         )
     )
-    out = paragraph_dedup(pages)
+    # hashed=False: the exact string-census path is what DuckDB can
+    # replicate; production defaults to the xxhash64 census (r6), and
+    # tests/test_para_dedup.py pins hashed ≡ string on this corpus
+    out = paragraph_dedup(pages, hashed=False)
     touched = out.filter(F.col("n_removed_paras") > 0).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5("cleaned_text").alias("cleaned_md5"),

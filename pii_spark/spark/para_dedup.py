@@ -15,8 +15,10 @@ Spark-first shape — no Bloom filter, no sequential state:
   occurrence, a total order independent of partitioning (Dolma's
   Bloom order is ingest order; a distributed run needs an explicit
   order to be reproducible);
-* one paragraph census ``groupBy(para).agg(count, min(struct(id,
-  pos)))`` — partial-aggregated map-side, so a viral boilerplate
+* one paragraph census ``groupBy(xxhash64(para)).agg(count,
+  min(struct(id, pos)))`` (8-byte keys; ``hashed=False`` keeps the
+  exact string census for the oracle) — partial-aggregated map-side,
+  so a viral boilerplate
   paragraph (10^8 copies of "Subscribe to our newsletter") combines
   to one row per partition instead of colocating all copies on one
   reducer (the window/row_number formulation was rejected for exactly
@@ -44,11 +46,23 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    hashed: bool = True,
 ) -> DataFrame:
     """(id, text) → (id, cleaned_text, n_paras, n_removed_paras,
     frac_removed): remove every non-first occurrence of a duplicated
     paragraph across the whole corpus. ``sep`` splits paragraphs
-    (Dolma uses newline); it is treated as a literal, not a regex."""
+    (Dolma uses newline); it is treated as a literal, not a regex.
+
+    ``hashed=True`` (the scale default, VERDICT r5 #2) runs the
+    census and the join-back on ``xxhash64(para)`` — 8-byte shuffle
+    keys instead of whole paragraph strings on both the aggregation
+    AND the join exchange. Same 64-bit tradeoff as
+    ``substring_dedup``: at ≳2^32 distinct paragraphs, birthday
+    collisions mark a few unique paragraphs as duplicated and drop
+    the one that isn't the colliding pair's global first — a tiny
+    false-REMOVAL rate, never a missed duplicate. ``hashed=False``
+    is exact and is what the DuckDB oracle replicates; the pin test
+    asserts the two paths agree on the check corpus."""
     import re as _re
 
     parts = F.split(
@@ -57,19 +71,21 @@ def paragraph_dedup(
     occ = df.select(
         F.col(id_col).alias("_id"), F.posexplode(parts).alias("pos", "para")
     ).withColumn("_content", F.col("para").rlike(_NON_WS))
+    pk = F.xxhash64("para") if hashed else F.col("para")
+    occ = occ.withColumn("_pk", pk)
 
     dup = (
         occ.filter("_content")
-        .groupBy("para")
+        .groupBy("_pk")
         .agg(
             F.count("*").alias("c"),
             F.min(F.struct("_id", "pos")).alias("first_occ"),
         )
         .filter(F.col("c") > 1)
-        .select("para", "first_occ")
+        .select("_pk", "first_occ")
     )
     kept = (
-        occ.join(dup, "para", "left")
+        occ.join(dup, "_pk", "left")
         .filter(
             F.col("first_occ").isNull()
             | (F.struct("_id", "pos") == F.col("first_occ"))

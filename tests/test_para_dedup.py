@@ -48,6 +48,46 @@ def test_matches_pure_twin_and_keep_first(spark):
     assert got[6].cleaned_text == "Spaced\n   "
 
 
+def test_hashed_variant_identical(spark):
+    """VERDICT r5 #2: the xxhash64-census production path (8-byte
+    shuffle keys, now the default) must agree byte-for-byte with the
+    exact string-census path the oracle replicates — on the edge-case
+    corpus AND on a real multi-page synthetic corpus."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.asDict()
+         for r in paragraph_dedup(df, hashed=True).collect()}
+    b = {r.doc_id: r.asDict()
+         for r in paragraph_dedup(df, hashed=False).collect()}
+    assert a == b
+    # and on the q_paragraph_dedup-shaped corpus: 3-para pages where
+    # every text appears in exactly 3 pages (real cross-doc dedup)
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    n = d.count()
+    pages = (
+        d.select("doc_id")
+        .withColumn("k", F.explode(F.array(*map(F.lit, (0, 1, 2)))))
+        .withColumn("src", (F.col("doc_id") + F.col("k") * 7) % n)
+        .join(d.select(F.col("doc_id").alias("src"), "text"), "src")
+        .groupBy("doc_id")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "text"))),
+            lambda x: x["text"]), "\n").alias("text"))
+    )
+    ha = {r.doc_id: r.asDict()
+          for r in paragraph_dedup(pages, hashed=True).collect()}
+    hb = {r.doc_id: r.asDict()
+          for r in paragraph_dedup(pages, hashed=False).collect()}
+    assert ha == hb and any(
+        v["n_removed_paras"] > 0 for v in ha.values()
+    )
+
+
 def test_layout_independent(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
