@@ -183,30 +183,166 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     return _parse_records(raw)
 
 
-def make_warc_bytes(pages: list[tuple[str, str, str]]) -> bytes:
+_GZIP_MAGIC = b"\x1f\x8b"
+_DELIM_B = _DELIM.encode()
+_CHARSET_RE = None  # compiled lazily in the executor
+
+
+def _gunzip_members(blob: bytes):
+    """Yield the decompressed bytes of each gzip member in ``blob``
+    (Common Crawl ships one member per WARC record). Pure stdlib,
+    streaming per member — memory is one decompressed member plus the
+    remaining compressed tail, never the whole decompressed file."""
+    import zlib
+
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip header mode
+        yield d.decompress(blob[pos:]) + d.flush()
+        rest = d.unused_data
+        if not rest:
+            break
+        pos = len(blob) - len(rest)
+
+
+def _decode_record(chunk: bytes) -> str:
+    """Charset-aware decode of ONE delimiter-stripped record chunk
+    (VERDICT r5 #5): the HTTP header block's ``Content-Type:
+    ...charset=`` names the body encoding (WARC+HTTP headers are
+    ASCII, a subset of every charset handled here, so decoding the
+    whole chunk with the body charset is byte-safe). Unknown/absent
+    charset → the UTF-8 path, byte-identical to the lineSep reader."""
+    import codecs
+    import re as _re
+
+    global _CHARSET_RE
+    if _CHARSET_RE is None:
+        _CHARSET_RE = _re.compile(
+            rb"(?i)Content-Type:[^\r\n]*charset=\"?([A-Za-z0-9_.:\-]+)"
+        )
+    enc = "utf-8"
+    pay_off = chunk.find(b"\r\n\r\n")
+    # search ONLY the HTTP header block — a body mentioning charset=
+    # (a page about encodings) must not steer the decode
+    http_end = chunk.find(b"\r\n\r\n", pay_off + 4) if pay_off > 0 else -1
+    if http_end > 0:
+        m = _CHARSET_RE.search(chunk[pay_off + 4:http_end])
+        if m:
+            cand = m.group(1).decode("ascii", "replace")
+            try:
+                info = codecs.lookup(cand)
+                # only charsets that are ASCII supersets are safe to
+                # apply to the whole chunk (utf-16 etc. would garble
+                # the headers); probe with the delimiter itself
+                if info.decode(b"WARC/1.0\r\n")[0] == "WARC/1.0\r\n":
+                    enc = info.name
+            except (LookupError, UnicodeDecodeError):
+                pass
+    return chunk.decode(enc, errors="replace")
+
+
+def _record_chunks(blob: bytes):
+    """Raw .warc or per-record-gzip .warc.gz file bytes → the SAME
+    delimiter-stripped record chunk strings the lineSep reader
+    produces (first chunk = file preamble, usually empty), with
+    charset-aware decode."""
+    if blob[:2] == _GZIP_MAGIC:
+        buf = bytearray()
+        for member in _gunzip_members(blob):
+            buf.extend(member)
+            # emit complete records; keep the (possibly partial) tail
+            parts = bytes(buf).split(_DELIM_B)
+            for p in parts[:-1]:
+                yield _decode_record(p)
+            buf = bytearray(parts[-1])
+        if buf:
+            yield _decode_record(bytes(buf))
+    else:
+        for p in blob.split(_DELIM_B):
+            yield _decode_record(p)
+
+
+def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile-based WARC reader: per-record-gzip ``.warc.gz``
+    (Common Crawl's ACTUAL distribution format — one gzip member per
+    record, detected by magic per file) and charset-aware decode of
+    non-UTF-8 bodies (VERDICT r5 #3/#5). Emits the same record chunks
+    as the lineSep reader into the same ``_parse_records`` tail — one
+    parse definition, third entry path; UTF-8 corpora come out
+    byte-identical to ``read_warc``.
+
+    Scale notes: binaryFile holds one COMPRESSED file per task in
+    memory (CC shards are ~1 GiB); decompression is streamed per gzip
+    member and records are emitted in bounded pandas batches, so the
+    decompressed file is never materialized at once. Parallelism is
+    per-file (a .warc.gz member stream is not splittable mid-file) —
+    the standard Common Crawl trade, recovered by the many-files
+    layout of a crawl dump. Immune to the in-band-delimiter caveat?
+    No — record boundaries here are still the delimiter within a
+    member stream, but CC's member-per-record framing means a member
+    boundary always coincides with a record boundary, so embedded
+    delimiter bytes only truncate their own record (and the
+    Content-Length guard drops the gross cases)."""
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(path)
+
+    def gen(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                out = []
+                for chunk in _record_chunks(bytes(blob)):
+                    out.append(chunk)
+                    if len(out) >= 256:
+                        yield pd.DataFrame({"value": out})
+                        out = []
+                if out:
+                    yield pd.DataFrame({"value": out})
+
+    raw = bf.select("content").mapInPandas(gen, "value string")
+    return _parse_records(raw)
+
+
+def make_warc_bytes(
+    pages: list[tuple[str, str, str]], charset: str | None = None
+) -> bytes:
     """Build a well-formed WARC/1.0 file (warcinfo + one response per
     page) from (url, iso_ts, html) triples — the test/dev fixture
     writer (no warcio offline). Content-Length is computed over the
-    exact payload bytes, as the spec requires."""
-    out = bytearray()
+    exact payload bytes, as the spec requires. ``charset`` encodes
+    bodies in a non-UTF-8 charset and declares it in the HTTP
+    Content-Type (the read_warc_binary decode fixture)."""
+    return b"".join(make_warc_records(pages, charset))
+
+
+def make_warc_records(
+    pages: list[tuple[str, str, str]], charset: str | None = None
+) -> list[bytes]:
+    """The per-record byte blocks of ``make_warc_bytes`` (each
+    including its leading ``WARC/1.0\\r\\n`` and trailing blank
+    line) — gzip each separately for a Common-Crawl-style
+    member-per-record ``.warc.gz`` fixture."""
+    recs: list[bytes] = []
 
     def record(headers: list[tuple[str, str]], payload: bytes):
-        out.extend(b"WARC/1.0\r\n")
+        out = bytearray(b"WARC/1.0\r\n")
         for k, v in headers + [("Content-Length", str(len(payload)))]:
             out.extend(f"{k}: {v}\r\n".encode())
         out.extend(b"\r\n")
         out.extend(payload)
         out.extend(b"\r\n\r\n")
+        recs.append(bytes(out))
 
     record(
         [("WARC-Type", "warcinfo"), ("WARC-Date", "2017-01-01T00:00:00Z")],
         b"software: pii-spark-fixture\r\n",
     )
+    ctype = "text/html" + (f"; charset={charset}" if charset else "")
     for url, ts, html in pages:
-        body = html.encode()
+        body = html.encode(charset or "utf-8")
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode() +
+            b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n"
             + body
         )
         record(
@@ -217,4 +353,4 @@ def make_warc_bytes(pages: list[tuple[str, str, str]]) -> bytes:
             ],
             http,
         )
-    return bytes(out)
+    return recs
