@@ -3244,7 +3244,44 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0.0 END)
                                        > {_GT["dup_para_char_frac"]}
                              THEN 1.0 ELSE 0.0 END), 4)
-                       AS dup_para_char_frac_flag_rate
+                       AS dup_para_char_frac_flag_rate,
+                   -- strict-profile composition (VERDICT r5 #6):
+                   -- any Gopher line flag, and the strict in-row keep
+                   round(avg(CASE WHEN
+                       dup_line_frac > {_GT["dup_line_frac"]}
+                       OR dup_para_frac > {_GT["dup_para_frac"]}
+                       OR (CASE WHEN line_chars > 0
+                           THEN dup_line_chars * 1.0 / line_chars
+                           ELSE 0.0 END) > {_GT["dup_line_char_frac"]}
+                       OR (CASE WHEN para_chars > 0
+                           THEN dup_para_chars * 1.0 / para_chars
+                           ELSE 0.0 END) > {_GT["dup_para_char_frac"]}
+                       THEN 1.0 ELSE 0.0 END), 4)
+                       AS gopher_line_flag_rate,
+                   round(avg(CASE WHEN
+                       n_words BETWEEN {_Q["min_words"]}
+                                   AND {_Q["max_words"]}
+                       AND mean_wl BETWEEN {_Q["min_mean_word_len"]}
+                                       AND {_Q["max_mean_word_len"]}
+                       AND sym_r <= {_Q["max_symbol_ratio"]}
+                       AND rep <= {_Q["max_rep_ratio"]}
+                       AND dig_r <= {_Q["max_digit_ratio"]}
+                       AND alp_r >= {_Q["min_alpha_ratio"]}
+                       AND NOT tox_score > {_TOX_MAX}
+                       AND c4_keep
+                       AND NOT (
+                           dup_line_frac > {_GT["dup_line_frac"]}
+                           OR dup_para_frac > {_GT["dup_para_frac"]}
+                           OR (CASE WHEN line_chars > 0
+                               THEN dup_line_chars * 1.0 / line_chars
+                               ELSE 0.0 END)
+                               > {_GT["dup_line_char_frac"]}
+                           OR (CASE WHEN para_chars > 0
+                               THEN dup_para_chars * 1.0 / para_chars
+                               ELSE 0.0 END)
+                               > {_GT["dup_para_char_frac"]})
+                       THEN 1.0 ELSE 0.0 END), 4)
+                       AS strict_rule_keep_rate
             FROM d
         """,
         # heavy-hitters bounds (exact in the capacity ≥ distinct

@@ -66,9 +66,21 @@ def quality_report(
         rate(c4["keep"]).alias("c4_keep_rate"),
         F.round(F.avg(c4["n_kept_lines"]), 2).alias("avg_c4_kept_lines"),
     ]
+    line_flag = None
     for k in ("dup_line_frac", "dup_para_frac", "dup_line_char_frac",
               "dup_para_char_frac"):
-        aggs.append(rate(g[k] > THRESHOLDS[k]).alias(f"{k}_flag_rate"))
+        c = g[k] > THRESHOLDS[k]
+        line_flag = c if line_flag is None else (line_flag | c)
+        aggs.append(rate(c).alias(f"{k}_flag_rate"))
+    # the strict profile's composed in-row keep (run_pipeline
+    # --profile strict minus the relational n-gram census, which has
+    # its own plan): default keep ∧ C4 ∧ no Gopher line flag — the
+    # driver-checkable strict-rule signal (VERDICT r5 #6)
+    aggs.append(rate(line_flag).alias("gopher_line_flag_rate"))
+    aggs.append(
+        rate(heur_ok & ~tox_flag & c4["keep"] & ~line_flag)
+        .alias("strict_rule_keep_rate")
+    )
     report = base.agg(*aggs)
 
     if include_ngrams:

@@ -23,8 +23,14 @@ def test_report_shape_and_bounds(spark):
 
 
 def test_report_reacts_to_planted_pathologies(spark):
+    # three terminal-punctuated ≥5-word lines: passes C4's ≥3
+    # surviving-lines rule, so the doc is STRICT-clean too
     clean = ("A perfectly ordinary sentence with varied words stays "
-             "here today and reads naturally.")
+             "here today and reads naturally.\n"
+             "Another calm line follows the first one with plenty of "
+             "regular everyday vocabulary included.\n"
+             "The closing line wraps the short document up politely "
+             "and quite unremarkably indeed.")
     toxic = ("You stupid idiot, I hate this garbage and every moron "
              "and loser on this trash site, utter scum honestly.")
     dup_lines = "\n".join(["The same line appears again and again."] * 9
@@ -36,6 +42,12 @@ def test_report_reacts_to_planted_pathologies(spark):
     assert r.toxicity_flag_rate == 0.3333
     assert r.dup_line_frac_flag_rate == 0.3333
     assert r.n_docs == 3
+    # strict composition (VERDICT r5 #6): strict keep ⊆ default keep,
+    # and each planted pathology is excluded by a strict conjunct —
+    # only the clean doc survives the composed rule
+    assert r.strict_rule_keep_rate <= r.rule_keep_rate
+    assert r.strict_rule_keep_rate == 0.3333
+    assert r.gopher_line_flag_rate == 0.3333
 
 
 def test_report_is_single_scan_for_inrow_families(spark):
