@@ -10,6 +10,12 @@
 Batch mode uses the icelite group-commit ledger (resume on restart);
 --streaming uses Structured Streaming availableNow + checkpoint instead
 (file-granular exactly-once). Both produce byte-identical output.
+
+--input-format warc points the SAME job at a crawl dump instead of a
+curated parquet corpus: batch reads *.warc / per-record-gzip *.warc.gz
+through the binaryFile reader (charset-aware), streaming watches a
+landing dir of uncompressed *.warc — the full ingest→filter→scrub
+chain as one spark-submit.
 """
 
 from __future__ import annotations
@@ -36,6 +42,12 @@ def main() -> None:
                          "toxicity) or strict (adds C4 + full Gopher)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="parquet: curated corpus dir; warc: crawl "
+                         "dump (*.warc / per-record-gzip *.warc.gz in "
+                         "batch mode, uncompressed *.warc landing dir "
+                         "in --streaming mode)")
     args = ap.parse_args()
 
     from pii_spark.spark.session import get_spark
@@ -50,6 +62,7 @@ def main() -> None:
             table = run_streaming_job(
                 spark, args.input, args.output, args.checkpoint,
                 partitions=args.partitions, profile=args.profile,
+                input_format=args.input_format,
             )
         else:
             from pii_spark.spark.jobs import run_quality_job
@@ -62,6 +75,7 @@ def main() -> None:
                 partitions=args.partitions,
                 compact_every=args.compact_every,
                 profile=args.profile,
+                input_format=args.input_format,
             )
         n = table.read(spark).count()
         print(f"committed snapshot v{table.current_version()} ({n} rows)")

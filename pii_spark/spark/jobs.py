@@ -142,14 +142,24 @@ def run_quality_job(
     fail_after_groups: int | None = None,
     compact_every: int | None = None,
     profile: str = "default",
+    input_format: str = "parquet",
 ) -> IceliteTable:
     """Run the quality+scrub pipeline over ``corpus`` with checkpointed
     group commits. ``corpus`` is a DataFrame (staged into grp
-    partitions first) or a parquet directory path (files dealt
-    round-robin into groups — zero staging cost). ``fail_after_groups``
+    partitions first) or a directory path (files dealt round-robin
+    into groups — zero staging cost). ``fail_after_groups``
     injects a crash for the resume test; ``compact_every=N`` compacts
     the output table after every N group commits. ``profile`` selects
-    the keep chain (run_pipeline's default/strict)."""
+    the keep chain (run_pipeline's default/strict).
+
+    ``input_format`` (path mode only): ``"parquet"`` reads a curated
+    corpus; ``"warc"`` points the job straight at a crawl dump —
+    ``*.warc`` / ``*.warc.gz`` files read through ``read_warc_binary``
+    (per-record gzip members, charset-aware decode), so the
+    north-rule ingest→filter→scrub chain is ONE job with the same
+    file-granular resume ledger (a .warc file is a group member
+    exactly like a parquet file; the listing fingerprint covers the
+    format so a cross-format resume refuses loudly)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
@@ -185,15 +195,23 @@ def run_quality_job(
                 "across groups; reprocess into a fresh table or resume "
                 "with the original profile"
             )
+    if input_format not in ("parquet", "warc"):
+        raise ValueError(f"unknown input_format {input_format!r}")
     staging: str | None = None
     extra_summary: dict = {"profile": profile}
     if isinstance(corpus, str):
+        exts = (
+            ("*.parquet",) if input_format == "parquet"
+            else ("*.warc", "*.warc.gz")
+        )
         files = sorted(
-            str(p) for p in Path(corpus).rglob("*.parquet")
+            str(p) for ext in exts for p in Path(corpus).rglob(ext)
             if not p.name.startswith((".", "_"))
         )
         if not files:
-            raise FileNotFoundError(f"no parquet files under {corpus}")
+            raise FileNotFoundError(
+                f"no {input_format} files under {corpus}"
+            )
         # the round-robin deal is a function of the LISTING: if the file
         # set changes between a crash and its resume, committed group
         # ids would silently map to different files and rows would be
@@ -203,7 +221,12 @@ def run_quality_job(
         import hashlib
 
         files_fp = hashlib.md5(
-            ("\n".join(Path(f).name for f in files) + f":{groups}")
+            ("\n".join(Path(f).name for f in files)
+             + f":{groups}"
+             # format folded into the fingerprint only for non-default
+             # formats: parquet fps stay byte-compatible with every
+             # ledger written before input_format existed
+             + (f":{input_format}" if input_format != "parquet" else ""))
             .encode()
         ).hexdigest()[:16]
         extra_summary["files_fp"] = files_fp
@@ -238,7 +261,18 @@ def run_quality_job(
                     "deal is no longer valid; reprocess into a fresh "
                     "table or restore the original input listing"
                 )
-        schema = spark.read.parquet(files[0]).schema
+        if input_format == "warc":
+            from .warc import read_warc_binary
+
+            schema = read_warc_binary(spark, files[0]).schema
+
+            def _read_group(part: list[str]) -> DataFrame:
+                return read_warc_binary(spark, part)
+        else:
+            schema = spark.read.parquet(files[0]).schema
+
+            def _read_group(part: list[str]) -> DataFrame:
+                return spark.read.parquet(*part)
 
         def group_df(g: int) -> DataFrame:
             part = files[g::groups]
@@ -247,7 +281,7 @@ def run_quality_job(
                 # the ledger still reaches all G groups (review r4 —
                 # spark.read.parquet() with zero paths throws)
                 return spark.createDataFrame([], schema)
-            return spark.read.parquet(*part)
+            return _read_group(part)
 
         def group_files(g: int) -> list[str]:
             return [Path(f).name for f in files[g::groups]]

@@ -31,19 +31,38 @@ def run_streaming_job(
     max_files_per_trigger: int | None = None,
     partitions: int | None = None,
     profile: str = "default",
+    input_format: str = "parquet",
 ) -> IceliteTable:
     """Process all currently-available corpus files exactly once.
     ``profile`` selects run_pipeline's keep chain; like the batch job,
     it is recorded per batch summary so a restart under a different
     profile is detectable (every batch of one checkpoint must run the
-    same chain)."""
+    same chain). ``input_format="warc"`` watches a crawl landing dir
+    instead: uncompressed ``.warc`` files stream through the lineSep
+    record split + pure-Catalyst parse (one parse definition with the
+    batch readers) — live-crawl ingest with the same ledgered
+    exactly-once tail. (Per-record-gzip archives are a batch-backfill
+    format — ``run_quality_job(input_format="warc")`` — not a landing
+    stream; the text datasource cannot split gzip members.)"""
     out = IceliteTable(out_dir)
 
-    reader = (
-        spark.readStream.schema(CORPUS)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
-    )
-    stream = reader.parquet(corpus_dir)
+    if input_format == "warc":
+        from .warc import _DELIM, _parse_records
+
+        stream = _parse_records(
+            spark.readStream
+            .option("lineSep", _DELIM)
+            .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+            .text(corpus_dir)
+        )
+    elif input_format == "parquet":
+        reader = (
+            spark.readStream.schema(CORPUS)
+            .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+        )
+        stream = reader.parquet(corpus_dir)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r}")
 
     # ledger read ONCE per run, maintained in memory per batch —
     # re-scanning every manifest per micro-batch would make ledger

@@ -262,7 +262,9 @@ def _record_chunks(blob: bytes):
             yield _decode_record(p)
 
 
-def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_binary(
+    spark: SparkSession, path: str | list[str]
+) -> DataFrame:
     """binaryFile-based WARC reader: per-record-gzip ``.warc.gz``
     (Common Crawl's ACTUAL distribution format — one gzip member per
     record, detected by magic per file) and charset-aware decode of
