@@ -362,6 +362,60 @@ def q_dedup_minhash_fast(spark, sf_dir):
     return _minhash_band_census(per_doc)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl-snapshot dedup (SURVEY R78,
+    pii_spark/spark/incr_dedup.py): a deterministic 'new snapshot' —
+    the doc_id % 4 == 0 cohort, plus planted byte-identical recrawls
+    of base docs (% 10 == 1, re-idd) and planted near-recrawls with an
+    appended footer (% 10 == 3, re-idd) — is deduplicated AGAINST the
+    base cohort (% 4 != 0). hashed=False here so DuckDB replicates the
+    md5 fingerprints and band min-hashes byte-for-byte; the xxhash64
+    production path is pinned exact-tier-identical (near flags are
+    hash-dependent by LSH construction) by tests/test_incr_dedup.py.
+    Output: per-doc (doc_id, stage) rows for every dropped doc plus a
+    (lang, stage) census over the whole snapshot — both arms inside
+    the value hash."""
+    from pii_spark.spark.incr_dedup import incremental_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    snap = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 1)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1000000000))
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 3)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(2000000000))
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(" footer update 2026"))
+            )
+        )
+    )
+    out = incremental_dedup(base, snap, hashed=False)
+    dropped = out.filter(F.col("drop_stage").isNotNull()).select(
+        F.lit("dropped").alias("probe"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("drop_stage").alias("stage"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    census = (
+        out.groupBy(
+            "lang",
+            F.coalesce(F.col("drop_stage"), F.lit("kept")).alias("stage"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.lit("census").alias("probe"),
+            F.col("lang").alias("key"),
+            "stage",
+            "n",
+        )
+    )
+    return dropped.unionByName(census)
+
+
 _JACCARD_T = 0.6
 
 
@@ -735,6 +789,24 @@ def q_ann_cosine_topk_fast(spark, sf_dir):
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
     )
+
+
+def q_ann_cosine_both(spark, sf_dir):
+    """Both brute-force cosine top-k variants in ONE registry slot
+    (r6 consolidation, frees a slot for incremental_dedup): the
+    relational oracle-shaped plan and the zero-shuffle in-row plan,
+    labeled per variant and unioned — identical values is exactly the
+    equivalence the old two-slot layout proved, now hash-checked in
+    one row. The zero-shuffle plan shape is separately gated by
+    tests/test_plan_quality.py (no join / no explode / no agg
+    exchange)."""
+    rel = q_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("relational").alias("variant"), "vec_id", "cos"
+    )
+    fast = q_ann_cosine_topk_fast(spark, sf_dir).select(
+        F.lit("inrow").alias("variant"), "vec_id", "cos"
+    )
+    return rel.unionByName(fast)
 
 
 # ---- banded hyperplane LSH over embeddings (VERDICT r1 #1b) ----
@@ -2094,8 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "scale_fast_variants": q_scale_fast_variants,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_fast": q_ann_cosine_topk_fast,
+        "ann_cosine_topk": q_ann_cosine_both,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3360,12 +3432,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, lang
             FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
         """,
+        # incremental snapshot-vs-base dedup (R78): same deterministic
+        # base/snapshot construction, md5 fingerprint + md5-slice band
+        # min-hashes (the dedup_minhash scheme), exact tier then band
+        # collision on tier-1 survivors only — mirrors
+        # pii_spark/spark/incr_dedup.py hashed=False byte-for-byte
+        "incremental_dedup": """
+            WITH d AS (SELECT doc_id, text, lang FROM documents),
+            base AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+            snap AS (
+              SELECT doc_id, text, lang FROM d WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang
+              FROM d WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT doc_id + 2000000000,
+                     text || ' footer update 2026', lang
+              FROM d WHERE doc_id % 10 = 3),
+            bfp AS (
+              SELECT DISTINCT substr(md5(trim(regexp_replace(
+                  lower(coalesce(text, '')),
+                  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16) AS fp
+              FROM base),
+            sfp AS (
+              SELECT doc_id, lang,
+                     coalesce(text, '') AS t,
+                     substr(md5(trim(regexp_replace(
+                         lower(coalesce(text, '')),
+                         '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16) AS fp
+              FROM snap),
+            ex AS (SELECT doc_id FROM sfp
+                   WHERE fp IN (SELECT fp FROM bfp)),
+            bmh AS (
+              SELECT bd.band,
+                     min(substr(bsh.h, 1 + 8 * bd.band, 8)) AS mh
+              FROM (SELECT b.doc_id, md5(substr(coalesce(b.text, ''),
+                                               i, 12)) AS h
+                    FROM base b,
+                         LATERAL (SELECT unnest(generate_series(
+                             1, greatest(
+                                 length(coalesce(b.text, '')) - 11, 1),
+                             5)) AS i) t) bsh,
+                   (SELECT unnest([0,1,2,3]) AS band) bd
+              GROUP BY bd.band, bsh.doc_id),
+            bsig AS (SELECT DISTINCT band, mh FROM bmh),
+            surv AS (SELECT * FROM sfp
+                     WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+            smh AS (
+              SELECT sd.band, ssh.doc_id,
+                     min(substr(ssh.h, 1 + 8 * sd.band, 8)) AS mh
+              FROM (SELECT s.doc_id, md5(substr(s.t, i, 12)) AS h
+                    FROM surv s,
+                         LATERAL (SELECT unnest(generate_series(
+                             1, greatest(length(s.t) - 11, 1),
+                             5)) AS i) t) ssh,
+                   (SELECT unnest([0,1,2,3]) AS band) sd
+              GROUP BY sd.band, ssh.doc_id),
+            near AS (
+              SELECT DISTINCT smh.doc_id
+              FROM smh JOIN bsig USING (band, mh)),
+            stage AS (
+              SELECT s.doc_id, s.lang,
+                     CASE WHEN s.doc_id IN (SELECT doc_id FROM ex)
+                          THEN 'exact'
+                          WHEN s.doc_id IN (SELECT doc_id FROM near)
+                          THEN 'near' END AS drop_stage
+              FROM sfp s)
+            SELECT 'dropped' AS probe,
+                   CAST(doc_id AS VARCHAR) AS key,
+                   drop_stage AS stage,
+                   CAST(1 AS BIGINT) AS n
+            FROM stage WHERE drop_stage IS NOT NULL
+            UNION ALL
+            SELECT 'census', lang, coalesce(drop_stage, 'kept'),
+                   CAST(count(*) AS BIGINT)
+            FROM stage GROUP BY lang, coalesce(drop_stage, 'kept')
+        """,
         # pii_pipeline / pii_f1 / synth_corpus: Arrow-UDF pipeline stages,
         # not SQL-expressible → rows-only check
     }
-    # the fast ANN variant computes the same values with a zero-shuffle
-    # plan; the oracle is plan-agnostic
-    d["ann_cosine_topk_fast"] = d["ann_cosine_topk"]
     # recall oracle composes the three already-checked top-10
     # formulations (nested WITH inside CTE bodies — DuckDB-supported);
     # joins are on integer vec_id only, so DuckDB's CTE re-inlining
@@ -3383,5 +3528,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_hits,
                round(count(*) / 10.0, 4) AS recall
         FROM ivfq JOIN bf USING (vec_id)
+    """
+    # both ANN variants share ONE slot (r6 consolidation): the oracle
+    # is plan-agnostic, so the slot's SQL is the same SELECT labeled
+    # twice. MATERIALIZED pins one evaluation of the float aggregate —
+    # DuckDB re-inlines plain CTEs per reference and a different
+    # summation order could flip a 4dp rounding between the two arms
+    # (the CTE-float hazard documented in r3). ann_recall above keeps
+    # the unlabeled form.
+    d["ann_cosine_topk"] = f"""
+        WITH bf AS MATERIALIZED ({d["ann_cosine_topk"]})
+        SELECT 'relational' AS variant, vec_id, cos FROM bf
+        UNION ALL
+        SELECT 'inrow' AS variant, vec_id, cos FROM bf
     """
     return d

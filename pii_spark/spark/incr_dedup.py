@@ -1,0 +1,235 @@
+"""Incremental crawl-snapshot deduplication (SURVEY R78).
+
+Common Crawl publishes a new snapshot every month. A production corpus
+is never rebuilt from scratch: the NEW snapshot is deduplicated AGAINST
+the already-curated BASE corpus and only the survivors are appended —
+the reference workflow of every large pretraining-data pipeline
+(CCNet §2.3 recomputes per-snapshot; Dolma and RefinedWeb both dedup
+new data against retained data). The reference repo has no dedup at
+all; this is a north-rule training-pipeline addition, same family as
+`substr_dedup.py` / `para_dedup.py`.
+
+Two tiers, both join-shaped with the heavy text column never shuffled:
+
+1. **exact** — whitespace-normalized content fingerprint. A new doc
+   whose fingerprint already occurs in the base is a recrawl of
+   unchanged content → dropped, stage ``exact``.
+2. **near** — MinHash band signatures (``bands`` bands, one min-hash
+   per band over char shingles — the same banding scheme as the
+   corpus-internal ``dedup_minhash`` operator). A new doc that shares
+   ANY (band, min-hash) bucket with any base doc is an LSH
+   near-duplicate of retained content → dropped, stage ``near``.
+   Tier 2 only ever sees tier-1 survivors (recrawls don't pay the
+   shingle explode).
+
+Scale design (the reason this is incremental-shaped at all):
+
+* The base side compiles to two compact KEY relations — distinct
+  fingerprints and distinct (band, min-hash) signatures — that are a
+  pure function of the base corpus. At 100 TB these are precomputed
+  ONCE per corpus version, stored bucketed by key, and reused for
+  every subsequent snapshot; per month you pay one scan of the (much
+  smaller) snapshot plus joins against the key tables, never a scan
+  of the corpus. ``base_keys()`` exposes exactly that precompute.
+* ``hashed=True`` (production) carries 8-byte ``xxhash64`` keys in
+  both joins; ``hashed=False`` keeps md5-hex keys so DuckDB can
+  replicate byte-for-byte (the driver oracle runs this path). The two
+  paths are pinned EXACT-tier-identical by tests/test_incr_dedup.py;
+  near-tier flags are hash-function-dependent by LSH construction
+  (different hash → different band minima), same as the md5 / xxhash64
+  ``dedup_minhash`` variant pair — the tests pin both paths' near
+  tiers on constructed collisions instead.
+* Both joins are semi/anti on DISTINCT base keys — the build side has
+  multiplicity 1 per key, so a viral boilerplate shingle (10^8 docs
+  sharing a band bucket) is ONE build-side row, not a hot key. The
+  distincts themselves are partial-aggregable (map-side combine).
+* 64-bit fingerprint collisions (hashed=True) falsely drop a clean
+  new doc at ~n_base/2^64 per doc — the same documented tradeoff as
+  ``substr_dedup.hashed`` — never corruption.
+
+Band semantics: one 32-bit (md5 path) or 64-bit (xxhash64 path)
+min-hash per band is the bucket key. With default 4 bands this flags
+pairs sharing any band minimum — high recall on near-identical
+recrawls (the incremental case: boilerplate rewraps, appended
+footers), and the same operating point the corpus-internal
+``dedup_minhash`` census uses, so the two operators agree on what
+"near" means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ASCII whitespace class, spelled explicitly so the Spark exprs, the
+# DuckDB oracle, and any pure twin agree on CRLF/tab/\x0b text (the
+# repo-wide twin-drift standard; see tests/test_property_quality_twins)
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _norm(text: Column) -> Column:
+    # collapse-then-trim: after the collapse any edge whitespace is a
+    # single plain space, so F.trim (spaces only) and DuckDB trim()
+    # agree — a leading newline must not defeat recrawl detection
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), _WS, " ")
+    )
+
+
+def _fingerprint(text: Column, hashed: bool) -> Column:
+    n = _norm(text)
+    if hashed:
+        return F.xxhash64(n)
+    return F.substring(F.md5(n), 1, 16)
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str,
+              shingle_len: int, stride: int) -> DataFrame:
+    """(id, shingle) rows — same explode shape as dedup_minhash."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(t) - (shingle_len - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    ).alias("i")
+    return df.select(F.col(id_col), pos, t.alias("__t")).select(
+        id_col, F.expr(f"substring(__t, i, {shingle_len})").alias("shingle")
+    )
+
+
+def _band_minhashes(sh: DataFrame, id_col: str, bands: int,
+                    hashed: bool) -> DataFrame:
+    """(id, band, mh) — one min-hash per band.
+
+    md5 path: the 4 bands are disjoint 8-hex-char slices of ONE digest
+    per shingle (md5 hashed once — the r2 lesson); xxhash64 path: one
+    cheap JVM hash per band with the band index as seed (full 64-bit
+    minima per band; slicing one 64-bit hash into 4x16-bit bands would
+    leave 65k buckets per band — useless at corpus scale)."""
+    if hashed:
+        agg = [
+            F.min(F.xxhash64(F.lit(b), F.col("shingle"))).alias(f"mh{b}")
+            for b in range(bands)
+        ]
+    else:
+        if bands > 4:
+            raise ValueError("md5 slicing supports at most 4 bands")
+        h = F.md5(F.col("shingle"))
+        agg = [
+            F.min(F.substring(h, 1 + 8 * b, 8)).alias(f"mh{b}")
+            for b in range(bands)
+        ]
+    per_doc = sh.groupBy(id_col).agg(*agg)
+    return per_doc.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.col(f"mh{b}").alias("mh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bm"),
+    ).select(id_col, F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
+
+
+def base_keys(
+    base: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 12,
+    stride: int = 5,
+    bands: int = 4,
+    hashed: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The per-corpus-version precompute: (distinct fingerprints,
+    distinct (band, mh) signatures) of the base corpus. At scale these
+    are written once (bucketed by their join key) and reused for every
+    snapshot; `incremental_dedup` accepts them via ``base_fp`` /
+    ``base_sig`` so the monthly job never rescans the corpus."""
+    fp = base.select(_fingerprint(F.col(text_col), hashed).alias("fp")).distinct()
+    sig = (
+        _band_minhashes(
+            _shingles(base, id_col, text_col, shingle_len, stride),
+            id_col, bands, hashed,
+        )
+        .select("band", "mh")
+        .distinct()
+    )
+    return fp, sig
+
+
+def incremental_dedup(
+    base: DataFrame | None,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 12,
+    stride: int = 5,
+    bands: int = 4,
+    hashed: bool = True,
+    base_fp: DataFrame | None = None,
+    base_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Annotate every NEW-snapshot doc with ``drop_stage``:
+    ``'exact'`` (recrawl of base content), ``'near'`` (MinHash band
+    collision with base content), or NULL (novel — append it).
+
+    Pass either ``base`` (keys derived inline) or precomputed
+    ``base_fp``/``base_sig`` from :func:`base_keys`.
+
+    Tier 1 is annotated ROW-locally (a left join against the distinct
+    fingerprint relation — multiplicity 1 per key, so rows are never
+    multiplied and ``id_col`` plays no role). Tier 2 attributes band
+    collisions back to docs BY id (shingles are grouped per doc), so
+    ``new`` must carry unique non-NULL ids for tier-2 survivors —
+    the same contract as ``jobs/run_dedup.py``, which validates it
+    loudly up front; callers composing this operator into a job
+    should do the same (two id-column aggregates)."""
+    if base_fp is None or base_sig is None:
+        if base is None:
+            raise ValueError("need base or (base_fp, base_sig)")
+        base_fp, base_sig = base_keys(
+            base, id_col=id_col, text_col=text_col,
+            shingle_len=shingle_len, stride=stride,
+            bands=bands, hashed=hashed,
+        )
+
+    keyed = new.withColumn("__fp", _fingerprint(F.col(text_col), hashed))
+    bfp = base_fp.select(
+        F.col("fp").alias("__bfp"), F.lit(True).alias("__ex")
+    )
+    marked = keyed.join(
+        bfp, keyed["__fp"] == bfp["__bfp"], "left"
+    ).drop("__bfp")
+
+    # tier 2 shingles only tier-1 survivors: recrawls never pay the
+    # explode (at snapshot scale the exact tier typically removes the
+    # majority of rows — CC monthly self-overlap is large)
+    survivors = marked.filter(F.col("__ex").isNull())
+    near_ids = (
+        _band_minhashes(
+            _shingles(survivors, id_col, text_col, shingle_len, stride),
+            id_col, bands, hashed,
+        )
+        .join(base_sig, ["band", "mh"], "left_semi")
+        .select(F.col(id_col).alias("__nid"))
+        .distinct()
+        .withColumn("__nr", F.lit(True))
+    )
+
+    out = (
+        marked.join(near_ids, marked[id_col] == near_ids["__nid"], "left")
+        .withColumn(
+            "drop_stage",
+            F.when(F.col("__ex"), F.lit("exact"))
+            .when(F.col("__nr"), F.lit("near"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("__fp", "__ex", "__nid", "__nr")
+    )
+    return out
