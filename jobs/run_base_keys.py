@@ -1,0 +1,80 @@
+"""Precompute the base-corpus dedup keys (SURVEY R79).
+
+Writes the two compact key relations `incremental_dedup` joins against
+— distinct content fingerprints and distinct (band, min-hash) MinHash
+signatures — from a curated corpus, as parquet:
+
+    <output>/fp.parquet    one BIGINT xxhash64 fingerprint per
+                           distinct normalized document text
+    <output>/sig.parquet   one (band INT, mh BIGINT) row per distinct
+                           band signature
+
+This is the per-corpus-version artifact of the monthly-snapshot
+workflow: compute once when a corpus version is cut, then every
+subsequent snapshot job (`pii_spark.spark.incr_dedup.incremental_dedup`
+with ``base_fp``/``base_sig``, or the quality jobs' ``recrawl_keys``
+exact tier) joins these tables instead of rescanning the corpus.
+
+The fingerprints here are the hashed (production, 8-byte) path; the
+md5 oracle path exists only for DuckDB cross-checking at test scale.
+
+Usage:
+    spark-submit jobs/run_base_keys.py \
+        --input  /data/corpus_v3   (parquet dir, needs a text column) \
+        --output /data/corpus_v3_keys
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="curated corpus (parquet dir)")
+    ap.add_argument("--output", required=True,
+                    help="keys dir; fp.parquet + sig.parquet written "
+                         "under it")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="url",
+                    help="only used to shape the shingle group-by; any "
+                         "unique column works (url for the north-rule "
+                         "corpus shape, doc_id for the testdata tables)")
+    ap.add_argument("--shingle-len", type=int, default=12)
+    ap.add_argument("--stride", type=int, default=5)
+    ap.add_argument("--bands", type=int, default=4)
+    args = ap.parse_args()
+
+    from pii_spark.spark.incr_dedup import base_keys
+    from pii_spark.spark.session import get_spark
+
+    spark = get_spark(app="pii_base_keys")
+    try:
+        corpus = spark.read.parquet(args.input)
+        fp, sig = base_keys(
+            corpus,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            shingle_len=args.shingle_len,
+            stride=args.stride,
+            bands=args.bands,
+            hashed=True,
+        )
+        out = Path(args.output)
+        fp.write.mode("overwrite").parquet(str(out / "fp.parquet"))
+        sig.write.mode("overwrite").parquet(str(out / "sig.parquet"))
+        n_fp = spark.read.parquet(str(out / "fp.parquet")).count()
+        n_sig = spark.read.parquet(str(out / "sig.parquet")).count()
+        print(f"wrote {n_fp} fingerprints, {n_sig} band signatures "
+              f"to {out}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

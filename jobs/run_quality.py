@@ -48,6 +48,11 @@ def main() -> None:
                          "dump (*.warc / per-record-gzip *.warc.gz in "
                          "batch mode, uncompressed *.warc landing dir "
                          "in --streaming mode)")
+    ap.add_argument("--recrawl-keys", default=None,
+                    help="jobs/run_base_keys.py output dir: drop docs "
+                         "whose content fingerprint already exists in "
+                         "the base corpus before the pipeline "
+                         "(incremental-snapshot exact dedup)")
     args = ap.parse_args()
 
     from pii_spark.spark.session import get_spark
@@ -63,6 +68,7 @@ def main() -> None:
                 spark, args.input, args.output, args.checkpoint,
                 partitions=args.partitions, profile=args.profile,
                 input_format=args.input_format,
+                recrawl_keys=args.recrawl_keys,
             )
         else:
             from pii_spark.spark.jobs import run_quality_job
@@ -76,6 +82,7 @@ def main() -> None:
                 compact_every=args.compact_every,
                 profile=args.profile,
                 input_format=args.input_format,
+                recrawl_keys=args.recrawl_keys,
             )
         n = table.read(spark).count()
         print(f"committed snapshot v{table.current_version()} ({n} rows)")

@@ -46,6 +46,14 @@ Scale design (the reason this is incremental-shaped at all):
 * 64-bit fingerprint collisions (hashed=True) falsely drop a clean
   new doc at ~n_base/2^64 per doc — the same documented tradeoff as
   ``substr_dedup.hashed`` — never corruption.
+* Plan audit (read, not guessed): the snapshot scan + tier-1 join
+  lineage executes TWICE — once for the output annotation, once
+  replayed under the near-tier's survivor filter — and is
+  deliberately never cached (the ``substr_dedup`` tradeoff: a
+  snapshot-sized intermediate has no business in executor storage,
+  and the snapshot is the SMALL relation here). With precomputed
+  ``base_keys`` the replay costs one extra scan of the snapshot and
+  of the compact key tables, never of the corpus.
 
 Band semantics: one 32-bit (md5 path) or 64-bit (xxhash64 path)
 min-hash per band is the bucket key. With default 4 bands this flags
@@ -80,6 +88,15 @@ def _fingerprint(text: Column, hashed: bool) -> Column:
     if hashed:
         return F.xxhash64(n)
     return F.substring(F.md5(n), 1, 16)
+
+
+def content_fingerprint(text: Column, *, hashed: bool = True) -> Column:
+    """The exact-tier recrawl fingerprint (lowercased, ASCII-whitespace
+    collapsed, trimmed; xxhash64 or md5-16hex) — ONE definition shared
+    by incremental_dedup, base_keys, and the quality jobs'
+    ``recrawl_keys`` drop, so a fingerprint written by one is always
+    joinable by the others."""
+    return _fingerprint(text, hashed)
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str,
@@ -133,6 +150,46 @@ def _band_minhashes(sh: DataFrame, id_col: str, bands: int,
             ])
         ).alias("bm"),
     ).select(id_col, F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
+
+
+def recrawl_keys_identity(keys_dir: str) -> str:
+    """Cheap content identity of a `jobs/run_base_keys.py` output dir:
+    md5 over the sorted (name, size) listing of fp.parquet's data
+    files — file metadata only, no scan. Recorded by the quality jobs
+    per commit so a resume under DIFFERENT base keys (a new corpus
+    version) refuses loudly instead of silently mixing recrawl
+    semantics across groups/batches."""
+    import hashlib
+    from pathlib import Path
+
+    fp_dir = Path(keys_dir) / "fp.parquet"
+    files = sorted(
+        f"{p.name}:{p.stat().st_size}"
+        for p in fp_dir.rglob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no fp.parquet data files under {keys_dir} — run "
+            "jobs/run_base_keys.py first"
+        )
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+
+
+def drop_recrawls(df: DataFrame, fp_df: DataFrame,
+                  text_col: str = "text") -> DataFrame:
+    """Anti-join ``df`` against a fingerprint relation (one ``fp``
+    BIGINT column, as written by `jobs/run_base_keys.py`): rows whose
+    normalized text already exists in the base corpus are dropped.
+    Row-local w.r.t. ``df`` (the build side is distinct), so it
+    composes with any upstream reader — parquet groups, WARC groups,
+    or streaming micro-batches."""
+    keyed = df.withColumn(
+        "__fp", content_fingerprint(F.col(text_col))
+    )
+    return keyed.join(
+        fp_df, keyed["__fp"] == fp_df["fp"], "left_anti"
+    ).drop("__fp")
 
 
 def base_keys(

@@ -143,6 +143,7 @@ def run_quality_job(
     compact_every: int | None = None,
     profile: str = "default",
     input_format: str = "parquet",
+    recrawl_keys: str | None = None,
 ) -> IceliteTable:
     """Run the quality+scrub pipeline over ``corpus`` with checkpointed
     group commits. ``corpus`` is a DataFrame (staged into grp
@@ -159,7 +160,18 @@ def run_quality_job(
     north-rule ingest→filter→scrub chain is ONE job with the same
     file-granular resume ledger (a .warc file is a group member
     exactly like a parquet file; the listing fingerprint covers the
-    format so a cross-format resume refuses loudly)."""
+    format so a cross-format resume refuses loudly).
+
+    ``recrawl_keys`` points at a `jobs/run_base_keys.py` output dir:
+    each group is anti-joined on the shared content fingerprint
+    against ``<recrawl_keys>/fp.parquet`` BEFORE the pipeline — docs
+    whose normalized text already exists in the base corpus (exact
+    recrawls) never pay langid/perplexity/detect. The keys' identity
+    (file listing + sizes) is recorded per group commit, and a resume
+    under different keys refuses loudly — the same crash-timing-drift
+    class as the profile guard. Recrawl-dropped docs are absent from
+    the output and from the audit's docs_in (this is ingest-side
+    filtering, upstream of the pipeline's keep/drop lineage)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
@@ -197,8 +209,41 @@ def run_quality_job(
             )
     if input_format not in ("parquet", "warc"):
         raise ValueError(f"unknown input_format {input_format!r}")
+    recrawl_id = "none"
+    recrawl_fp_df = None
+    if recrawl_keys is not None:
+        from .incr_dedup import recrawl_keys_identity
+
+        recrawl_id = recrawl_keys_identity(recrawl_keys)
+        recrawl_fp_df = spark.read.parquet(
+            str(Path(recrawl_keys) / "fp.parquet")
+        )
+    if done:
+        # same drift class as the profile guard: groups committed with
+        # one recrawl-key set must not be resumed under another (or
+        # under none) — which docs exist in the output would depend on
+        # crash timing. Pre-recrawl snapshots recorded no field: "none".
+        committed_keys = {
+            s.summary.get("recrawl_keys", "none")
+            for s in out.snapshots()
+            if "group" in s.summary
+        }
+        committed_keys.update(
+            out._ledger_carry().get("recrawl_keys", []) or []
+        )
+        if not committed_keys:
+            committed_keys = {"none"}
+        stale_keys = committed_keys - {recrawl_id}
+        if stale_keys:
+            raise RuntimeError(
+                f"table {out_dir} has groups committed under recrawl "
+                f"key set(s) {sorted(stale_keys)} but this run uses "
+                f"{recrawl_id!r} — resuming would mix recrawl-drop "
+                "semantics across groups; reprocess into a fresh "
+                "table or resume with the original keys"
+            )
     staging: str | None = None
-    extra_summary: dict = {"profile": profile}
+    extra_summary: dict = {"profile": profile, "recrawl_keys": recrawl_id}
     if isinstance(corpus, str):
         exts = (
             ("*.parquet",) if input_format == "parquet"
@@ -307,6 +352,10 @@ def run_quality_job(
     for g in pending:
         t0 = time.time()
         part = group_df(g)
+        if recrawl_fp_df is not None:
+            from .incr_dedup import drop_recrawls
+
+            part = drop_recrawls(part, recrawl_fp_df)
         result = run_pipeline(part, partitions=partitions,
                               profile=profile)
         # Commit FIRST, then derive the audit stats from the committed

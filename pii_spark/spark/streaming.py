@@ -32,6 +32,7 @@ def run_streaming_job(
     partitions: int | None = None,
     profile: str = "default",
     input_format: str = "parquet",
+    recrawl_keys: str | None = None,
 ) -> IceliteTable:
     """Process all currently-available corpus files exactly once.
     ``profile`` selects run_pipeline's keep chain; like the batch job,
@@ -43,8 +44,31 @@ def run_streaming_job(
     batch readers) — live-crawl ingest with the same ledgered
     exactly-once tail. (Per-record-gzip archives are a batch-backfill
     format — ``run_quality_job(input_format="warc")`` — not a landing
-    stream; the text datasource cannot split gzip members.)"""
+    stream; the text datasource cannot split gzip members.)
+
+    ``recrawl_keys`` (a `jobs/run_base_keys.py` output dir) drops docs
+    whose normalized text already exists in the base corpus from every
+    micro-batch BEFORE the pipeline — a stream-static anti-join on the
+    shared content fingerprint (the exact tier of incremental dedup;
+    the MinHash near tier needs per-doc aggregation and stays a batch
+    operator). The key-set identity is recorded per batch and a
+    restart under different keys refuses loudly, like the profile
+    guard."""
     out = IceliteTable(out_dir)
+
+    recrawl_id = "none"
+    recrawl_fp_df = None
+    if recrawl_keys is not None:
+        from pathlib import Path as _Path
+
+        from .incr_dedup import recrawl_keys_identity
+
+        recrawl_id = recrawl_keys_identity(recrawl_keys)
+        # static side read once per run; foreachBatch re-joins it per
+        # micro-batch as an ordinary batch join
+        recrawl_fp_df = spark.read.parquet(
+            str(_Path(recrawl_keys) / "fp.parquet")
+        )
 
     if input_format == "warc":
         from .warc import _DELIM, _parse_records
@@ -122,6 +146,30 @@ def run_streaming_job(
                 "across batches; use the original profile or a fresh "
                 "checkpoint + table"
             )
+        # same drift class for the recrawl-drop key set: which docs a
+        # batch even CONTAINS must not depend on restart timing.
+        # Batches predating the field ran without a drop: "none".
+        prev_keys = {
+            s.summary.get("recrawl_keys", "none")
+            for s in out.snapshots()
+            if "stream_batch" in s.summary
+            and (str(s.summary["stream_batch"]).startswith(f"{ck_ns}:")
+                 or isinstance(s.summary["stream_batch"], int))
+        }
+        prev_keys.update(
+            out._ledger_carry().get("recrawl_keys", []) or []
+        )
+        if not prev_keys and done:
+            prev_keys = {"none"}
+        stale_keys = prev_keys - {recrawl_id}
+        if stale_keys:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} has batches committed "
+                f"under recrawl key set(s) {sorted(stale_keys)} but "
+                f"this restart uses {recrawl_id!r} — recrawl-drop "
+                "semantics would differ across batches; use the "
+                "original keys or a fresh checkpoint + table"
+            )
 
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
@@ -132,10 +180,15 @@ def run_streaming_job(
         key = f"{ck_ns}:{int(batch_id)}"
         if key in done or (ck_is_resume and int(batch_id) in done):
             return
+        if recrawl_fp_df is not None:
+            from .incr_dedup import drop_recrawls
+
+            batch_df = drop_recrawls(batch_df, recrawl_fp_df)
         result = run_pipeline(batch_df, partitions=partitions,
                               profile=profile)
         out.append(result, summary={"stream_batch": key,
-                                    "profile": profile})
+                                    "profile": profile,
+                                    "recrawl_keys": recrawl_id})
         done.add(key)
 
     q = (

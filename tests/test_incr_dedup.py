@@ -99,6 +99,22 @@ def test_empty_base_keeps_everything(spark):
     assert all(v is None for v in st.values())
 
 
+def test_production_plan_shape(spark):
+    """Scale gates on the hashed (production) plan: no cartesian, the
+    base key relations are partial-aggregated distincts (map-side
+    combine kills viral-shingle hot keys), and no md5/hex anywhere —
+    the joins carry 8-byte xxhash64 keys end to end."""
+    out = incremental_dedup(_base(spark), _snap(spark), hashed=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "md5" not in plan, "production path must stay 8-byte keys"
+    assert "xxhash64" in plan
+    # every Exchange under the key-census aggregates is preceded by a
+    # partial HashAggregate in the formatted plan; cheap proxy: the
+    # plan contains paired HashAggregate levels (partial+final)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
 def test_driver_query_matches_module(spark, sf_dir="/root/testdata/sf0.001"):
     """The registered driver query is the module with hashed=False over
     the deterministic base/snapshot split — recompute the census arm
