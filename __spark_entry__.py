@@ -2101,6 +2101,68 @@ def q_quality_report(spark, sf_dir):
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_events_windows(spark, sf_dir):
+    """Tumbling (hourly) + sliding (10-min/5-min) window aggregations
+    in ONE registry slot (r6 consolidation, frees the slot for
+    quality_classifier): the former events_hourly / events_sliding
+    entries, labeled per variant and unioned — both window shapes stay
+    fully hash-checked."""
+    hourly = q_events_hourly(spark, sf_dir).select(
+        F.lit("tumbling").alias("variant"),
+        F.col("hour").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+    sliding = q_events_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("variant"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return hourly.unionByName(sliding)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """NB quality-classifier training census (SURVEY R80,
+    pii_spark/quality/classifier.py): weak labels from the rule
+    composition (stopword density ∧ no markup junk ∧ zero toxicity
+    hits) over documents, then
+    the one-pass bag-of-words sufficient statistics. The oracle hash
+    carries the whole distributed training pass — weak labeling,
+    tokenization, md5 feature keys, per-class occurrence census — as
+    INTEGERS (no cross-engine float-summation hazard; the float
+    scoring pass is pinned by tests/test_classifier.py instead).
+    Features below 3 total occurrences collapse into one tail row to
+    bound the check size; a label-census arm pins the weak labeler."""
+    from pii_spark.quality.classifier import train_quality_nb, weak_labels
+
+    d = weak_labels(_docs(spark, sf_dir))
+    counts = train_quality_nb(d, hashed=False)
+    big = counts.filter(F.col("n_pos") + F.col("n_neg") >= 3).select(
+        F.lit("feature").alias("part"),
+        F.col("feature").alias("key"),
+        "n_pos",
+        "n_neg",
+    )
+    tail = counts.filter(F.col("n_pos") + F.col("n_neg") < 3).agg(
+        F.lit("tail").alias("part"),
+        F.lit("lt3").alias("key"),
+        F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
+    )
+    labels = d.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_pos")
+    ).select(
+        F.lit("labels").alias("part"),
+        F.col("label").cast("string").alias("key"),
+        "n_pos",
+        F.lit(0).cast("long").alias("n_neg"),
+    )
+    return big.unionByName(tail).unionByName(labels)
+
+
 def q_sketch_decontam(spark, sf_dir):
     """Heavy-hitters sketch + benchmark decontamination, bundled as
     (part, key, n) rows.
@@ -2182,8 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_sanity": q_reference_sanity,
         "sampling": q_sampling,
         "quality_report": q_quality_report,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
+        "events_windows": q_events_windows,
+        "quality_classifier": q_quality_classifier,
         "sessionize": q_sessionize,
         "fingerprint_winnow": q_fingerprint_winnow,
         "gopher_repetition": q_gopher_repetition,
@@ -2267,6 +2329,10 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality.gopher import THRESHOLDS as _GT
     from pii_spark.quality.toxicity import TOX_RE_W1 as _TOX_RE_W1
     from pii_spark.quality.toxicity import TOX_RE_W2 as _TOX_RE_W2
+    from pii_spark.quality.classifier import (
+        _EN_STOPWORDS_RE as _CLS_STOP_RE,
+        _MIN_STOPWORD_HITS as _CLS_MIN_STOP,
+    )
     from pii_spark.quality.urlscore import URL_SCORE_FLAG as _URL_FLAG
     from pii_spark.quality.urlscore import URL_W1 as _URL_W1
     from pii_spark.quality.urlscore import URL_W2 as _URL_W2
@@ -3032,27 +3098,75 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT part, CAST(doc_id AS BIGINT) FROM mix
         """,
-        "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n_events,
+        # both Structured-Streaming batch window shapes in ONE slot
+        # (r6 consolidation): tumbling hourly + 10-min/5-min sliding
+        # (each event belongs to the two windows whose starts are the
+        # two 5-min slide marks in (ts-10min, ts])
+        "events_windows": """
+            SELECT 'tumbling' AS variant,
+                   CAST(date_trunc('hour', ts) AS VARCHAR)
+                       AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        "events_sliding": """
-            -- each event belongs to the two 10-min windows whose
-            -- starts are the two 5-min slide marks in (ts-10min, ts]
-            WITH ev AS (
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding',
+                   CAST(window_start AS VARCHAR), event_type,
+                   CAST(count(*) AS BIGINT),
+                   round(sum(value), 4)
+            FROM (
               SELECT event_type, value,
                      CAST(to_timestamp(
                        CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
                        - k.k * 300) AS TIMESTAMP) AS window_start
               FROM events,
-                   (SELECT unnest([0, 1]) AS k) k)
-            SELECT CAST(window_start AS VARCHAR) AS window_start,
-                   event_type,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 4) AS sum_value
-            FROM ev GROUP BY 1, 2
+                   (SELECT unnest([0, 1]) AS k) k) ev
+            GROUP BY 2, 3
+        """,
+        # NB quality-classifier training census (R80): weak label =
+        # English-stopword density (regex interpolated from the module
+        # source) AND no markup junk (the C4 doc flags) AND zero
+        # toxicity hits; then tokenize -> md5 feature -> integer
+        # per-class occurrence counts. Floats never cross engines
+        # (scoring is pytest-side).
+        "quality_classifier": f"""
+            WITH lab AS (
+              SELECT doc_id, txt,
+                     CASE WHEN len(regexp_extract_all(lower(txt),
+                                   '{_CLS_STOP_RE}'))
+                                   >= {_CLS_MIN_STOP}
+                               AND NOT contains(lower(txt),
+                                                'lorem ipsum')
+                               AND NOT contains(txt, '{{')
+                               AND len(regexp_extract_all(lower(txt),
+                                       '{_TOX_RE_W1}'))
+                                 + 2 * len(regexp_extract_all(lower(txt),
+                                       '{_TOX_RE_W2}')) = 0
+                          THEN 1 ELSE 0 END AS y
+              FROM (SELECT doc_id, coalesce(text, '') AS txt
+                    FROM documents)),
+            tok AS (
+              SELECT y, unnest(list_filter(
+                  string_split_regex(lower(txt), '[^a-z0-9]+'),
+                  x -> x <> '')) AS tok
+              FROM lab),
+            cnt AS (
+              SELECT substr(md5(tok), 1, 8) AS feature,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(1 - y) AS BIGINT) AS n_neg
+              FROM tok GROUP BY 1)
+            SELECT 'feature' AS part, feature AS key, n_pos, n_neg
+            FROM cnt WHERE n_pos + n_neg >= 3
+            UNION ALL
+            SELECT 'tail', 'lt3',
+                   CAST(coalesce(sum(n_pos), 0) AS BIGINT),
+                   CAST(coalesce(sum(n_neg), 0) AS BIGINT)
+            FROM cnt WHERE n_pos + n_neg < 3
+            UNION ALL
+            SELECT 'labels', CAST(y AS VARCHAR),
+                   CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+            FROM lab GROUP BY y
         """,
         "sessionize": """
             WITH e AS (

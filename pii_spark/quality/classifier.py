@@ -1,0 +1,198 @@
+"""Distributed bag-of-words quality classifier (SURVEY R80).
+
+CCNet trains a fastText classifier against Wikipedia to score crawl
+quality; RefinedWeb and Dolma train similar linear models on weak
+labels. The Spark-first analogue is multinomial Naive Bayes over
+hashed bag-of-words features:
+
+* **Training is ONE aggregation pass** — tokenize, hash, and groupBy
+  feature collecting integer per-class token counts (the NB sufficient
+  statistics). Partial-aggregable end to end: a stopword appearing
+  10^11 times combines to one row per partition, never a hot reducer.
+  No iteration, no driver-side weight vector, no UDF.
+* **Scoring is explode → broadcast-join → sum** — per-token add-one
+  log-likelihood ratios joined onto the token relation and summed per
+  doc. The model relation is ≤ ``dim`` rows (default 2^18 ≈ 262k —
+  a few MB; broadcastable), however large the corpus was.
+* **Weak labels need no external data** (the CCNet target corpus is
+  unavailable offline): positives are docs passing the strict rule
+  composition (C4 keep ∧ zero toxicity hits), negatives are docs
+  failing it — the same self-supervision shape DataTrove/Dolma use to
+  bootstrap a model that generalizes beyond the rules.
+
+Feature hashing, two paths (the repo-wide dual-path pattern):
+``hashed=True`` (production) buckets tokens with
+``pmod(xxhash64(tok), dim)`` — 8-byte keys, bounded model size;
+``hashed=False`` keys by ``substr(md5(tok), 1, 8)`` strings so DuckDB
+replicates the training census byte-for-byte (unbounded vocabulary —
+check-scale only). The two paths differ in collision structure (any
+hashing does), so predictions are pinned per-path by tests, and the
+driver oracle checks the hashed=False sufficient statistics exactly
+(integers — no cross-engine float-summation hazard).
+
+Naive Bayes vs fastText: fastText is a logistic model over averaged
+n-gram embeddings trained by SGD — iterative and order-dependent,
+the wrong shape for a deterministic cross-engine contract. NB's
+closed-form statistics train in one pass with byte-stable output and
+the same bag-of-words signal; swapping in an SGD trainer later only
+changes how the per-feature weights are produced, not this module's
+scoring plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# token class shared by both engines (mirrors dedup_ngram_jaccard):
+# lowercase alnum runs — the oracle twin uses the same split
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), _TOKEN_SPLIT),
+        lambda w: w != "",
+    )
+
+
+def _feature(tok: Column, dim: int, hashed: bool) -> Column:
+    # hashed path stays a LONG end to end (8-byte shuffle/join keys);
+    # the md5 oracle path is a string key — schemas differ per path,
+    # and every consumer here is parametric over both
+    if hashed:
+        return F.pmod(F.xxhash64(tok), F.lit(dim))
+    return F.substring(F.md5(tok), 1, 8)
+
+
+# weak-label stopword signal — single source of truth, interpolated
+# into the DuckDB oracle so the two can't desynchronize
+_EN_STOPWORDS_RE = (
+    r"\b(the|and|that|this|with|from|have|was|for|are)\b"
+)
+_MIN_STOPWORD_HITS = 3
+
+
+def weak_labels(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Attach ``label`` (1/0) from a rule composition that needs no
+    external target corpus (CCNet trains against Wikipedia; offline,
+    the rules are the teacher): 1 = English-stopword density (≥3 hits
+    of the 10-word list — the langid_stopwords heuristic) ∧ no markup
+    junk ('lorem ipsum' / '{', the C4 doc flags) ∧ zero toxicity
+    hits. Pure per-row codegen expressions — one pass, no shuffle.
+    (The full C4 kept-lines rule is deliberately NOT a conjunct: web-
+    stripped text rarely keeps line structure, and on such corpora it
+    labels everything negative — a degenerate one-class teacher.)"""
+    from .toxicity import toxicity_exprs
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    stop_hits = F.size(
+        F.regexp_extract_all(low, F.lit(_EN_STOPWORDS_RE), F.lit(0))
+    )
+    junk = F.contains(low, F.lit("lorem ipsum")) | F.contains(
+        t, F.lit("{")
+    )
+    n_words = F.size(_tokens(t))
+    tox = toxicity_exprs(t, n_words)["tox_hits"]
+    return df.withColumn(
+        "label",
+        (
+            (stop_hits >= _MIN_STOPWORD_HITS) & ~junk & (tox == 0)
+        ).cast("int"),
+    )
+
+
+def train_quality_nb(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    dim: int = 2 ** 18,
+    hashed: bool = True,
+) -> DataFrame:
+    """One-pass NB training census: (feature, n_pos, n_neg) — the
+    number of token OCCURRENCES of each hashed feature in positive /
+    negative docs (multinomial NB counts duplicates; the tokenizer
+    does not dedup within a doc). Integer-exact and partial-agg."""
+    toks = df.select(
+        F.col(label_col).cast("int").alias("y"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    return (
+        toks.select("y", _feature(F.col("tok"), dim, hashed).alias("feature"))
+        .groupBy("feature")
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        )
+    )
+
+
+def score_quality_nb(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 2 ** 18,
+    hashed: bool = True,
+    prior_llr: float | None = None,
+) -> DataFrame:
+    """Per-doc NB log-likelihood-ratio score over a trained census.
+
+    The three model totals (positive/negative token mass, distinct
+    feature count for add-one smoothing) are collected once — three
+    numbers, the documented eager step — and folded into per-feature
+    ``llr`` literals; unseen features contribute the smoothed constant
+    via the left join's coalesce. Output: (id, n_tokens, score,
+    predict_pos). score > 0 → more pos-like than neg-like."""
+    tot = model.agg(
+        F.sum("n_pos").alias("tp"),
+        F.sum("n_neg").alias("tn"),
+        F.count("*").alias("v"),
+    ).collect()[0]
+    tp, tn, v = int(tot.tp or 0), int(tot.tn or 0), max(int(tot.v), 1)
+    # add-one smoothing in log space; all floats computed ONCE here on
+    # the driver, shipped as literals — executors only add doubles
+    unseen = math.log(1.0 / (tp + v)) - math.log(1.0 / (tn + v))
+    w = model.select(
+        "feature",
+        (
+            F.log((F.col("n_pos") + 1.0) / float(tp + v))
+            - F.log((F.col("n_neg") + 1.0) / float(tn + v))
+        ).alias("llr"),
+    )
+    prior = float(prior_llr) if prior_llr is not None else 0.0
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col, _feature(F.col("tok"), dim, hashed).alias("feature")
+    )
+    scored = (
+        toks.join(F.broadcast(w), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("llr"), F.lit(unseen))).alias("s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("s") + F.lit(prior)).alias("score"),
+            ((F.col("s") + F.lit(prior)) > 0).alias("predict_pos"),
+        )
+    )
+    # docs with zero tokens never appear in the explode — re-attach
+    # them with the bare prior so scoring is total over the input
+    empties = df.select(id_col).join(
+        scored.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(prior).alias("score"),
+        F.lit(prior > 0).alias("predict_pos"),
+    )
+    return scored.unionByName(empties)

@@ -1,0 +1,107 @@
+"""NB bag-of-words quality classifier (SURVEY R80,
+pii_spark/quality/classifier.py): weak labeling, one-pass training
+census, scoring separation, both feature-hash paths, and plan gates."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pii_spark.quality.classifier import (
+    score_quality_nb,
+    train_quality_nb,
+    weak_labels,
+)
+
+_CLEAN = ("the quick brown fox and the lazy dog are friends from the "
+          "old farm, and this story was told with care for all readers "
+          "that have patience. ")
+_JUNK = "zxqv kjhw pqzt vvnm xkcd qwfp zzgl hmmt "
+
+
+def _corpus(spark, n_each: int = 12):
+    rows = []
+    for i in range(n_each):
+        rows.append(Row(doc_id=i, text=_CLEAN * 2 + f"chapter {i}"))
+        rows.append(
+            Row(doc_id=100 + i, text=_JUNK * 3 + f"blob {i}")
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_weak_labels_rule_composition(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=_CLEAN),              # stopwordy, clean
+            Row(doc_id=2, text=_JUNK * 4),           # no stopwords
+            Row(doc_id=3, text=_CLEAN + " damn this crap trash"),  # toxic
+            Row(doc_id=4, text=_CLEAN + " code { block }"),        # junk
+            Row(doc_id=5, text=None),                # NULL text
+        ]
+    )
+    lab = {r.doc_id: r.label for r in weak_labels(df).collect()}
+    assert lab == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_train_and_score_separates(spark, hashed):
+    """Train on the weakly-labeled corpus, score a HELD-OUT pair of
+    docs of each kind: every clean doc must outscore every junk doc
+    and the predictions must recover the weak labels."""
+    train = weak_labels(_corpus(spark))
+    # both classes actually present in the teacher
+    lab_census = {r.label: r.n for r in train.groupBy("label")
+                  .agg(F.count("*").alias("n")).collect()}
+    assert set(lab_census) == {0, 1}
+
+    model = train_quality_nb(train, hashed=hashed)
+    held = spark.createDataFrame(
+        [
+            Row(doc_id=900, text=_CLEAN + "a fresh ending for the tale."),
+            Row(doc_id=901, text=_JUNK * 2 + "qqzz wwxx"),
+        ]
+    )
+    got = {r.doc_id: r for r in
+           score_quality_nb(held, model, hashed=hashed).collect()}
+    assert got[900].score > got[901].score
+    assert got[900].predict_pos and not got[901].predict_pos
+    assert got[900].n_tokens > 0
+
+
+def test_training_census_deterministic(spark):
+    c = weak_labels(_corpus(spark))
+    a = sorted(map(tuple, train_quality_nb(c, hashed=True).collect()))
+    b = sorted(map(tuple, train_quality_nb(
+        c.repartition(7), hashed=True).collect()))
+    assert a == b, "census must not depend on partitioning"
+
+
+def test_empty_and_null_text_scored_total(spark):
+    model = train_quality_nb(weak_labels(_corpus(spark)), hashed=True)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None),
+         Row(doc_id=3, text=_CLEAN)]
+    )
+    rows = {r.doc_id: r for r in
+            score_quality_nb(df, model, hashed=True).collect()}
+    assert set(rows) == {1, 2, 3}, "scoring is total over the input"
+    assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0
+    assert rows[1].score == 0.0 and not rows[1].predict_pos
+
+
+def test_plan_gates(spark):
+    """Scale gates: no Python UDF anywhere (pure codegen + joins), the
+    training census partial-aggregates (map-side combine kills hot
+    tokens), and the scoring join broadcasts the model."""
+    c = weak_labels(_corpus(spark))
+    model = train_quality_nb(c, hashed=True)
+    tplan = model._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in tplan, tplan
+    assert "md5" not in tplan and "xxhash64" in tplan
+    assert tplan.count("HashAggregate") >= 2, "partial+final census"
+
+    scored = score_quality_nb(
+        spark.createDataFrame([Row(doc_id=1, text=_CLEAN)]), model,
+        hashed=True,
+    )
+    splan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in splan, splan
+    assert "BroadcastHashJoin" in splan, "model side must broadcast"
