@@ -4,10 +4,13 @@ corpus and append the result to BENCH/dedup_ops.json (VERDICT r5 #7
 — the file previously carried single-operator timings only).
 
 Run from the repo root:  python BENCH/run_dedup_chain.py [reps]
-The chain runs in THIS process (one Spark session, the same local[32]
-shape bench.py uses) rather than the CLI subprocess so the recorded
-wall is the chain, not a JVM cold start; the CLI itself is driven by
-tests/test_dedup_chain_scale.py.
+This process's Spark session only GENERATES the 50k-doc corpus; the
+chain itself runs as the real jobs/run_dedup.py CLI subprocess, so the
+recorded walls INCLUDE the subprocess JVM/Spark startup (~15s — the
+dedup_ops.json note says so next to the numbers). That is deliberate:
+the number a user sees for "run the dedup job" is the spark-submit
+wall; per-operator chain-only costs are the separate
+substring_dedup/paragraph_dedup entries in the same file.
 """
 
 import json

@@ -35,7 +35,11 @@ def main() -> None:
     ap.add_argument("--model", required=True, help="model dir")
     ap.add_argument("--output", default=None,
                     help="scores parquet dir (score mode)")
-    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--text-col", default=None,
+                    help="train: tokenized column (default text); "
+                         "score: defaults to the column the model was "
+                         "trained on (meta.json) — override only to "
+                         "score a differently-named column")
     ap.add_argument("--id-col", default="url",
                     help="doc identity column for per-doc scores")
     ap.add_argument("--dim", type=int, default=2 ** 18)
@@ -58,11 +62,12 @@ def main() -> None:
         census_path = str(model_dir / "census.parquet")
         meta_path = model_dir / "meta.json"
         if args.mode == "train":
+            text_col = args.text_col or "text"
             labeled = weak_labels(
-                spark.read.parquet(args.input), text_col=args.text_col
+                spark.read.parquet(args.input), text_col=text_col
             )
             census = train_quality_nb(
-                labeled, text_col=args.text_col, dim=args.dim,
+                labeled, text_col=text_col, dim=args.dim,
                 hashed=True,
             )
             census.write.mode("overwrite").parquet(census_path)
@@ -74,7 +79,7 @@ def main() -> None:
             model_dir.mkdir(parents=True, exist_ok=True)
             meta_path.write_text(json.dumps(
                 {"dim": args.dim, "hashed": True, "labels": lab,
-                 "text_col": args.text_col}, indent=1,
+                 "text_col": text_col}, indent=1,
             ))
             n = spark.read.parquet(census_path).count()
             print(f"trained: {n} features, labels {lab} -> {model_dir}")
@@ -84,7 +89,10 @@ def main() -> None:
                 spark.read.parquet(args.input),
                 spark.read.parquet(census_path),
                 id_col=args.id_col,
-                text_col=args.text_col,
+                # score the column the model was TRAINED on unless the
+                # caller explicitly overrides (review r6: the recorded
+                # text_col was written but never read back)
+                text_col=args.text_col or meta.get("text_col", "text"),
                 dim=int(meta["dim"]),
                 hashed=bool(meta["hashed"]),
             )

@@ -186,10 +186,12 @@ def score_quality_nb(
         )
     )
     # docs with zero tokens never appear in the explode — re-attach
-    # them with the bare prior so scoring is total over the input
-    empties = df.select(id_col).join(
-        scored.select(id_col), id_col, "left_anti"
-    ).select(
+    # them with the bare prior so scoring is total over the input.
+    # Detected ROW-locally (size of the token array), not by
+    # anti-joining the scored relation: that shape put the whole
+    # explode/join/aggregate lineage in the plan twice (review r6) —
+    # this is one cheap codegen filter over df instead.
+    empties = df.filter(F.size(_tokens(F.col(text_col))) == 0).select(
         id_col,
         F.lit(0).cast("long").alias("n_tokens"),
         F.lit(prior).alias("score"),

@@ -108,6 +108,37 @@ def _backfill_missing_audit(spark, out: IceliteTable, audit: IceliteTable,
                                    "backfill": True})
 
 
+def refuse_summary_drift(
+    out, field: str, current, default, snap_filter, fallback: bool,
+    message: str,
+) -> None:
+    """ONE committed-summary drift guard (review r6: this pattern
+    existed four times — profile and recrawl keys, batch and
+    streaming). Collect ``field`` over committed snapshots
+    (``snap_filter(summary)`` picks the relevant ones — group commits,
+    or this checkpoint's stream batches) PLUS the expiry ledger carry;
+    snapshots predating the field count as ``default``, and
+    ``fallback`` substitutes ``{default}`` when every relevant
+    snapshot expired AND the caller knows commits exist (keeps the
+    check non-vacuous — review r5). Raises with
+    ``message.format(stale=…, current=…)`` if any committed value
+    differs from ``current``: semantics must never depend on crash or
+    restart timing."""
+    prev = {
+        s.summary.get(field, default)
+        for s in out.snapshots()
+        if snap_filter(s.summary)
+    }
+    prev.update(out._ledger_carry().get(field, []) or [])
+    if not prev and fallback:
+        prev = {default}
+    stale = prev - {current}
+    if stale:
+        raise RuntimeError(
+            message.format(stale=sorted(stale), current=current)
+        )
+
+
 def _stage_by_group(
     spark: SparkSession, corpus: DataFrame, staging_dir: str, groups: int
 ) -> None:
@@ -185,28 +216,17 @@ def run_quality_job(
         # depend on crash timing (the same silent-drift class as a
         # changed file listing). Snapshots predating the field ran the
         # only profile that existed then: default.
-        committed_profiles = {
-            s.summary.get("profile", "default")
-            for s in out.snapshots()
-            if "group" in s.summary
-        }
-        committed_profiles.update(
-            out._ledger_carry().get("profile", []) or []
+        refuse_summary_drift(
+            out, "profile", profile, "default",
+            lambda smry: "group" in smry, fallback=True,
+            message=(
+                f"table {out_dir} has groups committed under "
+                "profile(s) {stale} but this run requests {current!r} "
+                "— resuming would mix keep semantics across groups; "
+                "reprocess into a fresh table or resume with the "
+                "original profile"
+            ),
         )
-        if not committed_profiles:
-            # every group snapshot expired and the ledger carry predates
-            # profile tracking: those groups ran the only profile that
-            # existed then — never leave the check vacuous
-            committed_profiles = {"default"}
-        stale_profiles = committed_profiles - {profile}
-        if stale_profiles:
-            raise RuntimeError(
-                f"table {out_dir} has groups committed under profile(s) "
-                f"{sorted(stale_profiles)} but this run requests "
-                f"{profile!r} — resuming would mix keep semantics "
-                "across groups; reprocess into a fresh table or resume "
-                "with the original profile"
-            )
     if input_format not in ("parquet", "warc"):
         raise ValueError(f"unknown input_format {input_format!r}")
     recrawl_id = "none"
@@ -223,25 +243,17 @@ def run_quality_job(
         # one recrawl-key set must not be resumed under another (or
         # under none) — which docs exist in the output would depend on
         # crash timing. Pre-recrawl snapshots recorded no field: "none".
-        committed_keys = {
-            s.summary.get("recrawl_keys", "none")
-            for s in out.snapshots()
-            if "group" in s.summary
-        }
-        committed_keys.update(
-            out._ledger_carry().get("recrawl_keys", []) or []
-        )
-        if not committed_keys:
-            committed_keys = {"none"}
-        stale_keys = committed_keys - {recrawl_id}
-        if stale_keys:
-            raise RuntimeError(
+        refuse_summary_drift(
+            out, "recrawl_keys", recrawl_id, "none",
+            lambda smry: "group" in smry, fallback=True,
+            message=(
                 f"table {out_dir} has groups committed under recrawl "
-                f"key set(s) {sorted(stale_keys)} but this run uses "
-                f"{recrawl_id!r} — resuming would mix recrawl-drop "
-                "semantics across groups; reprocess into a fresh "
-                "table or resume with the original keys"
-            )
+                "key set(s) {stale} but this run uses {current!r} — "
+                "resuming would mix recrawl-drop semantics across "
+                "groups; reprocess into a fresh table or resume with "
+                "the original keys"
+            ),
+        )
     staging: str | None = None
     extra_summary: dict = {"profile": profile, "recrawl_keys": recrawl_id}
     if isinstance(corpus, str):

@@ -100,9 +100,14 @@ def _quota_prefix(
     from pyspark.sql.types import LongType, StructField, StructType
 
     if isinstance(quotas, dict):
-        df = df.filter(
-            F.col(stratum_col).isin([s for s in quotas])
+        # isin() never matches NULL — admit the NULL stratum explicitly
+        # when the quota dict names it (None key)
+        member = F.col(stratum_col).isin(
+            [s for s in quotas if s is not None]
         )
+        if None in quotas:
+            member = member | F.col(stratum_col).isNull()
+        df = df.filter(member)
 
     df = df.withColumn("_bkt", bucket)
     hist = (
@@ -140,9 +145,16 @@ def _quota_prefix(
     # candidates = buckets ≤ cut (≈ quota + one bucket per stratum) —
     # only these shuffle; the window partitions by (stratum, BUCKET),
     # so the largest sort task is one bucket of one stratum.
+    # eqNullSafe: a NULL stratum is a stratum (the window formulation
+    # this engine replaces partitioned it like any other; a plain
+    # equi-join silently dropped its rows — review r6)
     w = Window.partitionBy(stratum_col, "_bkt").orderBy(key, F.col(id_col))
     return (
-        df.join(F.broadcast(cuts), stratum_col)
+        df.join(
+            F.broadcast(cuts),
+            df[stratum_col].eqNullSafe(cuts[stratum_col]),
+        )
+        .drop(cuts[stratum_col])
         .filter(F.col("_bkt") <= F.col("_cut"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(
@@ -265,8 +277,12 @@ def mixture_sample(
     shares = {s: w / total_w * total_n for s, w in weights.items()}
     quotas = {s: int(share) for s, share in shares.items()}
     leftover = total_n - sum(quotas.values())
+    # tie-break key is None-safe: the NULL stratum is a legal weight
+    # key (it sorts first, deterministically)
     for s in sorted(
-        shares, key=lambda s: (-(shares[s] - quotas[s]), s)
+        shares,
+        key=lambda s: (-(shares[s] - quotas[s]), s is not None,
+                       "" if s is None else str(s)),
     )[:leftover]:
         quotas[s] += 1
 
@@ -378,7 +394,17 @@ def ccnet_buckets(
         )
         .cast("long")
     )
-    binned = df.join(F.broadcast(geo), stratum_col).withColumn("_sb", sb)
+    # eqNullSafe: docs with a NULL stratum (lang unset — exactly what
+    # read_warc emits) must be bucketed like any stratum, not silently
+    # dropped by an equi-join (review r6)
+    binned = (
+        df.join(
+            F.broadcast(geo),
+            df[stratum_col].eqNullSafe(geo[stratum_col]),
+        )
+        .drop(geo[stratum_col])
+        .withColumn("_sb", sb)
+    )
 
     hist = binned.groupBy(stratum_col, "_sb").count().collect()
     per: dict = {}
@@ -415,7 +441,11 @@ def ccnet_buckets(
         ]),
     )
 
-    marked = binned.join(F.broadcast(labels), [stratum_col, "_sb"])
+    marked = binned.join(
+        F.broadcast(labels),
+        binned[stratum_col].eqNullSafe(labels[stratum_col])
+        & (binned["_sb"] == labels["_sb"]),
+    ).drop(labels[stratum_col]).drop(labels["_sb"])
     names = _CCNET_NAMES.get(n_buckets)
 
     def label_expr(tile: Column) -> Column:

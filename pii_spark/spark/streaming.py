@@ -115,61 +115,44 @@ def run_streaming_job(
     # cross-stream collision the namespacing fix exists to prevent).
     ck_is_resume = (_P(checkpoint_dir) / "offsets").exists()
     if ck_is_resume:
-        # a restarted stream must run the same keep chain its committed
-        # batches ran (mirror of the batch job's profile guard): check
-        # this checkpoint's batches — namespaced keys, plus legacy
-        # bare-int keys which only a resumed checkpoint may own
-        prev = {
-            s.summary.get("profile", "default")
-            for s in out.snapshots()
-            if "stream_batch" in s.summary
-            and (str(s.summary["stream_batch"]).startswith(f"{ck_ns}:")
-                 or isinstance(s.summary["stream_batch"], int))
-        }
-        # expired batch manifests carry their summaries into
-        # ledger.json — without consulting it the guard would go
-        # silently vacuous after expire_snapshots() (review r5; the
-        # carry is table-wide, which matches the guard's scope: one
-        # table must run one keep chain)
-        prev.update(out._ledger_carry().get("profile", []) or [])
-        if not prev and done:
-            # committed batches exist but none records a profile: they
-            # predate profile tracking and ran the only chain that
-            # existed then — never leave the check vacuous
-            prev = {"default"}
-        stale = prev - {profile}
-        if stale:
-            raise RuntimeError(
+        # a restarted stream must run the same keep chain AND the same
+        # recrawl-key set its committed batches ran (the shared guard
+        # in jobs.py; review r6 collapsed four near-verbatim copies):
+        # check this checkpoint's batches — namespaced keys, plus
+        # legacy bare-int keys which only a resumed checkpoint may
+        # own. The ledger carry keeps both checks non-vacuous after
+        # expire_snapshots(); `fallback=bool(done)` covers batches
+        # predating each field (they ran default / no drop).
+        from .jobs import refuse_summary_drift
+
+        def _this_ck(smry: dict) -> bool:
+            return "stream_batch" in smry and (
+                str(smry["stream_batch"]).startswith(f"{ck_ns}:")
+                or isinstance(smry["stream_batch"], int)
+            )
+
+        refuse_summary_drift(
+            out, "profile", profile, "default", _this_ck,
+            fallback=bool(done),
+            message=(
                 f"checkpoint {checkpoint_dir} has batches committed "
-                f"under profile(s) {sorted(stale)} but this restart "
-                f"requests {profile!r} — keep semantics would differ "
-                "across batches; use the original profile or a fresh "
+                "under profile(s) {stale} but this restart requests "
+                "{current!r} — keep semantics would differ across "
+                "batches; use the original profile or a fresh "
                 "checkpoint + table"
-            )
-        # same drift class for the recrawl-drop key set: which docs a
-        # batch even CONTAINS must not depend on restart timing.
-        # Batches predating the field ran without a drop: "none".
-        prev_keys = {
-            s.summary.get("recrawl_keys", "none")
-            for s in out.snapshots()
-            if "stream_batch" in s.summary
-            and (str(s.summary["stream_batch"]).startswith(f"{ck_ns}:")
-                 or isinstance(s.summary["stream_batch"], int))
-        }
-        prev_keys.update(
-            out._ledger_carry().get("recrawl_keys", []) or []
+            ),
         )
-        if not prev_keys and done:
-            prev_keys = {"none"}
-        stale_keys = prev_keys - {recrawl_id}
-        if stale_keys:
-            raise RuntimeError(
+        refuse_summary_drift(
+            out, "recrawl_keys", recrawl_id, "none", _this_ck,
+            fallback=bool(done),
+            message=(
                 f"checkpoint {checkpoint_dir} has batches committed "
-                f"under recrawl key set(s) {sorted(stale_keys)} but "
-                f"this restart uses {recrawl_id!r} — recrawl-drop "
-                "semantics would differ across batches; use the "
-                "original keys or a fresh checkpoint + table"
-            )
+                "under recrawl key set(s) {stale} but this restart "
+                "uses {current!r} — recrawl-drop semantics would "
+                "differ across batches; use the original keys or a "
+                "fresh checkpoint + table"
+            ),
+        )
 
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies

@@ -191,18 +191,33 @@ _CHARSET_RE = None  # compiled lazily in the executor
 def _gunzip_members(blob: bytes):
     """Yield the decompressed bytes of each gzip member in ``blob``
     (Common Crawl ships one member per WARC record). Pure stdlib,
-    streaming per member — memory is one decompressed member plus the
-    remaining compressed tail, never the whole decompressed file."""
+    streaming per member — memory is one decompressed member plus one
+    bounded input chunk, never the whole decompressed file.
+
+    The decompressor is fed bounded memoryview slices, NOT
+    ``blob[pos:]``: a per-member tail copy is O(file size) per member
+    — quadratic over a real CC shard's ~10^5 members (measured 4×
+    wall per 2× members before the fix, review r6). ``unused_data``
+    is likewise bounded by the chunk size."""
     import zlib
 
+    mv = memoryview(blob)
+    n = len(blob)
+    chunk = 1 << 18  # 256 KiB ≈ a few compressed records per feed
     pos = 0
-    while pos < len(blob):
+    while pos < n:
         d = zlib.decompressobj(wbits=47)  # 32+15: gzip header mode
-        yield d.decompress(blob[pos:]) + d.flush()
-        rest = d.unused_data
-        if not rest:
+        out = []
+        fed_to = pos
+        while not d.eof and fed_to < n:
+            nxt = min(fed_to + chunk, n)
+            out.append(d.decompress(mv[fed_to:nxt]))
+            fed_to = nxt
+        out.append(d.flush())
+        yield b"".join(out)
+        if not d.eof:  # trailing truncated member: nothing follows
             break
-        pos = len(blob) - len(rest)
+        pos = fed_to - len(d.unused_data)
 
 
 def _decode_record(chunk: bytes) -> str:

@@ -195,7 +195,11 @@ def test_bucketed_cut_matches_window_reference(spark):
 
     rows = []
     for i in range(400):
-        lang = ["en", "de", "fr", "pt"][i % 4]
+        # every 5th doc has a NULL stratum — the window formulations
+        # partition NULL like any stratum, and so must the bucketed
+        # cuts (a plain equi-join silently dropped these rows; the
+        # eqNullSafe fix is review r6)
+        lang = None if i % 5 == 0 else ["en", "de", "fr", "pt"][i % 4]
         score = (
             None if i % 37 == 0
             else 5.0 if lang == "pt"          # point mass: one bin
