@@ -87,6 +87,28 @@ def test_empty_and_null_text_scored_total(spark):
     assert rows[1].score == 0.0 and not rows[1].predict_pos
 
 
+def test_composes_with_ccnet_buckets(spark):
+    """The production routing shape: classifier score → CCNet-style
+    per-stratum bucketing (score negated: ccnet_buckets ranks
+    ascending-is-better because its native input is perplexity, while
+    a higher classifier score is better). Clean docs must land in the
+    head bucket, junk in the tail."""
+    from pii_spark.spark.sampling import ccnet_buckets
+
+    c = _corpus(spark).withColumn("lang", F.lit("en"))
+    model = train_quality_nb(weak_labels(c), hashed=True)
+    scored = score_quality_nb(c, model, hashed=True).join(
+        c.select("doc_id", "lang"), "doc_id"
+    ).withColumn("neg_score", -F.col("score"))
+    routed = {r.doc_id: r.ccnet_bucket
+              for r in ccnet_buckets(scored, "neg_score").collect()}
+    assert len(routed) == 24, "routing is total"
+    head = {i for i, b in routed.items() if b == "head"}
+    tail = {i for i, b in routed.items() if b == "tail"}
+    assert head and all(i < 100 for i in head), routed
+    assert tail and all(i >= 100 for i in tail), routed
+
+
 def test_plan_gates(spark):
     """Scale gates: no Python UDF anywhere (pure codegen + joins), the
     training census partial-aggregates (map-side combine kills hot
