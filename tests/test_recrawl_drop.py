@@ -4,8 +4,12 @@ then the batch and streaming quality jobs anti-join every group/batch
 against them — the exact tier of incremental dedup fused into the
 ingest chain — with key-set drift refused on resume/restart."""
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
+
+ROOT = Path(__file__).resolve().parents[1]
 
 from pii_spark.spark.gen_job import generate_corpus
 from pii_spark.spark.incr_dedup import (
@@ -116,6 +120,30 @@ def test_streaming_job_recrawl_drop_and_restart_guard(
         )
     with pytest.raises(RuntimeError, match="recrawl key set"):
         run_streaming_job(spark, ctx["snap_dir"], out_dir, ck)
+
+
+def test_snapshot_dedup_cli(spark, base_and_snapshot, tmp_path):
+    """jobs/run_snapshot_dedup.py — the full two-tier batch job over
+    precomputed keys, driven as a real subprocess: recrawled docs
+    filtered out, novel docs written, census printed."""
+    import subprocess
+    import sys
+
+    ctx = base_and_snapshot
+    out = str(tmp_path / "novel")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_snapshot_dedup.py"),
+         "--input", ctx["snap_dir"], "--keys", ctx["keys"],
+         "--output", out],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "snapshot dedup census" in r.stdout
+    kept = {row.url for row in spark.read.parquet(out).collect()}
+    # every base-overlap doc dropped at the exact tier; near tier may
+    # additionally drop generator near-dups among the novel cohort
+    assert kept.isdisjoint(ctx["overlap"])
+    assert kept <= ctx["novel"] and kept
 
 
 def test_keys_identity_tracks_content(spark, base_and_snapshot, tmp_path):
