@@ -68,6 +68,17 @@ def main() -> None:
         out = Path(args.output)
         fp.write.mode("overwrite").parquet(str(out / "fp.parquet"))
         sig.write.mode("overwrite").parquet(str(out / "sig.parquet"))
+        # record the signature parameters: a consumer hashing shingles
+        # with different (len, stride, bands) would band-match nothing
+        # and silently pass near-recrawls — run_snapshot_dedup refuses
+        # a mismatch loudly instead (review r6b)
+        import json
+
+        (out / "keys_meta.json").write_text(json.dumps(
+            {"shingle_len": args.shingle_len, "stride": args.stride,
+             "bands": args.bands, "text_col": args.text_col},
+            indent=1,
+        ))
         n_fp = spark.read.parquet(str(out / "fp.parquet")).count()
         n_sig = spark.read.parquet(str(out / "sig.parquet")).count()
         print(f"wrote {n_fp} fingerprints, {n_sig} band signatures "

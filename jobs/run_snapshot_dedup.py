@@ -38,11 +38,48 @@ def main() -> None:
     ap.add_argument("--mode", choices=["filter", "annotate"],
                     default="filter")
     ap.add_argument("--id-col", default="url")
-    ap.add_argument("--text-col", default="text")
-    ap.add_argument("--shingle-len", type=int, default=12)
-    ap.add_argument("--stride", type=int, default=5)
-    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--text-col", default=None,
+                    help="defaults to the column the keys were "
+                         "computed over (keys_meta.json)")
+    ap.add_argument("--shingle-len", type=int, default=None,
+                    help="near-tier params default to the values "
+                         "recorded in the keys dir; an explicit "
+                         "mismatch refuses loudly (signatures over "
+                         "different shingles silently match nothing)")
+    ap.add_argument("--stride", type=int, default=None)
+    ap.add_argument("--bands", type=int, default=None)
     args = ap.parse_args()
+
+    import json
+
+    km_path = Path(args.keys) / "keys_meta.json"
+    given = {"shingle_len": args.shingle_len, "stride": args.stride,
+             "bands": args.bands}
+    if km_path.exists():
+        km = json.loads(km_path.read_text())
+        for name, g in given.items():
+            if g is not None and g != km[name]:
+                raise SystemExit(
+                    f"--{name.replace('_', '-')}={g} does not match "
+                    f"the keys' recorded {name}={km[name]} — the "
+                    "snapshot's band min-hashes would be computed "
+                    "over different shingles and silently match "
+                    "nothing; drop the flag or recompute the keys"
+                )
+        params = {n: km[n] for n in given}
+        text_col = args.text_col or km.get("text_col", "text")
+    elif all(g is not None for g in given.values()):
+        # escape hatch for hand-built key dirs: every parameter must
+        # be spelled explicitly — no silent defaults against unknown
+        # signature geometry
+        params = given
+        text_col = args.text_col or "text"
+    else:
+        raise SystemExit(
+            f"{km_path} is missing and the signature parameters were "
+            "not all given explicitly; re-run jobs/run_base_keys.py "
+            "(it records them) or pass --shingle-len --stride --bands"
+        )
 
     from pyspark.sql import functions as F
 
@@ -72,27 +109,31 @@ def main() -> None:
             None,
             snap,
             id_col=idc,
-            text_col=args.text_col,
-            shingle_len=args.shingle_len,
-            stride=args.stride,
-            bands=args.bands,
+            text_col=text_col,
+            shingle_len=params["shingle_len"],
+            stride=params["stride"],
+            bands=params["bands"],
             hashed=True,
             base_fp=spark.read.parquet(str(keys / "fp.parquet")),
             base_sig=spark.read.parquet(str(keys / "sig.parquet")),
-        )
-        if args.mode == "filter":
-            out.filter(F.col("drop_stage").isNull()).drop(
-                "drop_stage"
-            ).write.mode("overwrite").parquet(args.output)
-        else:
-            out.write.mode("overwrite").parquet(args.output)
-        # census from the committed output where possible, plus the
-        # in-plan annotation for the filtered-away stages
-        census = {
-            (r.drop_stage or "kept"): r.n
-            for r in out.groupBy("drop_stage")
-            .agg(F.count("*").alias("n")).collect()
-        }
+        ).persist()  # two actions below (census + write) — one dedup
+        # execution, the run_dedup.py persist-per-stage pattern
+        # (review r6b: unpersisted, the whole shingle/join plan ran
+        # twice)
+        try:
+            census = {
+                (r.drop_stage or "kept"): r.n
+                for r in out.groupBy("drop_stage")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            if args.mode == "filter":
+                out.filter(F.col("drop_stage").isNull()).drop(
+                    "drop_stage"
+                ).write.mode("overwrite").parquet(args.output)
+            else:
+                out.write.mode("overwrite").parquet(args.output)
+        finally:
+            out.unpersist()
         print(f"snapshot dedup census: {census} -> {args.output}")
     finally:
         spark.stop()

@@ -110,7 +110,7 @@ def _backfill_missing_audit(spark, out: IceliteTable, audit: IceliteTable,
 
 def refuse_summary_drift(
     out, field: str, current, default, snap_filter, fallback: bool,
-    message: str,
+    message,
 ) -> None:
     """ONE committed-summary drift guard (review r6: this pattern
     existed four times — profile and recrawl keys, batch and
@@ -121,9 +121,11 @@ def refuse_summary_drift(
     ``fallback`` substitutes ``{default}`` when every relevant
     snapshot expired AND the caller knows commits exist (keeps the
     check non-vacuous — review r5). Raises with
-    ``message.format(stale=…, current=…)`` if any committed value
-    differs from ``current``: semantics must never depend on crash or
-    restart timing."""
+    ``message(stale, current)`` — a CALLABLE, not a format string: the
+    messages embed user paths, and ``str.format`` over a path
+    containing braces would crash the refusal itself (review r6b) —
+    if any committed value differs from ``current``: semantics must
+    never depend on crash or restart timing."""
     prev = {
         s.summary.get(field, default)
         for s in out.snapshots()
@@ -134,9 +136,7 @@ def refuse_summary_drift(
         prev = {default}
     stale = prev - {current}
     if stale:
-        raise RuntimeError(
-            message.format(stale=sorted(stale), current=current)
-        )
+        raise RuntimeError(message(sorted(stale), current))
 
 
 def _stage_by_group(
@@ -219,9 +219,9 @@ def run_quality_job(
         refuse_summary_drift(
             out, "profile", profile, "default",
             lambda smry: "group" in smry, fallback=True,
-            message=(
+            message=lambda stale, cur: (
                 f"table {out_dir} has groups committed under "
-                "profile(s) {stale} but this run requests {current!r} "
+                f"profile(s) {stale} but this run requests {cur!r} "
                 "— resuming would mix keep semantics across groups; "
                 "reprocess into a fresh table or resume with the "
                 "original profile"
@@ -246,9 +246,9 @@ def run_quality_job(
         refuse_summary_drift(
             out, "recrawl_keys", recrawl_id, "none",
             lambda smry: "group" in smry, fallback=True,
-            message=(
+            message=lambda stale, cur: (
                 f"table {out_dir} has groups committed under recrawl "
-                "key set(s) {stale} but this run uses {current!r} — "
+                f"key set(s) {stale} but this run uses {cur!r} — "
                 "resuming would mix recrawl-drop semantics across "
                 "groups; reprocess into a fresh table or resume with "
                 "the original keys"

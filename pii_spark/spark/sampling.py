@@ -277,12 +277,14 @@ def mixture_sample(
     shares = {s: w / total_w * total_n for s, w in weights.items()}
     quotas = {s: int(share) for s, share in shares.items()}
     leftover = total_n - sum(quotas.values())
-    # tie-break key is None-safe: the NULL stratum is a legal weight
-    # key (it sorts first, deterministically)
+    # tie-break key is None-safe (NULL stratum sorts first) while
+    # preserving the NATIVE ordering of non-None strata — str(s) here
+    # would reorder int strata lexicographically and silently change
+    # same-seed apportionment (review r6b)
     for s in sorted(
         shares,
         key=lambda s: (-(shares[s] - quotas[s]), s is not None,
-                       "" if s is None else str(s)),
+                       s if s is not None else 0),
     )[:leftover]:
         quotas[s] += 1
 

@@ -134,10 +134,10 @@ def run_streaming_job(
         refuse_summary_drift(
             out, "profile", profile, "default", _this_ck,
             fallback=bool(done),
-            message=(
+            message=lambda stale, cur: (
                 f"checkpoint {checkpoint_dir} has batches committed "
-                "under profile(s) {stale} but this restart requests "
-                "{current!r} — keep semantics would differ across "
+                f"under profile(s) {stale} but this restart requests "
+                f"{cur!r} — keep semantics would differ across "
                 "batches; use the original profile or a fresh "
                 "checkpoint + table"
             ),
@@ -145,10 +145,10 @@ def run_streaming_job(
         refuse_summary_drift(
             out, "recrawl_keys", recrawl_id, "none", _this_ck,
             fallback=bool(done),
-            message=(
+            message=lambda stale, cur: (
                 f"checkpoint {checkpoint_dir} has batches committed "
-                "under recrawl key set(s) {stale} but this restart "
-                "uses {current!r} — recrawl-drop semantics would "
+                f"under recrawl key set(s) {stale} but this restart "
+                f"uses {cur!r} — recrawl-drop semantics would "
                 "differ across batches; use the original keys or a "
                 "fresh checkpoint + table"
             ),

@@ -20,9 +20,16 @@ from pii_spark.spark.incr_dedup import (
 
 
 def _write_keys(spark, corpus_df, keys_dir) -> str:
+    import json
+
     fp, sig = base_keys(corpus_df, id_col="url", hashed=True)
     fp.write.mode("overwrite").parquet(str(keys_dir / "fp.parquet"))
     sig.write.mode("overwrite").parquet(str(keys_dir / "sig.parquet"))
+    # what jobs/run_base_keys.py records (defaults of base_keys)
+    (keys_dir / "keys_meta.json").write_text(json.dumps(
+        {"shingle_len": 12, "stride": 5, "bands": 4,
+         "text_col": "text"}
+    ))
     return str(keys_dir)
 
 
@@ -144,6 +151,18 @@ def test_snapshot_dedup_cli(spark, base_and_snapshot, tmp_path):
     # additionally drop generator near-dups among the novel cohort
     assert kept.isdisjoint(ctx["overlap"])
     assert kept <= ctx["novel"] and kept
+
+    # a signature-geometry mismatch with the recorded keys refuses
+    # loudly (near-tier hashes over different shingles would silently
+    # match nothing — review r6b)
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_snapshot_dedup.py"),
+         "--input", ctx["snap_dir"], "--keys", ctx["keys"],
+         "--output", out, "--shingle-len", "8"],
+        capture_output=True, text=True, cwd=ROOT, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "does not match the keys' recorded" in (r.stderr + r.stdout)
 
 
 def test_keys_identity_tracks_content(spark, base_and_snapshot, tmp_path):
