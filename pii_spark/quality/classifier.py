@@ -106,6 +106,49 @@ def weak_labels(
     )
 
 
+def weak_label_pure(text: str | None) -> int:
+    """Pure-Python twin of the ``weak_labels`` expression (fuzzed
+    equal by tests/test_property_quality_twins.py). ``re.ASCII`` pins
+    ``\\b`` to the ASCII word class — what Java regex (Spark) and RE2
+    (the DuckDB oracle) both use; Python's default Unicode ``\\b``
+    would diverge on lexicon words abutting non-ASCII letters."""
+    import re
+
+    from .toxicity import TOX_RE_W1, TOX_RE_W2
+
+    t = text or ""
+    low = t.lower()
+    stop = len(re.findall(_EN_STOPWORDS_RE, low, flags=re.ASCII))
+    junk = ("lorem ipsum" in low) or ("{" in t)
+    tox = (
+        len(re.findall(TOX_RE_W1, low, flags=re.ASCII))
+        + 2 * len(re.findall(TOX_RE_W2, low, flags=re.ASCII))
+    )
+    return int(stop >= _MIN_STOPWORD_HITS and not junk and tox == 0)
+
+
+def train_census_pure(
+    docs: list[tuple[int, str | None]],
+) -> dict[str, tuple[int, int]]:
+    """Pure-Python twin of ``train_quality_nb(hashed=False)``:
+    feature (md5[:8] of the token) → (n_pos, n_neg) occurrence
+    counts. One definition of the tokenizer class on each side —
+    fuzzed equal by tests/test_property_quality_twins.py."""
+    import hashlib
+    import re
+
+    counts: dict[str, tuple[int, int]] = {}
+    for y, text in docs:
+        toks = [
+            w for w in re.split(_TOKEN_SPLIT, (text or "").lower()) if w
+        ]
+        for w in toks:
+            f = hashlib.md5(w.encode("utf-8")).hexdigest()[:8]
+            p, n = counts.get(f, (0, 0))
+            counts[f] = (p + y, n + (1 - y))
+    return counts
+
+
 def train_quality_nb(
     df: DataFrame,
     label_col: str = "label",

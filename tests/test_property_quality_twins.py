@@ -123,3 +123,31 @@ def test_toxicity_twins_agree_on_arbitrary_text(spark, texts):
         for k in ("mean_word_len", "symbol_ratio", "digit_ratio",
                   "alpha_ratio", "rep_ratio"):
             assert abs(r[k] - q[k]) < 1e-9, (k, repr(r.text))
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_classifier_twins_agree_on_arbitrary_text(spark, texts):
+    """Weak label + NB training census (R80): the Catalyst expressions
+    and the DuckDB-shaped md5 path must equal the pure twins on
+    whitespace/quote/unicode soup — the same twin standard as every
+    other quality module."""
+    from pii_spark.quality.classifier import (
+        train_census_pure,
+        train_quality_nb,
+        weak_label_pure,
+        weak_labels,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    lab = weak_labels(df)
+    rows = lab.collect()
+    for r in rows:
+        assert r.label == weak_label_pure(r.text), repr(r.text)
+
+    got = {
+        r.feature: (r.n_pos, r.n_neg)
+        for r in train_quality_nb(lab, hashed=False).collect()
+    }
+    pure = train_census_pure([(r.label, r.text) for r in rows])
+    assert got == pure
