@@ -51,6 +51,31 @@ from pyspark.sql import functions as F
 
 _SIGN_FLIP = -(1 << 63)  # XOR flips the top bit: signed order ≡ unsigned
 
+# Every cut in this module is driven from a driver-side collect of a
+# per-(stratum, bin) aggregate — ≤ #strata × 2^bits rows. That is tiny
+# for the intended strata (lang/source, ≤10²) but silently
+# driver-fatal if someone strata-fies by, say, URL domain (10⁷ strata
+# on a web crawl). The collects are therefore bounded: above this many
+# rows the operator refuses instead of OOMing the driver.
+_MAX_DRIVER_ROWS = 1_000_000
+
+
+def _collect_bounded(df, what: str):
+    """collect() with an explicit cardinality contract (VERDICT r6 #3):
+    raise if the aggregate exceeds ``_MAX_DRIVER_ROWS`` rows rather
+    than materializing an unbounded stratum space on the driver."""
+    rows = df.limit(_MAX_DRIVER_ROWS + 1).collect()
+    if len(rows) > _MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"{what}: stratum cardinality too high — the driver-side "
+            f"cut would collect more than {_MAX_DRIVER_ROWS:,} "
+            "(stratum, bin) rows. Strata are meant to be coarse "
+            "(lang, source — at most thousands); a per-domain stratum "
+            "column on a web crawl is ~10^7 strata and belongs in a "
+            "coarser rollup before sampling."
+        )
+    return rows
+
 
 def _key(id_col: str, seed: int):
     return F.xxhash64(F.col(id_col), F.lit(seed))
@@ -110,10 +135,10 @@ def _quota_prefix(
         df = df.filter(member)
 
     df = df.withColumn("_bkt", bucket)
-    hist = (
-        df.groupBy(stratum_col, "_bkt")
-        .count()
-        .collect()  # ≤ #strata × 2^bits tiny rows, partial-aggregated
+    hist = _collect_bounded(
+        # ≤ #strata × 2^bits tiny rows, partial-aggregated
+        df.groupBy(stratum_col, "_bkt").count(),
+        "stratified/mixture sample",
     )
     per: dict = {}
     for r in hist:
@@ -323,19 +348,80 @@ def ccnet_buckets(
     NULLS LAST; ranking unknown-perplexity docs into the head was the
     r5 ADVICE bug.
 
-    Scale shape: labels come from an equal-width 2^``hist_bits``-bin
-    per-stratum score histogram — every bin that does not straddle an
-    ntile rank boundary gets its label from a broadcast map (zero
-    shuffle for ~all rows); only the ≤ n_buckets-1 straddling bins
-    per stratum are resolved by an exact (score, id) window over just
-    those bins' rows. Membership is EXACTLY the single-window ntile's.
-    Degenerate distributions (one point mass = one bin) fall back to
-    sorting that bin, i.e. the old behavior; continuous scores keep
-    boundary bins at ~stratum/2^bits rows.
+    Scale shape: labels come from a 2^``hist_bits``-bin per-stratum
+    score histogram — every bin that does not straddle an ntile rank
+    boundary gets its label from a broadcast map (zero shuffle for
+    ~all rows); only the ≤ n_buckets-1 straddling bins per stratum are
+    resolved by an exact (score, id) window over just those bins'
+    rows. Membership is EXACTLY the single-window ntile's.
+
+    Bins are equal-width in ``log1p(score - min)``, not in the raw
+    score (VERDICT r6 #1, confirmed live): perplexity — the operator's
+    stated score — is heavy-tailed, and a single 10^6-ppl junk doc
+    against a 50–1000 bulk puts 99.99% of the stratum into raw bin 0,
+    degrading the boundary window to the stratum-wide single-task sort
+    this histogram exists to avoid. ``log1p`` is strictly monotone, so
+    bin order still refines (score, id) order — the exactness
+    precondition is untouched — while the outlier now costs ~half the
+    log extent instead of ~all of the raw extent. Degenerate
+    distributions (one point mass = one bin) still fall back to
+    sorting that bin; continuous scores keep boundary bins at
+    ~stratum/2^bits rows.
 
     Adds a ``ccnet_bucket`` string column ("head"/"middle"/"tail" for
     the canonical 3, else "b1".."bN")."""
     from pyspark.sql import Window
+
+    marked = _ccnet_marked(
+        df, score_col, stratum_col, n_buckets, hist_bits
+    )
+    names = _CCNET_NAMES.get(n_buckets)
+
+    def label_expr(tile: Column) -> Column:
+        if names:
+            return F.element_at(
+                F.array(*[F.lit(x) for x in names]), tile.cast("int")
+            )
+        return F.concat(F.lit("b"), tile.cast("string"))
+
+    keep = [c for c in df.columns]
+    uniform = marked.filter(F.col("_tile").isNotNull()).select(
+        *keep, label_expr(F.col("_tile")).alias("ccnet_bucket")
+    )
+    # boundary bins only: exact rank = bin offset + within-bin
+    # (score NULLS LAST, id) row number; tile = 1 + #cuts below rank
+    # (rank materialized via withColumn — a window expr cannot live
+    # inside a higher-order-function lambda)
+    w = Window.partitionBy(stratum_col, "_sb").orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col)
+    )
+    btile = F.lit(1) + F.size(
+        F.filter("_cuts", lambda u: u < F.col("_rank"))
+    )
+    boundary = (
+        marked.filter(F.col("_tile").isNull())
+        .withColumn(
+            "_rank",
+            (F.col("_off") + F.row_number().over(w)).cast("double"),
+        )
+        .select(*keep, label_expr(btile).alias("ccnet_bucket"))
+    )
+    return uniform.unionByName(boundary)
+
+
+def _ccnet_marked(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str,
+    n_buckets: int,
+    hist_bits: int,
+) -> DataFrame:
+    """The histogram-cut core of :func:`ccnet_buckets`: returns ``df``
+    plus ``_sb`` (log-width score bin), ``_tile`` (the bucket, already
+    known for non-straddling bins; NULL for rows the boundary window
+    must rank), ``_off`` (rank offset of the bin) and ``_cuts``.
+    Split out so tests can measure the ``_tile IS NULL`` population —
+    the rows that pay a sort — under adversarial score shapes."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -348,23 +434,24 @@ def ccnet_buckets(
     spark = df.sparkSession
     stype = df.schema[stratum_col].dataType
 
-    extent = (
-        df.groupBy(stratum_col)
-        .agg(
+    extent = _collect_bounded(
+        df.groupBy(stratum_col).agg(
             F.count("*").alias("c"),
             F.min(score_col).alias("mn"),
             F.max(score_col).alias("mx"),
-        )
-        .collect()
+        ),
+        "ccnet_buckets",
     )
-    # per-stratum bin geometry + exact ntile rank uppers:
-    # uppers[i] = i*floor(c/n) + min(i, c mod n)  (ntile semantics)
+    # per-stratum bin geometry (log-space width) + exact ntile rank
+    # uppers: uppers[i] = i*floor(c/n) + min(i, c mod n)
+    import math
+
     geo_rows, cuts_of = [], {}
     for r in extent:
         c = r["c"]
         mn = float(r["mn"]) if r["mn"] is not None else 0.0
         mx = float(r["mx"]) if r["mx"] is not None else 0.0
-        w = (mx - mn) / H if mx > mn else 0.0
+        w = math.log1p(mx - mn) / H if mx > mn else 0.0
         fl, rem = c // n_buckets, c % n_buckets
         cuts = [i * fl + min(i, rem) for i in range(1, n_buckets)]
         cuts_of[r[stratum_col]] = cuts
@@ -379,16 +466,19 @@ def ccnet_buckets(
         ]),
     )
 
-    # bin of a row: equal-width in score, NULLs in the trailing bin H
-    # (NULLS LAST); floor((s-mn)/w) is monotone in s, so bin order
-    # refines (score, id) order — the exactness precondition
+    # bin of a row: equal-width in log1p(score-mn), NULLs in the
+    # trailing bin H (NULLS LAST); log1p is strictly increasing and
+    # floor(log1p(s-mn)/w) is monotone in s, so bin order refines
+    # (score, id) order — the exactness precondition
     sb = (
         F.when(F.col(score_col).isNull(), F.lit(H))
         .when(F.col("_w") == 0.0, F.lit(0))
         .otherwise(
             F.least(
                 F.floor(
-                    (F.col(score_col).cast("double") - F.col("_mn"))
+                    F.log1p(
+                        F.col(score_col).cast("double") - F.col("_mn")
+                    )
                     / F.col("_w")
                 ),
                 F.lit(H - 1),
@@ -408,7 +498,9 @@ def ccnet_buckets(
         .withColumn("_sb", sb)
     )
 
-    hist = binned.groupBy(stratum_col, "_sb").count().collect()
+    hist = _collect_bounded(
+        binned.groupBy(stratum_col, "_sb").count(), "ccnet_buckets"
+    )
     per: dict = {}
     for r in hist:
         per.setdefault(r[stratum_col], []).append((r["_sb"], r["count"]))
@@ -443,40 +535,8 @@ def ccnet_buckets(
         ]),
     )
 
-    marked = binned.join(
+    return binned.join(
         F.broadcast(labels),
         binned[stratum_col].eqNullSafe(labels[stratum_col])
         & (binned["_sb"] == labels["_sb"]),
     ).drop(labels[stratum_col]).drop(labels["_sb"])
-    names = _CCNET_NAMES.get(n_buckets)
-
-    def label_expr(tile: Column) -> Column:
-        if names:
-            return F.element_at(
-                F.array(*[F.lit(x) for x in names]), tile.cast("int")
-            )
-        return F.concat(F.lit("b"), tile.cast("string"))
-
-    keep = [c for c in df.columns]
-    uniform = marked.filter(F.col("_tile").isNotNull()).select(
-        *keep, label_expr(F.col("_tile")).alias("ccnet_bucket")
-    )
-    # boundary bins only: exact rank = bin offset + within-bin
-    # (score NULLS LAST, id) row number; tile = 1 + #cuts below rank
-    # (rank materialized via withColumn — a window expr cannot live
-    # inside a higher-order-function lambda)
-    w = Window.partitionBy(stratum_col, "_sb").orderBy(
-        F.col(score_col).asc_nulls_last(), F.col(id_col)
-    )
-    btile = F.lit(1) + F.size(
-        F.filter("_cuts", lambda u: u < F.col("_rank"))
-    )
-    boundary = (
-        marked.filter(F.col("_tile").isNull())
-        .withColumn(
-            "_rank",
-            (F.col("_off") + F.row_number().over(w)).cast("double"),
-        )
-        .select(*keep, label_expr(btile).alias("ccnet_bucket"))
-    )
-    return uniform.unionByName(boundary)

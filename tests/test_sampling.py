@@ -302,6 +302,86 @@ def test_skewed_stratum_never_sorts_stratum_wide(spark):
     assert per["en"] == 50
 
 
+def test_ccnet_heavy_tail_outlier_keeps_boundary_small(spark):
+    """VERDICT r6 #1: a single 10^6-perplexity outlier against a
+    50–1000 bulk must NOT collapse the histogram — under raw
+    equal-width bins it put >99.9% of the stratum into bin 0, turning
+    the "exact window over only the straddling bins" into a
+    stratum-wide single-task sort. With log-width bins the boundary
+    (_tile IS NULL) population stays a small fraction of the stratum.
+    Asserted on the row count, not the plan — the plan gate cannot see
+    binning geometry."""
+    from pii_spark.spark.sampling import _ccnet_marked
+
+    n = 10_000
+    rows = [
+        (i, "en", 1_000_000.0 if i == 0 else 50.0 + (i * 7919) % 950)
+        for i in range(n)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, ppl double"
+    )
+    marked = _ccnet_marked(d, "ppl", "lang", 3, 10).cache()
+    boundary = marked.filter(F.col("_tile").isNull()).count()
+    total = marked.count()
+    marked.unpersist()
+    assert total == n
+    # ≤ n_buckets-1 straddling bins, each ~stratum/2^bits in the
+    # log-binned geometry; allow generous slack (5%) — the raw-width
+    # failure mode was 99.99%
+    assert boundary <= 0.05 * n, boundary
+    # and membership is still exactly the ntile window's
+    from pyspark.sql import Window
+
+    got = {
+        r.doc_id: r.ccnet_bucket
+        for r in ccnet_buckets(d, "ppl").collect()
+    }
+    wn = Window.partitionBy("lang").orderBy(
+        F.col("ppl").asc_nulls_last(), F.col("doc_id")
+    )
+    ref = {
+        r.doc_id: ("head", "middle", "tail")[r.t - 1]
+        for r in d.withColumn("t", F.ntile(3).over(wn)).collect()
+    }
+    assert got == ref
+    # the outlier itself lands in the tail
+    assert got[0] == "tail"
+
+
+def test_sampling_driver_collects_are_cardinality_bounded(spark):
+    """VERDICT r6 #3: the driver-side cuts collect ≤ #strata × 2^bits
+    aggregate rows — fine for lang/source strata, fatal for a
+    per-domain stratum column on a web crawl. The operators must
+    refuse, not OOM the driver."""
+    import pytest as _pt
+
+    import pii_spark.spark.sampling as samp
+    from pii_spark.spark.sampling import mixture_sample
+
+    d = _docs(spark).withColumn(
+        "domain", F.concat(F.lit("d"), F.col("doc_id"))
+    )
+    old = samp._MAX_DRIVER_ROWS
+    samp._MAX_DRIVER_ROWS = 100  # 5k distinct strata >> 100
+    try:
+        with _pt.raises(ValueError, match="cardinality"):
+            stratified_sample_n(d, "domain", 2).collect()
+        with _pt.raises(ValueError, match="cardinality"):
+            ccnet_buckets(d, "n_chars", stratum_col="domain").collect()
+        # mixture_sample is inherently bounded: it filters to the
+        # weighted strata (a driver-side dict) BEFORE its collect, so
+        # a high-cardinality stratum column is harmless there
+        got = mixture_sample(
+            d, {"d1": 1, "d2": 1}, 10, stratum_col="domain"
+        ).count()
+        assert got == 2  # one doc per unique domain stratum
+    finally:
+        samp._MAX_DRIVER_ROWS = old
+    # and the coarse-strata paths still work under the real bound
+    assert stratified_sample_n(d, "lang", 5).count() > 0
+
+
 def test_mixture_sample_rejects_negative_and_types_int_strata(spark):
     import pytest as _pt
 
