@@ -42,9 +42,12 @@ def run_streaming_job(
     instead: uncompressed ``.warc`` files stream through the lineSep
     record split + pure-Catalyst parse (one parse definition with the
     batch readers) — live-crawl ingest with the same ledgered
-    exactly-once tail. (Per-record-gzip archives are a batch-backfill
-    format — ``run_quality_job(input_format="warc")`` — not a landing
-    stream; the text datasource cannot split gzip members.)
+    exactly-once tail. ``input_format="warc_gz"`` watches a landing
+    dir of per-record-gzip ``.warc.gz`` files (Common Crawl's actual
+    distribution format, which the text datasource cannot split)
+    through the binaryFile streaming source + the batch reader's
+    member-stream record splitter — mixed dirs are fine, compression
+    is detected per file by magic.
 
     ``recrawl_keys`` (a `jobs/run_base_keys.py` output dir) drops docs
     whose normalized text already exists in the base corpus from every
@@ -78,6 +81,13 @@ def run_streaming_job(
             .option("lineSep", _DELIM)
             .option("maxFilesPerTrigger", max_files_per_trigger or 8)
             .text(corpus_dir)
+        )
+    elif input_format == "warc_gz":
+        from .warc import read_warc_stream_binary
+
+        stream = read_warc_stream_binary(
+            spark, corpus_dir,
+            max_files_per_trigger=max_files_per_trigger,
         )
     elif input_format == "parquet":
         reader = (

