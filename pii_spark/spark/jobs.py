@@ -202,7 +202,14 @@ def run_quality_job(
     under different keys refuses loudly — the same crash-timing-drift
     class as the profile guard. Recrawl-dropped docs are absent from
     the output and from the audit's docs_in (this is ingest-side
-    filtering, upstream of the pipeline's keep/drop lineage)."""
+    filtering, upstream of the pipeline's keep/drop lineage).
+
+    Scrub-invariance caveat (ADVICE r6): the exact tier fingerprints
+    RAW extracted snapshot text, so the key tables must be maintained
+    from raw text too — the snapshot-dedup job's ``--update-keys``
+    delta append does exactly that. Recomputing keys from this job's
+    OUTPUT would fingerprint post-scrub text and silently never match
+    a recrawl of any doc the PII scrubber modified."""
     run_id = run_id or uuid.uuid4().hex[:12]
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
