@@ -42,17 +42,29 @@ def main() -> None:
                          "toxicity) or strict (adds C4 + full Gopher)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--input-format", choices=["parquet", "warc"],
+    ap.add_argument("--input-format",
+                    choices=["parquet", "warc", "warc_gz"],
                     default="parquet",
                     help="parquet: curated corpus dir; warc: crawl "
                          "dump (*.warc / per-record-gzip *.warc.gz in "
                          "batch mode, uncompressed *.warc landing dir "
-                         "in --streaming mode)")
+                         "in --streaming mode); warc_gz: a "
+                         "--streaming landing dir of per-record-gzip "
+                         "*.warc.gz (binaryFile source; batch mode "
+                         "treats it as warc — the binary reader "
+                         "detects compression per file)")
     ap.add_argument("--recrawl-keys", default=None,
                     help="jobs/run_base_keys.py output dir: drop docs "
                          "whose content fingerprint already exists in "
                          "the base corpus before the pipeline "
                          "(incremental-snapshot exact dedup)")
+    ap.add_argument("--classifier-model", default=None,
+                    help="jobs/run_classifier.py model dir: score "
+                         "every output row (clf_score / "
+                         "clf_predict_pos over the scrubbed text) "
+                         "in-line — CCNet-style classifier routing "
+                         "without a second pass; model identity is "
+                         "resume-guarded like --profile")
     args = ap.parse_args()
 
     from pii_spark.spark.session import get_spark
@@ -69,20 +81,24 @@ def main() -> None:
                 partitions=args.partitions, profile=args.profile,
                 input_format=args.input_format,
                 recrawl_keys=args.recrawl_keys,
+                classifier_model=args.classifier_model,
             )
         else:
             from pii_spark.spark.jobs import run_quality_job
 
             # pass the PATH, not a DataFrame: file-granular groups read
             # the corpus exactly once total (no staging write)
+            fmt = ("warc" if args.input_format == "warc_gz"
+                   else args.input_format)
             table = run_quality_job(
                 spark, args.input, args.output, args.audit,
                 groups=args.groups, run_id=args.run_id,
                 partitions=args.partitions,
                 compact_every=args.compact_every,
                 profile=args.profile,
-                input_format=args.input_format,
+                input_format=fmt,
                 recrawl_keys=args.recrawl_keys,
+                classifier_model=args.classifier_model,
             )
         n = table.read(spark).count()
         print(f"committed snapshot v{table.current_version()} ({n} rows)")

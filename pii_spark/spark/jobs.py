@@ -175,6 +175,7 @@ def run_quality_job(
     profile: str = "default",
     input_format: str = "parquet",
     recrawl_keys: str | None = None,
+    classifier_model: str | None = None,
 ) -> IceliteTable:
     """Run the quality+scrub pipeline over ``corpus`` with checkpointed
     group commits. ``corpus`` is a DataFrame (staged into grp
@@ -209,7 +210,16 @@ def run_quality_job(
     from raw text too — the snapshot-dedup job's ``--update-keys``
     delta append does exactly that. Recomputing keys from this job's
     OUTPUT would fingerprint post-scrub text and silently never match
-    a recrawl of any doc the PII scrubber modified."""
+    a recrawl of any doc the PII scrubber modified.
+
+    ``classifier_model`` points at a `jobs/run_classifier.py` model
+    dir: every output row gets ``clf_score`` / ``clf_predict_pos``
+    from the NB quality classifier, scored over the SCRUBBED text
+    (the content that enters the corpus) — CCNet's langid →
+    perplexity → classifier-routing composition as one job, no second
+    pass over the output. The model identity is recorded per group
+    commit and a resume under a different (or no) model refuses
+    loudly — scores in one table must mean one thing."""
     run_id = run_id or uuid.uuid4().hex[:12]
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
@@ -261,8 +271,34 @@ def run_quality_job(
                 "the original keys"
             ),
         )
+    clf_id = "none"
+    clf_census = clf_meta = None
+    if classifier_model is not None:
+        from ..quality.classifier import (
+            classifier_model_identity,
+            load_quality_model,
+        )
+
+        clf_id = classifier_model_identity(classifier_model)
+        clf_census, clf_meta = load_quality_model(spark, classifier_model)
+    if done:
+        # and the classifier: scored and unscored groups (or groups
+        # scored by different models) must not share a table — same
+        # crash-timing-drift class again, plus a schema mismatch
+        refuse_summary_drift(
+            out, "classifier", clf_id, "none",
+            lambda smry: "group" in smry, fallback=True,
+            message=lambda stale, cur: (
+                f"table {out_dir} has groups committed under "
+                f"classifier model(s) {stale} but this run uses "
+                f"{cur!r} — resuming would mix score semantics (and "
+                "schemas) across groups; reprocess into a fresh table "
+                "or resume with the original model"
+            ),
+        )
     staging: str | None = None
-    extra_summary: dict = {"profile": profile, "recrawl_keys": recrawl_id}
+    extra_summary: dict = {"profile": profile, "recrawl_keys": recrawl_id,
+                           "classifier": clf_id}
     if isinstance(corpus, str):
         exts = (
             ("*.parquet",) if input_format == "parquet"
@@ -377,6 +413,10 @@ def run_quality_job(
             part = drop_recrawls(part, recrawl_fp_df)
         result = run_pipeline(part, partitions=partitions,
                               profile=profile)
+        if clf_census is not None:
+            from ..quality.classifier import attach_quality_scores
+
+            result = attach_quality_scores(result, clf_census, clf_meta)
         # Commit FIRST, then derive the audit stats from the committed
         # snapshot's own data files (VERDICT r4 #3). The old shape
         # cached the full pipeline output to stamp spark_partition_id()

@@ -33,6 +33,7 @@ def run_streaming_job(
     profile: str = "default",
     input_format: str = "parquet",
     recrawl_keys: str | None = None,
+    classifier_model: str | None = None,
 ) -> IceliteTable:
     """Process all currently-available corpus files exactly once.
     ``profile`` selects run_pipeline's keep chain; like the batch job,
@@ -56,8 +57,25 @@ def run_streaming_job(
     the MinHash near tier needs per-doc aggregation and stays a batch
     operator). The key-set identity is recorded per batch and a
     restart under different keys refuses loudly, like the profile
-    guard."""
+    guard.
+
+    ``classifier_model`` (a `jobs/run_classifier.py` model dir) scores
+    every batch's output rows in-line (``clf_score`` /
+    ``clf_predict_pos`` over the scrubbed text — an ordinary batch
+    join per micro-batch, like the recrawl drop); model identity is
+    recorded per batch, restart under a different model refuses."""
     out = IceliteTable(out_dir)
+
+    clf_id = "none"
+    clf_census = clf_meta = None
+    if classifier_model is not None:
+        from ..quality.classifier import (
+            classifier_model_identity,
+            load_quality_model,
+        )
+
+        clf_id = classifier_model_identity(classifier_model)
+        clf_census, clf_meta = load_quality_model(spark, classifier_model)
 
     recrawl_id = "none"
     recrawl_fp_df = None
@@ -163,6 +181,17 @@ def run_streaming_job(
                 "fresh checkpoint + table"
             ),
         )
+        refuse_summary_drift(
+            out, "classifier", clf_id, "none", _this_ck,
+            fallback=bool(done),
+            message=lambda stale, cur: (
+                f"checkpoint {checkpoint_dir} has batches committed "
+                f"under classifier model(s) {stale} but this restart "
+                f"uses {cur!r} — score semantics (and schemas) would "
+                "differ across batches; use the original model or a "
+                "fresh checkpoint + table"
+            ),
+        )
 
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
@@ -179,9 +208,14 @@ def run_streaming_job(
             batch_df = drop_recrawls(batch_df, recrawl_fp_df)
         result = run_pipeline(batch_df, partitions=partitions,
                               profile=profile)
+        if clf_census is not None:
+            from ..quality.classifier import attach_quality_scores
+
+            result = attach_quality_scores(result, clf_census, clf_meta)
         out.append(result, summary={"stream_batch": key,
                                     "profile": profile,
-                                    "recrawl_keys": recrawl_id})
+                                    "recrawl_keys": recrawl_id,
+                                    "classifier": clf_id})
         done.add(key)
 
     q = (
