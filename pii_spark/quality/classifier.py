@@ -108,21 +108,28 @@ def weak_labels(
 
 def weak_label_pure(text: str | None) -> int:
     """Pure-Python twin of the ``weak_labels`` expression (fuzzed
-    equal by tests/test_property_quality_twins.py). ``re.ASCII`` pins
-    ``\\b`` to the ASCII word class — what Java regex (Spark) and RE2
-    (the DuckDB oracle) both use; Python's default Unicode ``\\b``
-    would diverge on lexicon words abutting non-ASCII letters."""
+    equal by tests/test_property_quality_twins.py). Default Unicode
+    ``\\b`` on purpose: MEASURED this session, Spark's Java regex
+    treats a lexicon word abutting a non-ASCII letter ('éhate') as
+    UNbounded — identical to Python's default and to
+    toxicity.toxicity_stats — while ``re.ASCII`` (and DuckDB's RE2)
+    would count it. An earlier revision pinned re.ASCII here on the
+    opposite assumption (ADVICE r6 flagged the twin disagreement);
+    the fixed-case pin in tests/test_classifier.py now keeps all
+    three Python/Spark implementations honest. The RE2 divergence
+    remains an oracle-side caveat, documented in toxicity.py (driver
+    testdata is ASCII, where all four engines agree)."""
     import re
 
     from .toxicity import TOX_RE_W1, TOX_RE_W2
 
     t = text or ""
     low = t.lower()
-    stop = len(re.findall(_EN_STOPWORDS_RE, low, flags=re.ASCII))
+    stop = len(re.findall(_EN_STOPWORDS_RE, low))
     junk = ("lorem ipsum" in low) or ("{" in t)
     tox = (
-        len(re.findall(TOX_RE_W1, low, flags=re.ASCII))
-        + 2 * len(re.findall(TOX_RE_W2, low, flags=re.ASCII))
+        len(re.findall(TOX_RE_W1, low))
+        + 2 * len(re.findall(TOX_RE_W2, low))
     )
     return int(stop >= _MIN_STOPWORD_HITS and not junk and tox == 0)
 

@@ -127,3 +127,49 @@ def test_plan_gates(spark):
     splan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in splan, splan
     assert "BroadcastHashJoin" in splan, "model side must broadcast"
+
+
+def test_word_boundary_semantics_pinned_nonascii(spark):
+    """ADVICE r6 adjudicated by MEASUREMENT: Spark's Java regex \\b is
+    UNICODE-behaved — 'éhate' is one word, the lexicon entry does NOT
+    match — identical to Python's default re (so both pure twins,
+    weak_label_pure and toxicity_stats, use default flags; the
+    earlier re.ASCII pin in weak_label_pure disagreed with Spark).
+    DuckDB's RE2 \\b is ASCII-only and WOULD count it — that stays an
+    oracle-side caveat (toxicity.py docstring), irrelevant on the
+    ASCII driver testdata."""
+    from pii_spark.quality.classifier import weak_label_pure
+    from pii_spark.quality.toxicity import toxicity_exprs, toxicity_stats
+
+    # _CLEAN supplies the >= 3 stopword hits; the suffix plants a
+    # lexicon/stopword token abutting a non-ASCII letter
+    cases = [
+        _CLEAN + "éhate",        # tox word, bound left by é: NOT a hit
+        _CLEAN + "hateé",        # bound right: NOT a hit
+        _CLEAN + "é hate é",     # space-bounded: IS a hit
+        _CLEAN + "théé",         # stopword 'the' absorbed into théé
+        _CLEAN.replace("the", "thé") + "x",  # stopwords mutated away
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(cases)]
+    )
+    got = {r.doc_id: r.label for r in weak_labels(df).collect()}
+    assert got == {i: weak_label_pure(t) for i, t in enumerate(cases)}
+    # the semantics themselves, not just agreement: unbounded forms
+    # keep label 1 (no tox hit), the space-bounded form flips to 0
+    assert got[0] == 1 and got[1] == 1 and got[2] == 0
+
+    # toxicity twin: same cases, exprs == pure on hits
+    hdf = df.select(
+        "doc_id",
+        toxicity_exprs(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(10),
+        )["tox_hits"].alias("h"),
+    )
+    spark_hits = {r.doc_id: r.h for r in hdf.collect()}
+    pure_hits = {
+        i: int(toxicity_stats(t)["tox_hits"]) for i, t in enumerate(cases)
+    }
+    assert spark_hits == pure_hits
+    assert spark_hits[2] == 2  # 'hate' is weight-2

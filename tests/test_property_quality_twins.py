@@ -107,8 +107,11 @@ def test_toxicity_twins_agree_on_arbitrary_text(spark, texts):
     from pii_spark.quality.toxicity import toxicity_stats
     from pii_spark.spark.pipeline import quality_exprs
 
-    # salt in lexicon words so the hit paths actually exercise
-    texts = [t + " hate kill trash skill" for t in texts[:10]] + texts
+    # salt in lexicon words so the hit paths actually exercise —
+    # including non-ASCII-ADJACENT forms ('éhate'), where Java and
+    # Python default \b agree (Unicode: no hit) but re.ASCII/RE2
+    # would differ (the ADVICE r6 twin-drift class)
+    texts = [t + " hate kill trash skill éhate hateé" for t in texts[:10]] + texts
     from pii_spark.quality.heuristics import quality_stats
 
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
@@ -139,6 +142,12 @@ def test_classifier_twins_agree_on_arbitrary_text(spark, texts):
         weak_labels,
     )
 
+    # salt in stopword/lexicon tokens (the raw alphabet cannot spell
+    # them — ADVICE r6), including non-ASCII-adjacent forms that
+    # split Unicode from ASCII \b semantics
+    texts = [
+        t + " the and that with hate éhate théé" for t in texts[:8]
+    ] + texts
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     lab = weak_labels(df)
     rows = lab.collect()
