@@ -44,17 +44,34 @@ def main() -> None:
 
     sf_name = Path(SF_DIR).name
     n_docs = _N_BY_SF.get(sf_name, 50_000)
+    loadavg0 = round(os.getloadavg()[0], 2)
 
     spark = get_spark(app="pii_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    stolen: dict[str, float] = {}
+
+    def _steal_ticks() -> int:
+        # cumulative CPU steal (/proc/stat field 8): the host is a
+        # co-tenant guest, and a load wave during a leg shows up here.
+        # Recorded per leg so a slow bench is SELF-identifying (VERDICT
+        # r6 #7 — the r6 driver bench needed an out-of-band re-measure
+        # to adjudicate a 3x swing); same selector BENCH/run_scaling.py
+        # uses to pick its steal-clean rep.
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
 
     def timed(name, fn):
-        t0 = time.time()
+        s0, t0 = _steal_ticks(), time.time()
         fn()
-        timings[name] = round(time.time() - t0, 3)
+        wall = time.time() - t0
+        timings[name] = round(wall, 3)
+        stolen[name] = round((_steal_ticks() - s0) / 100.0 / wall, 3)
 
     # generate once, cache, force materialization (generation is part of
     # the corpus, not of the measured pipeline throughput)
@@ -109,6 +126,10 @@ def main() -> None:
         "n_docs": n_docs,
         "cpus": CPUS,
         "docs_per_sec": docs_per_sec,
+        # co-tenancy disclosure: avg cores stolen per leg + the 1-min
+        # loadavg at suite start — a loaded run is self-identifying
+        "stolen_cores": stolen,
+        "loadavg_start": loadavg0,
     }))
     spark.stop()
 
