@@ -2135,11 +2135,30 @@ def q_quality_classifier(spark, sf_dir):
     INTEGERS (no cross-engine float-summation hazard; the float
     scoring pass is pinned by tests/test_classifier.py instead).
     Features below 3 total occurrences collapse into one tail row to
-    bound the check size; a label-census arm pins the weak labeler."""
-    from pii_spark.quality.classifier import train_quality_nb, weak_labels
+    bound the check size; a label-census arm pins the weak labeler.
+
+    A fourth 'score' arm (r7, VERDICT r6 #8) puts the full
+    train→SCORE path in the hash: per-feature llr quantized to
+    floor(1e6 * llr) BIGINTs, summed per doc as integers — the
+    classifier.score_quality_nb_int fixed-point twin, replicated in
+    the SQL below (n_pos carries the integer score, n_neg the token
+    count)."""
+    from pii_spark.quality.classifier import (
+        score_quality_nb_int,
+        train_quality_nb,
+        weak_labels,
+    )
 
     d = weak_labels(_docs(spark, sf_dir))
     counts = train_quality_nb(d, hashed=False)
+    scores = score_quality_nb_int(
+        _docs(spark, sf_dir), counts, hashed=False
+    ).select(
+        F.lit("score").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("score_int").alias("n_pos"),
+        F.col("n_tokens").alias("n_neg"),
+    )
     big = counts.filter(F.col("n_pos") + F.col("n_neg") >= 3).select(
         F.lit("feature").alias("part"),
         F.col("feature").alias("key"),
@@ -2160,7 +2179,9 @@ def q_quality_classifier(spark, sf_dir):
         "n_pos",
         F.lit(0).cast("long").alias("n_neg"),
     )
-    return big.unionByName(tail).unionByName(labels)
+    return (
+        big.unionByName(tail).unionByName(labels).unionByName(scores)
+    )
 
 
 def q_sketch_decontam(spark, sf_dir):
@@ -3167,6 +3188,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'labels', CAST(y AS VARCHAR),
                    CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
             FROM lab GROUP BY y
+            UNION ALL
+            -- score arm (r7): fixed-point NB llr, summed as BIGINT —
+            -- the full train->score path, cross-engine exact up to a
+            -- ~4e-9/feature ln-ulp floor-boundary residual
+            SELECT 'score', CAST(doc_id AS VARCHAR), s, nt
+            FROM (
+              WITH tot AS (
+                SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                       CAST(sum(n_neg) AS BIGINT) AS tn,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM cnt),
+              w AS (
+                SELECT feature,
+                       CAST(floor(1000000.0 * (
+                         ln((n_pos + 1.0) / (tp + v))
+                         - ln((n_neg + 1.0) / (tn + v))
+                       )) AS BIGINT) AS lli
+                FROM cnt, tot),
+              unseen AS (
+                SELECT CAST(floor(1000000.0 * (
+                  ln(1.0 / (tp + v)) - ln(1.0 / (tn + v))
+                )) AS BIGINT) AS u FROM tot),
+              dtok AS (
+                SELECT doc_id, substr(md5(tok), 1, 8) AS feature
+                FROM (SELECT doc_id, unnest(list_filter(
+                        string_split_regex(
+                          lower(coalesce(text, '')), '[^a-z0-9]+'),
+                        x -> x <> '')) AS tok
+                      FROM documents))
+              SELECT doc_id,
+                     CAST(sum(coalesce(lli, u)) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS nt
+              FROM dtok LEFT JOIN w USING (feature), unseen
+              GROUP BY doc_id, u
+              UNION ALL
+              SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM documents
+              WHERE len(list_filter(string_split_regex(
+                      lower(coalesce(text, '')), '[^a-z0-9]+'),
+                      x -> x <> '')) = 0
+            )
         """,
         "sessionize": """
             WITH e AS (

@@ -156,6 +156,74 @@ def train_census_pure(
     return counts
 
 
+def score_quality_nb_int(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 2 ** 18,
+    hashed: bool = True,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Fixed-point twin of :func:`score_quality_nb` (VERDICT r6 #8):
+    per-feature log-likelihood ratios quantized to
+    ``floor(scale * llr)`` BIGINTs and SUMMED AS INTEGERS, so the
+    whole train→score path is cross-engine exact — integer addition
+    has no summation-order hazard, unlike the float scorer (whose
+    per-doc sums are deterministic here but engine-specific in
+    evaluation order). DuckDB replicates this in
+    ``__spark_entry__.oracle_sql()['quality_classifier']``.
+
+    Honest residual: the quantization itself computes one ``ln`` per
+    feature; a 1-ulp libm difference between the JVM and DuckDB flips
+    a ``floor`` only when ``scale*llr`` sits within ~1 ulp of an
+    integer (~4e-9 per feature — negligible at check scale, and a
+    flip would surface loudly as a hash mismatch, never silently).
+
+    Output: (id, n_tokens, score_int) — totals over the input; docs
+    with zero tokens score 0."""
+    tot = model.agg(
+        F.sum("n_pos").alias("tp"),
+        F.sum("n_neg").alias("tn"),
+        F.count("*").alias("v"),
+    ).collect()[0]
+    tp, tn, v = int(tot.tp or 0), int(tot.tn or 0), max(int(tot.v), 1)
+    unseen_i = math.floor(
+        scale * (math.log(1.0 / (tp + v)) - math.log(1.0 / (tn + v)))
+    )
+    w = model.select(
+        "feature",
+        F.floor(
+            F.lit(float(scale))
+            * (
+                F.log((F.col("n_pos") + 1.0) / float(tp + v))
+                - F.log((F.col("n_neg") + 1.0) / float(tn + v))
+            )
+        ).cast("long").alias("lli"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col, _feature(F.col("tok"), dim, hashed).alias("feature")
+    )
+    scored = (
+        toks.join(F.broadcast(w), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("lli"), F.lit(unseen_i)))
+            .cast("long").alias("score_int"),
+        )
+    )
+    empties = df.filter(F.size(_tokens(F.col(text_col))) == 0).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("score_int"),
+    )
+    return scored.unionByName(empties)
+
+
 def classifier_model_identity(model_dir: str) -> str:
     """Cheap content identity of a `jobs/run_classifier.py` model dir
     (census.parquet data-file (name, size) listing + meta.json bytes

@@ -173,3 +173,31 @@ def test_word_boundary_semantics_pinned_nonascii(spark):
     }
     assert spark_hits == pure_hits
     assert spark_hits[2] == 2  # 'hate' is weight-2
+
+
+def test_int_scorer_twins_float_scorer(spark):
+    """VERDICT r6 #8: the fixed-point scorer (the DuckDB-checkable
+    path) must agree with the production float scorer to quantization
+    accuracy — |score_int/1e6 - score| <= n_tokens * 1e-6 (each token
+    contributes at most one floor-step of error)."""
+    from pii_spark.quality.classifier import (
+        score_quality_nb,
+        score_quality_nb_int,
+        train_quality_nb,
+        weak_labels,
+    )
+
+    d = weak_labels(_corpus(spark))
+    model = train_quality_nb(d, hashed=True)
+    f = {r.doc_id: (r.score, r.n_tokens)
+         for r in score_quality_nb(d, model, hashed=True).collect()}
+    i = {r.doc_id: r.score_int
+         for r in score_quality_nb_int(d, model, hashed=True).collect()}
+    assert set(f) == set(i) and f
+    for doc, (score, nt) in f.items():
+        assert abs(i[doc] / 1e6 - score) <= (nt + 1) * 1e-6, doc
+    # and it is layout-independent like every other operator here
+    i2 = {r.doc_id: r.score_int
+          for r in score_quality_nb_int(
+              d.repartition(7), model, hashed=True).collect()}
+    assert i == i2
