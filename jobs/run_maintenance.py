@@ -5,11 +5,16 @@
         [--compact] [--expire-keep-last N] [--gc-grace-s 3600] \\
         [--forget-urls urls.txt --audit /path/to/audit]
 
-Operations run in the stated order (compact → expire → gc → forget) and
-each is independently optional — the composition a scheduled
-maintenance job runs nightly: rewrite small files, drop history beyond
-retention, sweep crashed writers' debris, and process any queued
-right-to-be-forgotten requests.
+Operations run in the stated order (compact → expire → gc → forget →
+route) and each is independently optional — the composition a
+scheduled maintenance job runs nightly: rewrite small files, drop
+history beyond retention, sweep crashed writers' debris, process any
+queued right-to-be-forgotten requests, and (``--route-buckets``)
+derive the CCNet head/middle/tail routing table from the committed
+corpus' classifier scores — global per-stratum quantile cuts, which
+is why routing lives HERE and not inside the group-committed quality
+job (per-group cuts would make bucket boundaries crash-timing-
+dependent).
 """
 
 from __future__ import annotations
@@ -32,6 +37,20 @@ def main() -> None:
                     help="file with one url per line to erase")
     ap.add_argument("--audit", default=None,
                     help="audit table dir (required with --forget-urls)")
+    ap.add_argument("--route-buckets", type=int, default=None,
+                    help="CCNet-style routing over the WHOLE committed "
+                         "table: per-stratum equal-size buckets on "
+                         "--route-score-col, written as a (url, "
+                         "stratum, score, ccnet_bucket) routing table "
+                         "to --route-output. Run AFTER ingest so the "
+                         "cuts are global quantiles — inside the "
+                         "group-committed job they would be per-group")
+    ap.add_argument("--route-output", default=None)
+    ap.add_argument("--route-score-col", default="clf_score",
+                    help="the quality job's --classifier-model column "
+                         "by default; ppl for raw CCNet perplexity "
+                         "routing")
+    ap.add_argument("--route-stratum-col", default="lang_pred")
     args = ap.parse_args()
 
     from pii_spark.icelite.catalog import IceliteTable
@@ -63,6 +82,29 @@ def main() -> None:
             n = run_forget_job(spark, args.table, args.audit, urls,
                                expire_now=True)
             print(f"forgot {n} rows for {len(urls)} urls")
+        if args.route_buckets:
+            if not args.route_output:
+                ap.error("--route-buckets requires --route-output")
+            from pii_spark.spark.sampling import ccnet_buckets
+
+            df = t.read(spark)
+            routed = ccnet_buckets(
+                df, args.route_score_col,
+                stratum_col=args.route_stratum_col,
+                id_col="url", n_buckets=args.route_buckets,
+            ).select("url", args.route_stratum_col,
+                     args.route_score_col, "ccnet_bucket")
+            routed.write.mode("overwrite").parquet(args.route_output)
+            from pyspark.sql import functions as F
+
+            census = {
+                f"{r[args.route_stratum_col]}/{r.ccnet_bucket}": r.n
+                for r in spark.read.parquet(args.route_output)
+                .groupBy(args.route_stratum_col, "ccnet_bucket")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            print(f"routed {sum(census.values())} docs: {census} "
+                  f"-> {args.route_output}")
     finally:
         spark.stop()
 

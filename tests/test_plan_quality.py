@@ -247,3 +247,40 @@ def test_global_sort_uses_range_partitioning(spark, tmp_path):
         ]
     assert seq == sorted(seq)
     assert len(seq) == docs.count()
+
+
+def test_classifier_scoring_plans_are_scale_safe(spark):
+    """r7 scoring paths: the model join must be BROADCAST (the census
+    is <= dim rows; a shuffle of the exploded token relation against
+    it would be the 100x mistake), no Python in either scorer, and
+    the fixed-point scorer must carry BIGINT sums (no float agg)."""
+    from pyspark.sql import Row
+
+    from pii_spark.quality.classifier import (
+        attach_quality_scores,
+        score_quality_nb_int,
+        train_quality_nb,
+        weak_labels,
+    )
+
+    d = weak_labels(spark.createDataFrame(
+        [Row(url=f"u{i}",
+             text="the cat and the dog that sat with a mat " * 3)
+         for i in range(30)]
+    ))
+    model = train_quality_nb(d, hashed=True)
+
+    plan = _plan(score_quality_nb_int(
+        d, model, id_col="url", hashed=True))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    scored = attach_quality_scores(
+        d.withColumnRenamed("text", "scrubbed_text"),
+        model, {"dim": 2 ** 18, "hashed": True},
+    )
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan, plan  # the model join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
