@@ -1211,7 +1211,18 @@ def q_token_count(spark, sf_dir):
     Merged from the former separate token_count / token_count_bpe
     entries: the correctness driver records at most 50 queries (r3
     registered 51 → 50 rows), so the two token-count modes share one
-    oracle-checked entry (VERDICT r3 #1: consolidate explicitly)."""
+    oracle-checked entry (VERDICT r3 #1: consolidate explicitly).
+
+    A third 'packing' arm (r7, SURVEY R87) hash-checks the sequence-
+    packing assignment (concat-and-chunk at seq_len 512, docs in
+    doc_id order): per-doc global start offset + seq_first/seq_last —
+    the two-phase distributed prefix sum vs DuckDB's plain window
+    cumsum, all integers. Labeled-union schema: tokens arm keys by
+    lang (na/nb = ws/bpe sums, xa/xb = the averages); packing arm
+    keys by doc_id (na/nb = start_offset/n_tokens, xa/xb =
+    seq_first/seq_last as exact doubles)."""
+    from pii_spark.spark.packing import pack_offsets
+
     ws = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     )
@@ -1220,16 +1231,32 @@ def q_token_count(spark, sf_dir):
     ) - F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"\s+"), F.lit(0))
     )
-    return (
+    tokens = (
         _docs(spark, sf_dir)
         .groupBy("lang")
         .agg(
-            F.sum(ws).cast("long").alias("sum_tokens"),
-            F.round(F.avg(ws), 4).alias("avg_tokens"),
-            F.sum(bpe).cast("long").alias("sum_bpe_tokens"),
-            F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+            F.sum(ws).cast("long").alias("na"),
+            F.round(F.avg(ws), 4).alias("xa"),
+            F.sum(bpe).cast("long").alias("nb"),
+            F.round(F.avg(bpe), 4).alias("xb"),
+        )
+        .select(
+            F.lit("tokens").alias("part"),
+            F.col("lang").alias("key"),
+            "na", "nb", "xa", "xb",
         )
     )
+    packing = pack_offsets(
+        _docs(spark, sf_dir), 512, n_buckets=64
+    ).select(
+        F.lit("packing").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("start_offset").alias("na"),
+        F.col("n_tokens").alias("nb"),
+        F.col("seq_first").cast("double").alias("xa"),
+        F.col("seq_last").cast("double").alias("xb"),
+    )
+    return tokens.unionByName(packing)
 
 
 def q_langid_stopwords(spark, sf_dir):  # heuristic language-ID
@@ -2882,19 +2909,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             WITH s AS (
-              SELECT lang,
+              SELECT doc_id, lang,
                      len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                      x -> x <> '')) AS ws,
                      len(regexp_extract_all(text,
                          '{_BPE_RE.replace("'", "''")}'))
                    - len(regexp_extract_all(text, '[ \\t\\n\\x0b\\f\\r]+')) AS ntok
               FROM documents)
-            SELECT lang,
-                   CAST(sum(ws) AS BIGINT) AS sum_tokens,
-                   round(avg(ws), 4) AS avg_tokens,
-                   CAST(sum(ntok) AS BIGINT) AS sum_bpe_tokens,
-                   round(avg(ntok), 4) AS avg_bpe_tokens
+            SELECT 'tokens' AS part, lang AS key,
+                   CAST(sum(ws) AS BIGINT) AS na,
+                   CAST(sum(ntok) AS BIGINT) AS nb,
+                   round(avg(ws), 4) AS xa,
+                   round(avg(ntok), 4) AS xb
             FROM s GROUP BY lang
+            UNION ALL
+            -- packing arm (R87): global prefix-sum offsets + 512-token
+            -- chunk ids, integer-exact (Spark side is the two-phase
+            -- distributed prefix sum; this is the plain window cumsum)
+            SELECT 'packing', CAST(doc_id AS VARCHAR),
+                   CAST(sum(ws) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ws AS BIGINT),
+                   CAST(ws AS BIGINT),
+                   CAST((sum(ws) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ws) // 512
+                        AS DOUBLE),
+                   CAST((sum(ws) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ws
+                        + greatest(ws, 1) - 1) // 512 AS DOUBLE)
+            FROM s
         """,
         "langid_stopwords": f"""
             SELECT lang,

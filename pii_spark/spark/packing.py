@@ -1,0 +1,155 @@
+"""Sequence packing offsets — the concat-and-chunk step of a
+pretraining data pipeline (SURVEY R87).
+
+GPT-style training consumes fixed-length token sequences: documents
+are concatenated in a deterministic order and sliced every ``seq_len``
+tokens (docs crossing a boundary are split; T5/GPT-NeoX `packing`,
+HF `group_texts`). The assignment every downstream shard writer needs
+is pure integer arithmetic over a GLOBAL prefix sum of per-doc token
+counts:
+
+    start_i  = Σ_{j < i} n_tokens_j          (docs ordered by id)
+    seq_first_i = start_i // seq_len
+    seq_last_i  = (start_i + n_tokens_i - 1) // seq_len
+
+Scale design — the naive formulation is ONE window over the whole
+corpus (``Window.orderBy(id)`` with no partition: a single task sorts
+and scans 10^10 rows). This module is the classic two-phase
+distributed prefix sum instead:
+
+1. range-bucket docs by id (driver collects only min/max — 2 numbers);
+2. per-bucket token sums (partial-aggregable, ≤ n_buckets rows to the
+   driver) → cumulative bucket offsets, broadcast back as literals;
+3. an intra-bucket cumulative window ``partitionBy(bucket) orderBy
+   (id)`` — the largest sort task is one bucket, exactly the
+   sampling-module standard (tests gate the executed plan: every
+   window spec must carry the bucket column).
+
+Everything is BIGINT end to end — the DuckDB oracle replicates the
+offsets exactly with a plain window cumsum (engines may disagree on
+float sums, never on integer ones).
+
+Reference analogue: none (the reference truncates each doc at 512 and
+pads — `pii_synth/train.py` tokenizer call); packing is the
+throughput-critical variant every large pretraining run uses, in
+scope as a north-rule training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# the repo-wide ASCII-whitespace token class (mirrors token_count /
+# the twin standard) — callers with a real tokenizer pass n_tokens_col
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace token count, NULL-safe (the token_count contract)."""
+    return F.size(
+        F.filter(
+            F.split(F.coalesce(text, F.lit("")), _WS),
+            lambda w: w != "",
+        )
+    ).cast("long")
+
+
+def pack_offsets(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Global packing assignment: adds ``n_tokens``, ``start_offset``,
+    ``seq_first``, ``seq_last`` (all BIGINT) to every row, docs
+    concatenated in ``id_col`` order. ``n_tokens_col`` supplies a real
+    tokenizer's counts; otherwise whitespace counts over ``text_col``.
+
+    Exact by construction: bucket-range order refines id order, so
+    (bucket offsets) + (intra-bucket cumsum) == the single global
+    cumsum. NULL ids are refused loudly (their global position would
+    be engine-dependent)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    nt = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else whitespace_token_count(F.col(text_col))
+    )
+    d = df.withColumn("n_tokens", F.coalesce(nt, F.lit(0)))
+
+    ext = d.agg(
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
+    ).collect()[0]
+    if ext.nulls:
+        raise ValueError(
+            f"{ext.nulls} rows have NULL {id_col}; packing order needs "
+            "total ids — assign ids first"
+        )
+    if ext.mn is None:  # empty input
+        return d.select(
+            "*",
+            F.lit(0).cast("long").alias("start_offset"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_last"),
+        )
+    mn, mx = int(ext.mn), int(ext.mx)
+    width = max((mx - mn) // n_buckets + 1, 1)
+    bkt = ((F.col(id_col) - F.lit(mn)) / F.lit(width)).cast("long")
+    d = d.withColumn("_bkt", bkt)
+
+    # phase 2: per-bucket sums → driver cumsum (≤ n_buckets tiny rows)
+    sums = {
+        r["_bkt"]: r["s"]
+        for r in d.groupBy("_bkt").agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    off, offsets = 0, {}
+    for b in sorted(sums):
+        offsets[b] = off
+        off += int(sums[b])
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+
+    # phase 3: intra-bucket cumulative window — the only sort, one
+    # bucket per task
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (
+        omap[F.col("_bkt")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).cast("long")
+    return (
+        d.withColumn("start_offset", start)
+        .withColumn(
+            "seq_first", F.floor(F.col("start_offset") / seq_len)
+        )
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("start_offset")
+                 + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / seq_len
+            ),
+        )
+        .drop("_bkt")
+    )
+
+
+def packing_summary(packed: DataFrame, seq_len: int) -> DataFrame:
+    """One-row census of a packing assignment: total tokens, number of
+    full sequences, docs split across a boundary — the shard-writer
+    sanity numbers."""
+    return packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor(F.sum("n_tokens") / seq_len).alias("full_sequences"),
+        F.sum((F.col("seq_last") > F.col("seq_first")).cast("long"))
+        .alias("boundary_split_docs"),
+    )

@@ -1,0 +1,109 @@
+"""Sequence packing offsets (SURVEY R87): two-phase distributed
+prefix sum == the naive global window, layout independence, boundary
+semantics, and the no-global-sort plan gate."""
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from pii_spark.spark.packing import pack_offsets, packing_summary
+
+
+def _docs(spark, sf="/root/testdata/sf0.01"):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def test_pack_offsets_matches_global_window(spark):
+    """The bucketed prefix sum must equal the single-window global
+    cumsum EXACTLY — offsets, seq ids, every doc."""
+    d = _docs(spark)
+    got = {
+        r.doc_id: (r.start_offset, r.n_tokens, r.seq_first, r.seq_last)
+        for r in pack_offsets(d, 512, n_buckets=16).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nt = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")),
+                    r"[ \t\n\x0b\f\r]+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    ref = {
+        r.doc_id: (r.st, r.nt, r.st // 512,
+                   (r.st + max(r.nt, 1) - 1) // 512)
+        for r in d.withColumn("nt", nt)
+        .withColumn("st", (F.sum("nt").over(w) - F.col("nt")).cast("long"))
+        .collect()
+    }
+    assert got == ref and len(got) == d.count()
+    # layout independence
+    again = {
+        r.doc_id: (r.start_offset, r.n_tokens, r.seq_first, r.seq_last)
+        for r in pack_offsets(d.repartition(13), 512, n_buckets=16)
+        .collect()
+    }
+    assert got == again
+
+
+def test_pack_offsets_boundary_semantics(spark):
+    """Handcrafted corpus: contiguous concatenation (each start =
+    previous end), boundary-crossing docs flagged, zero-token docs
+    occupy no space, and the summary census is exact."""
+    rows = [
+        Row(doc_id=1, text="a " * 300),   # 300 tokens: seqs 0
+        Row(doc_id=2, text="b " * 300),   # 300..599: crosses 512
+        Row(doc_id=3, text=""),           # zero tokens at 600
+        Row(doc_id=4, text="c " * 12),    # 600..611: seq 1
+    ]
+    out = {r.doc_id: r for r in
+           pack_offsets(spark.createDataFrame(rows), 512).collect()}
+    assert out[1].start_offset == 0 and out[1].seq_first == 0 \
+        and out[1].seq_last == 0
+    assert out[2].start_offset == 300
+    assert out[2].seq_first == 0 and out[2].seq_last == 1  # split doc
+    assert out[3].start_offset == 600 and out[3].n_tokens == 0
+    assert out[3].seq_first == out[3].seq_last == 1
+    assert out[4].start_offset == 600 and out[4].seq_last == 1
+
+    s = packing_summary(
+        pack_offsets(spark.createDataFrame(rows), 512), 512
+    ).collect()[0]
+    assert s.total_tokens == 612
+    assert s.full_sequences == 1
+    assert s.boundary_split_docs == 1
+
+
+def test_pack_offsets_refusals_and_empty(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=None, text="x"), Row(doc_id=1, text="y")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        pack_offsets(d, 512)
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_offsets(d.filter("doc_id is not null"), 0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_offsets(empty, 512).count() == 0
+
+
+def test_pack_offsets_never_sorts_globally(spark):
+    """The scale gate (the sampling-module standard): every executed
+    window spec must carry the bucket column — the naive formulation's
+    empty-partition global window would sort the corpus in ONE task."""
+    import re
+
+    out = pack_offsets(_docs(spark), 512, n_buckets=16)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the intra-bucket window"
+    for spec in specs:
+        assert "_bkt" in spec, spec
+    # and a real tokenizer column routes through n_tokens_col
+    d = _docs(spark).withColumn("my_nt", F.lit(7).cast("long"))
+    seven = pack_offsets(d, 512, n_tokens_col="my_nt").collect()
+    assert all(r.n_tokens == 7 for r in seven)
+    assert sorted(r.start_offset for r in seven) == \
+        [7 * i for i in range(len(seven))]
