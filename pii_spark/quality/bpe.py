@@ -1,0 +1,223 @@
+"""Distributed BPE tokenizer training (SURVEY R88).
+
+Every large pretraining pipeline trains a subword tokenizer over (a
+sample of) the corpus before anything else touches tokens
+(SentencePiece/GPT-2 BPE; Sennrich et al. 2016). The Spark-first
+decomposition:
+
+* **Corpus-sized work happens ONCE**: the word census
+  (word → occurrence count) is a single partial-aggregable groupBy —
+  a stopword appearing 10^11 times combines map-side to one row per
+  partition. Everything after operates on the census, which is
+  vocabulary-sized (10^6–10^8 rows), not corpus-sized.
+* **Each merge iteration is census-sized**: adjacent-pair counts via
+  a higher-order-function expansion of the symbol arrays weighted by
+  word count (explode → groupBy pair → sum, partial-agg), argmax
+  collected as ONE driver row, then the merge applied to the symbol
+  arrays by an Arrow-batched pandas UDF (the greedy left-to-right
+  collapse is inherently sequential PER WORD — words are tiny, the
+  batch is vectorized). Lineage is truncated per iteration with an
+  eager localCheckpoint so N merges never builds an N-deep plan.
+* **Determinism contract**: argmax ties break by
+  (count DESC, left ASC, right ASC) — pinned on the pure twin
+  (`train_bpe_pure`, byte-equal merge lists, the train_lm.py trainer
+  standard) and layout-independent by construction (sums are integer,
+  ordering is total).
+
+The census split is lowercase ASCII-whitespace words with a
+word-boundary marker appended (GPT-2 marks word STARTS; the suffix
+marker ("</w>", classic Sennrich) keeps the pure twin dead simple) —
+swap `word_census` for a real pretokenizer without touching the
+trainer.
+
+Iterative by nature → no DuckDB oracle (the driver records rows-only
+for such ops); correctness is the byte-equal pure twin + determinism
+pins, like the perplexity LM trainer.
+
+Reference analogue: none (the reference uses a pretrained RoBERTa
+tokenizer); north-rule training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+_WS = r"[ \t\n\x0b\f\r]+"
+_EOW = "▁"  # end-of-word marker (▁), single char, never in ASCII text
+
+
+def word_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) occurrence counts — the ONE corpus-sized pass."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        _WS,
+                    ),
+                    lambda w: w != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _merge_word(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right collapse of adjacent (left, right) — the
+    classic BPE apply, shared shape with the pure twin."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merge_udf(left: str, right: str):
+    """UDF factory: binds (left, right) BY VALUE. A closure over the
+    trainer's loop variables would be a correctness bug — a persisted
+    partition evicted and recomputed AFTER the loop rebinds them would
+    silently apply a later merge."""
+
+    @pandas_udf("array<string>")
+    def apply_merge(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: _merge_word(list(s), left, right))
+
+    return apply_merge
+
+
+def train_bpe(
+    census: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from a word census. Returns
+    the ordered merge list. Stops early when no pair reaches
+    ``min_count``."""
+    state = census.select(
+        F.concat(
+            F.split(F.col("word"), ""),  # chars
+            F.array(F.lit(_EOW)),
+        ).alias("syms"),
+        "n",
+    ).persist()
+    state.count()  # materialize
+
+    pairs_expr = F.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for it in range(n_merges):
+            top = (
+                state.filter(F.size("syms") >= 2)
+                .select(F.explode(pairs_expr).alias("p"), "n")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < min_count:
+                break
+            left, right = top[0]["l"], top[0]["r"]
+            merges.append((left, right))
+            nxt = state.select(
+                _apply_merge_udf(left, right)("syms").alias("syms"), "n"
+            )
+            if (it + 1) % checkpoint_every == 0:
+                # truncate the UDF-chain lineage (eager); without this
+                # N merges is an N-deep plan re-evaluated per iteration
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return merges
+
+
+def train_bpe_pure(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Pure-Python twin of :func:`train_bpe` — byte-equal merge lists
+    (the train_lm.py trainer standard). Same census → same merges,
+    same tie-break: (count DESC, left ASC, right ASC)."""
+    state = {
+        tuple(list(w) + [_EOW]): c for w, c in word_counts.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        left, right = best[0]
+        merges.append((left, right))
+        nxt: dict = {}
+        for syms, c in state.items():
+            m = tuple(_merge_word(list(syms), left, right))
+            nxt[m] = nxt.get(m, 0) + c
+        state = nxt
+    return merges
+
+
+def bpe_encode_pure(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a learned merge list (rank order = merge
+    priority — the standard BPE encode)."""
+    syms = list(word) + [_EOW]
+    ranks = {m: i for i, m in enumerate(merges)}
+    while len(syms) >= 2:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms = syms[:bi] + [syms[bi] + syms[bi + 1]] + syms[bi + 2:]
+    return syms
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Adds ``bpe_tokens`` (array<string>): per-word BPE encode with
+    the learned merges — an Arrow-batched UDF over the same word
+    split as the census (merges ship in the closure: a merge list is
+    a few 100 KB even at vocab 50k, broadcast with the task)."""
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        import re
+
+        def one(t):
+            toks: list[str] = []
+            for w in re.split(_WS, (t or "").lower()):
+                if w:
+                    toks.extend(bpe_encode_pure(w, merges))
+            return toks
+
+        return texts.map(one)
+
+    return df.withColumn("bpe_tokens", enc(F.col(text_col)))
