@@ -51,6 +51,21 @@ def main() -> None:
                          "by default; ppl for raw CCNet perplexity "
                          "routing")
     ap.add_argument("--route-stratum-col", default="lang_pred")
+    ap.add_argument("--derive-blocklist", default=None,
+                    help="derive a domain blocklist from the committed "
+                         "table's quality signals (C4/RefinedWeb-style "
+                         "URL-filter curation) and write it here as a "
+                         "(domain, n_docs, keep_rate, mean_score, "
+                         "reason) parquet — feed it back to "
+                         "run_quality.py --domain-blocklist")
+    ap.add_argument("--blocklist-min-docs", type=int, default=3,
+                    help="judge only domains with at least this many "
+                         "docs (small-sample domains are noise)")
+    ap.add_argument("--blocklist-max-keep-rate", type=float, default=None,
+                    help="flag domains whose keep rate is BELOW this")
+    ap.add_argument("--blocklist-max-score", type=float, default=None,
+                    help="flag domains whose mean clf_score is BELOW "
+                         "this (needs a --classifier-model'd table)")
     args = ap.parse_args()
 
     from pii_spark.icelite.catalog import IceliteTable
@@ -105,6 +120,52 @@ def main() -> None:
             }
             print(f"routed {sum(census.values())} docs: {census} "
                   f"-> {args.route_output}")
+        if args.derive_blocklist:
+            if (args.blocklist_max_keep_rate is None
+                    and args.blocklist_max_score is None):
+                ap.error("--derive-blocklist needs at least one of "
+                         "--blocklist-max-keep-rate / "
+                         "--blocklist-max-score")
+            from pyspark.sql import functions as F
+
+            from pii_spark.spark.jobs import url_domain
+
+            df = t.read(spark)
+            aggs = [
+                F.count("*").alias("n_docs"),
+                F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+            ]
+            has_score = "clf_score" in df.columns
+            if args.blocklist_max_score is not None and not has_score:
+                raise SystemExit(
+                    "--blocklist-max-score needs a clf_score column — "
+                    "run the quality job with --classifier-model"
+                )
+            aggs.append(
+                (F.avg("clf_score") if has_score
+                 else F.lit(None).cast("double")).alias("mean_score")
+            )
+            dom = (
+                df.withColumn("domain", url_domain(F.col("url")))
+                .groupBy("domain").agg(*aggs)
+                .filter(F.col("n_docs") >= args.blocklist_min_docs)
+            )
+            crit = F.lit(False)
+            reason = F.lit(None).cast("string")
+            if args.blocklist_max_score is not None:
+                c = F.col("mean_score") < args.blocklist_max_score
+                crit = crit | c
+                reason = F.when(c, "low_score").otherwise(reason)
+            if args.blocklist_max_keep_rate is not None:
+                c = F.col("keep_rate") < args.blocklist_max_keep_rate
+                crit = crit | c
+                reason = F.when(c, "low_keep_rate").otherwise(reason)
+            flagged = dom.filter(crit).withColumn("reason", reason)
+            flagged.write.mode("overwrite").parquet(
+                args.derive_blocklist
+            )
+            n = spark.read.parquet(args.derive_blocklist).count()
+            print(f"blocklist: {n} domains -> {args.derive_blocklist}")
     finally:
         spark.stop()
 

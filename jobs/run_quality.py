@@ -58,6 +58,12 @@ def main() -> None:
                          "whose content fingerprint already exists in "
                          "the base corpus before the pipeline "
                          "(incremental-snapshot exact dedup)")
+    ap.add_argument("--domain-blocklist", default=None,
+                    help="parquet dir with a domain column "
+                         "(run_maintenance.py --derive-blocklist): "
+                         "drop listed url domains before the pipeline "
+                         "(C4/RefinedWeb URL-filter tier, "
+                         "resume-guarded)")
     ap.add_argument("--classifier-model", default=None,
                     help="jobs/run_classifier.py model dir: score "
                          "every output row (clf_score / "
@@ -82,6 +88,7 @@ def main() -> None:
                 input_format=args.input_format,
                 recrawl_keys=args.recrawl_keys,
                 classifier_model=args.classifier_model,
+                domain_blocklist=args.domain_blocklist,
             )
         else:
             from pii_spark.spark.jobs import run_quality_job
@@ -99,6 +106,7 @@ def main() -> None:
                 input_format=fmt,
                 recrawl_keys=args.recrawl_keys,
                 classifier_model=args.classifier_model,
+                domain_blocklist=args.domain_blocklist,
             )
         n = table.read(spark).count()
         print(f"committed snapshot v{table.current_version()} ({n} rows)")

@@ -108,6 +108,47 @@ def _backfill_missing_audit(spark, out: IceliteTable, audit: IceliteTable,
                                    "backfill": True})
 
 
+def url_domain(col):
+    """Domain of a url — ONE definition shared by the blocklist drop
+    (batch + streaming) and the blocklist derivation, so a domain
+    written by one is always joinable by the other."""
+    return F.regexp_extract(col, r"//([^/]+)", 1)
+
+
+def domain_blocklist_identity(blocklist_dir: str) -> str:
+    """Content identity of a blocklist parquet dir (sorted (name, size)
+    listing — metadata only), recorded per commit like the recrawl-key
+    identity so a resume under a different blocklist refuses loudly."""
+    import hashlib
+    from pathlib import Path
+
+    files = sorted(
+        f"{p.name}:{p.stat().st_size}"
+        for p in Path(blocklist_dir).rglob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no blocklist parquet files under {blocklist_dir} — "
+            "derive one with jobs/run_maintenance.py --derive-blocklist"
+        )
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+
+
+def drop_blocklisted_domains(df, blocklist_df) -> "DataFrame":
+    """Anti-join ``df`` against a (domain, ...) relation: rows whose
+    url domain is blocklisted are dropped BEFORE the pipeline — the
+    C4/RefinedWeb ingest-side URL-filter tier. The blocklist is
+    broadcast (domain lists are ~10^5 rows even for aggressive
+    curation); row-local w.r.t. ``df``, so it composes with any
+    reader or micro-batch like the recrawl drop."""
+    bl = blocklist_df.select("domain").distinct()
+    keyed = df.withColumn("__dom", url_domain(F.col("url")))
+    return keyed.join(
+        F.broadcast(bl), keyed["__dom"] == bl["domain"], "left_anti"
+    ).drop("__dom")
+
+
 def refuse_summary_drift(
     out, field: str, current, default, snap_filter, fallback: bool,
     message,
@@ -176,6 +217,7 @@ def run_quality_job(
     input_format: str = "parquet",
     recrawl_keys: str | None = None,
     classifier_model: str | None = None,
+    domain_blocklist: str | None = None,
 ) -> IceliteTable:
     """Run the quality+scrub pipeline over ``corpus`` with checkpointed
     group commits. ``corpus`` is a DataFrame (staged into grp
@@ -219,7 +261,13 @@ def run_quality_job(
     perplexity → classifier-routing composition as one job, no second
     pass over the output. The model identity is recorded per group
     commit and a resume under a different (or no) model refuses
-    loudly — scores in one table must mean one thing."""
+    loudly — scores in one table must mean one thing.
+
+    ``domain_blocklist`` points at a parquet dir with a ``domain``
+    column (jobs/run_maintenance.py --derive-blocklist, or any
+    curated list): docs whose url domain is listed are dropped before
+    the pipeline — the C4/RefinedWeb URL-filter tier, identity-
+    recorded and resume-guarded exactly like ``recrawl_keys``."""
     run_id = run_id or uuid.uuid4().hex[:12]
     out = IceliteTable(out_dir)
     audit = IceliteTable(audit_dir)
@@ -271,6 +319,23 @@ def run_quality_job(
                 "the original keys"
             ),
         )
+    bl_id = "none"
+    bl_df = None
+    if domain_blocklist is not None:
+        bl_id = domain_blocklist_identity(domain_blocklist)
+        bl_df = spark.read.parquet(domain_blocklist)
+    if done:
+        refuse_summary_drift(
+            out, "domain_blocklist", bl_id, "none",
+            lambda smry: "group" in smry, fallback=True,
+            message=lambda stale, cur: (
+                f"table {out_dir} has groups committed under domain "
+                f"blocklist(s) {stale} but this run uses {cur!r} — "
+                "resuming would mix URL-filter semantics across "
+                "groups; reprocess into a fresh table or resume with "
+                "the original blocklist"
+            ),
+        )
     clf_id = "none"
     clf_census = clf_meta = None
     if classifier_model is not None:
@@ -298,7 +363,8 @@ def run_quality_job(
         )
     staging: str | None = None
     extra_summary: dict = {"profile": profile, "recrawl_keys": recrawl_id,
-                           "classifier": clf_id}
+                           "classifier": clf_id,
+                           "domain_blocklist": bl_id}
     if isinstance(corpus, str):
         exts = (
             ("*.parquet",) if input_format == "parquet"
@@ -407,6 +473,8 @@ def run_quality_job(
     for g in pending:
         t0 = time.time()
         part = group_df(g)
+        if bl_df is not None:
+            part = drop_blocklisted_domains(part, bl_df)
         if recrawl_fp_df is not None:
             from .incr_dedup import drop_recrawls
 

@@ -34,6 +34,7 @@ def run_streaming_job(
     input_format: str = "parquet",
     recrawl_keys: str | None = None,
     classifier_model: str | None = None,
+    domain_blocklist: str | None = None,
 ) -> IceliteTable:
     """Process all currently-available corpus files exactly once.
     ``profile`` selects run_pipeline's keep chain; like the batch job,
@@ -63,8 +64,19 @@ def run_streaming_job(
     every batch's output rows in-line (``clf_score`` /
     ``clf_predict_pos`` over the scrubbed text — an ordinary batch
     join per micro-batch, like the recrawl drop); model identity is
-    recorded per batch, restart under a different model refuses."""
+    recorded per batch, restart under a different model refuses.
+    ``domain_blocklist`` drops listed url domains from every batch
+    before the pipeline (broadcast anti-join; identity-guarded like
+    the other knobs)."""
     out = IceliteTable(out_dir)
+
+    bl_id = "none"
+    bl_df = None
+    if domain_blocklist is not None:
+        from .jobs import domain_blocklist_identity
+
+        bl_id = domain_blocklist_identity(domain_blocklist)
+        bl_df = spark.read.parquet(domain_blocklist)
 
     clf_id = "none"
     clf_census = clf_meta = None
@@ -192,6 +204,17 @@ def run_streaming_job(
                 "fresh checkpoint + table"
             ),
         )
+        refuse_summary_drift(
+            out, "domain_blocklist", bl_id, "none", _this_ck,
+            fallback=bool(done),
+            message=lambda stale, cur: (
+                f"checkpoint {checkpoint_dir} has batches committed "
+                f"under domain blocklist(s) {stale} but this restart "
+                f"uses {cur!r} — URL-filter semantics would differ "
+                "across batches; use the original blocklist or a "
+                "fresh checkpoint + table"
+            ),
+        )
 
     def process_batch(batch_df, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery: if the driver dies
@@ -202,6 +225,10 @@ def run_streaming_job(
         key = f"{ck_ns}:{int(batch_id)}"
         if key in done or (ck_is_resume and int(batch_id) in done):
             return
+        if bl_df is not None:
+            from .jobs import drop_blocklisted_domains
+
+            batch_df = drop_blocklisted_domains(batch_df, bl_df)
         if recrawl_fp_df is not None:
             from .incr_dedup import drop_recrawls
 
@@ -215,7 +242,8 @@ def run_streaming_job(
         out.append(result, summary={"stream_batch": key,
                                     "profile": profile,
                                     "recrawl_keys": recrawl_id,
-                                    "classifier": clf_id})
+                                    "classifier": clf_id,
+                                    "domain_blocklist": bl_id})
         done.add(key)
 
     q = (

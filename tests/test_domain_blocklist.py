@@ -1,0 +1,107 @@
+"""Domain-blocklist curation loop (SURVEY R89): score a corpus →
+derive the blocklist from committed quality signals (maintenance CLI)
+→ apply it at ingest on the next run (batch + streaming), identity-
+guarded on resume like every other semantics knob."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+ROOT = Path(__file__).resolve().parents[1]
+
+_CLEAN = ("The quick brown fox jumps over the lazy dog near the old "
+          "river bank, and this fine story was told with great care "
+          "for all patient readers of the village gazette today. ")
+_JUNK = "zzz xx qq {{{ lorem ipsum }}} " * 3
+
+
+_MORE = ("Chapter %d recounts how the miller and the baker walked to "
+         "the northern market while discussing weather, crops, music, "
+         "letters, and the coming autumn festival with enthusiasm; "
+         "later the children gathered apples, pears, and plums before "
+         "supper was served in the long warm hall. ")
+
+
+def _corpus(spark, tmp_path):
+    rows = []
+    for i in range(12):
+        rows.append((f"https://good{i % 3}.example/p/{i}", None, None,
+                     _CLEAN + _MORE % i + _MORE % (i + 50), "en"))
+    for i in range(6):
+        rows.append((f"https://junk.example/p/{i}", None, None,
+                     _JUNK, "en"))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_derive_then_apply_blocklist_loop(spark, tmp_path):
+    from pii_spark.spark.jobs import run_quality_job
+
+    corpus = _corpus(spark, tmp_path)
+    # pass 1: plain quality job — junk.example drops at quality time
+    t1 = run_quality_job(spark, corpus, str(tmp_path / "t1"),
+                         str(tmp_path / "a1"), groups=2)
+    kept = t1.read(spark).filter("keep")
+    assert kept.filter(F.col("url").contains("junk.example")).count() == 0
+
+    # derive: domains with keep_rate < 0.5 over >= 3 docs
+    bl = str(tmp_path / "blocklist")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "t1"),
+         "--derive-blocklist", bl, "--blocklist-max-keep-rate", "0.5"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "blocklist: 1 domains" in r.stdout
+    got = spark.read.parquet(bl).collect()
+    assert [x.domain for x in got] == ["junk.example"]
+    assert got[0].reason == "low_keep_rate"
+
+    # pass 2 (next crawl): the blocklist drops junk.example BEFORE the
+    # pipeline — those docs never appear in the output at all
+    t2 = run_quality_job(spark, corpus, str(tmp_path / "t2"),
+                         str(tmp_path / "a2"), groups=2,
+                         domain_blocklist=bl)
+    urls2 = {r2.url for r2 in t2.read(spark).collect()}
+    assert len(urls2) == 12
+    assert all("junk.example" not in u for u in urls2)
+
+    # resume without (or with a different) blocklist refuses
+    with pytest.raises(RuntimeError, match="domain blocklist"):
+        run_quality_job(spark, corpus, str(tmp_path / "t2"),
+                        str(tmp_path / "a2"), groups=2)
+    # same blocklist: clean no-op resume
+    t2b = run_quality_job(spark, corpus, str(tmp_path / "t2"),
+                          str(tmp_path / "a2"), groups=2,
+                          domain_blocklist=bl)
+    assert t2b.read(spark).count() == 12
+    # a missing/empty blocklist dir refuses loudly up front
+    with pytest.raises(FileNotFoundError, match="derive-blocklist"):
+        run_quality_job(spark, corpus, str(tmp_path / "t3"),
+                        str(tmp_path / "a3"), groups=2,
+                        domain_blocklist=str(tmp_path / "nope"))
+
+
+def test_streaming_blocklist_and_restart_guard(spark, tmp_path):
+    from pii_spark.spark.streaming import run_streaming_job
+
+    corpus = _corpus(spark, tmp_path)
+    bl = str(tmp_path / "bl")
+    spark.createDataFrame(
+        [("junk.example",)], "domain string"
+    ).write.parquet(bl)
+    out, ck = str(tmp_path / "sout"), str(tmp_path / "ck")
+    t = run_streaming_job(spark, corpus, out, ck, domain_blocklist=bl)
+    urls = {r.url for r in t.read(spark).collect()}
+    assert len(urls) == 12 and all("junk" not in u for u in urls)
+    with pytest.raises(RuntimeError, match="domain blocklist"):
+        run_streaming_job(spark, corpus, out, ck)
