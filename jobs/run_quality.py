@@ -58,6 +58,12 @@ def main() -> None:
                          "whose content fingerprint already exists in "
                          "the base corpus before the pipeline "
                          "(incremental-snapshot exact dedup)")
+    ap.add_argument("--recrawl-near", action="store_true",
+                    help="also drop MinHash band-collision NEAR "
+                         "recrawls in-line (the full two-tier snapshot "
+                         "dedup fused into ingest; exact survivors "
+                         "only pay the shingle explode; geometry from "
+                         "the keys dir's recorded meta)")
     ap.add_argument("--domain-blocklist", default=None,
                     help="parquet dir with a domain column "
                          "(run_maintenance.py --derive-blocklist): "
@@ -87,6 +93,7 @@ def main() -> None:
                 partitions=args.partitions, profile=args.profile,
                 input_format=args.input_format,
                 recrawl_keys=args.recrawl_keys,
+                recrawl_near=args.recrawl_near,
                 classifier_model=args.classifier_model,
                 domain_blocklist=args.domain_blocklist,
             )
@@ -105,6 +112,7 @@ def main() -> None:
                 profile=args.profile,
                 input_format=fmt,
                 recrawl_keys=args.recrawl_keys,
+                recrawl_near=args.recrawl_near,
                 classifier_model=args.classifier_model,
                 domain_blocklist=args.domain_blocklist,
             )

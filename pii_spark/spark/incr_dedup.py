@@ -192,6 +192,38 @@ def drop_recrawls(df: DataFrame, fp_df: DataFrame,
     ).drop("__fp")
 
 
+def drop_recrawls_near(
+    df: DataFrame,
+    sig_df: DataFrame,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_len: int = 12,
+    stride: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """The MinHash NEAR tier of recrawl dropping, in-line (r7: the
+    'near tier stays batch-only' limitation was an artifact of the
+    stream-static framing — inside ``foreachBatch`` (and inside a
+    batch group) the micro-batch is an ordinary DataFrame, so the
+    per-doc band-min aggregation is just a batch groupBy). Drops rows
+    whose band signature collides with ``sig_df`` (the precomputed
+    base (band, mh) relation). Compose AFTER :func:`drop_recrawls` so
+    exact recrawls never pay the shingle explode; geometry must match
+    the keys' recorded parameters (the callers enforce it via
+    keys_meta.json, like run_snapshot_dedup)."""
+    near_ids = (
+        _band_minhashes(
+            _shingles(df, id_col, text_col, shingle_len, stride),
+            id_col, bands, hashed=True,
+        )
+        .join(sig_df, ["band", "mh"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(near_ids, id_col, "left_anti")
+
+
 def base_keys(
     base: DataFrame,
     *,

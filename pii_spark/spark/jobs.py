@@ -216,6 +216,7 @@ def run_quality_job(
     profile: str = "default",
     input_format: str = "parquet",
     recrawl_keys: str | None = None,
+    recrawl_near: bool = False,
     classifier_model: str | None = None,
     domain_blocklist: str | None = None,
 ) -> IceliteTable:
@@ -240,7 +241,10 @@ def run_quality_job(
     each group is anti-joined on the shared content fingerprint
     against ``<recrawl_keys>/fp.parquet`` BEFORE the pipeline — docs
     whose normalized text already exists in the base corpus (exact
-    recrawls) never pay langid/perplexity/detect. The keys' identity
+    recrawls) never pay langid/perplexity/detect. ``recrawl_near``
+    adds the MinHash band tier in-line (exact survivors only pay the
+    shingle explode; geometry from the keys' recorded meta) — the
+    full two-tier snapshot dedup fused into ingest. The keys' identity
     (file listing + sizes) is recorded per group commit, and a resume
     under different keys refuses loudly — the same crash-timing-drift
     class as the profile guard. Recrawl-dropped docs are absent from
@@ -295,7 +299,10 @@ def run_quality_job(
     if input_format not in ("parquet", "warc"):
         raise ValueError(f"unknown input_format {input_format!r}")
     recrawl_id = "none"
-    recrawl_fp_df = None
+    recrawl_fp_df = recrawl_sig_df = None
+    recrawl_geo: dict = {}
+    if recrawl_near and recrawl_keys is None:
+        raise ValueError("recrawl_near needs recrawl_keys")
     if recrawl_keys is not None:
         from .incr_dedup import recrawl_keys_identity
 
@@ -303,6 +310,23 @@ def run_quality_job(
         recrawl_fp_df = spark.read.parquet(
             str(Path(recrawl_keys) / "fp.parquet")
         )
+        if recrawl_near:
+            # the near tier is a SEMANTICS change — fold it into the
+            # recorded identity so toggling it across a resume refuses
+            import json as _json
+
+            km_path = Path(recrawl_keys) / "keys_meta.json"
+            if not km_path.exists():
+                raise FileNotFoundError(
+                    f"{km_path} is missing — the near tier needs the "
+                    "recorded signature geometry (run_base_keys "
+                    "writes it)"
+                )
+            recrawl_geo = _json.loads(km_path.read_text())
+            recrawl_id = f"{recrawl_id}:near"
+            recrawl_sig_df = spark.read.parquet(
+                str(Path(recrawl_keys) / "sig.parquet")
+            )
     if done:
         # same drift class as the profile guard: groups committed with
         # one recrawl-key set must not be resumed under another (or
@@ -479,6 +503,15 @@ def run_quality_job(
             from .incr_dedup import drop_recrawls
 
             part = drop_recrawls(part, recrawl_fp_df)
+        if recrawl_sig_df is not None:
+            from .incr_dedup import drop_recrawls_near
+
+            part = drop_recrawls_near(
+                part, recrawl_sig_df,
+                shingle_len=recrawl_geo["shingle_len"],
+                stride=recrawl_geo["stride"],
+                bands=recrawl_geo["bands"],
+            )
         result = run_pipeline(part, partitions=partitions,
                               profile=profile)
         if clf_census is not None:

@@ -33,6 +33,7 @@ def run_streaming_job(
     profile: str = "default",
     input_format: str = "parquet",
     recrawl_keys: str | None = None,
+    recrawl_near: bool = False,
     classifier_model: str | None = None,
     domain_blocklist: str | None = None,
 ) -> IceliteTable:
@@ -54,11 +55,15 @@ def run_streaming_job(
     ``recrawl_keys`` (a `jobs/run_base_keys.py` output dir) drops docs
     whose normalized text already exists in the base corpus from every
     micro-batch BEFORE the pipeline — a stream-static anti-join on the
-    shared content fingerprint (the exact tier of incremental dedup;
-    the MinHash near tier needs per-doc aggregation and stays a batch
-    operator). The key-set identity is recorded per batch and a
-    restart under different keys refuses loudly, like the profile
-    guard.
+    shared content fingerprint (the exact tier of incremental dedup).
+    ``recrawl_near`` adds the MinHash band tier per micro-batch: the
+    per-doc band-min aggregation that cannot run stream-static IS an
+    ordinary batch groupBy inside foreachBatch (r7 — the earlier
+    'near tier stays batch-only' note was an artifact of the
+    stream-static framing). The key-set identity (":near"-suffixed
+    when the tier is on, so toggling it is a recorded semantics
+    change) is recorded per batch and a restart under different keys
+    refuses loudly, like the profile guard.
 
     ``classifier_model`` (a `jobs/run_classifier.py` model dir) scores
     every batch's output rows in-line (``clf_score`` /
@@ -90,7 +95,10 @@ def run_streaming_job(
         clf_census, clf_meta = load_quality_model(spark, classifier_model)
 
     recrawl_id = "none"
-    recrawl_fp_df = None
+    recrawl_fp_df = recrawl_sig_df = None
+    recrawl_geo: dict = {}
+    if recrawl_near and recrawl_keys is None:
+        raise ValueError("recrawl_near needs recrawl_keys")
     if recrawl_keys is not None:
         from pathlib import Path as _Path
 
@@ -102,6 +110,20 @@ def run_streaming_job(
         recrawl_fp_df = spark.read.parquet(
             str(_Path(recrawl_keys) / "fp.parquet")
         )
+        if recrawl_near:
+            import json as _json
+
+            km_path = _Path(recrawl_keys) / "keys_meta.json"
+            if not km_path.exists():
+                raise FileNotFoundError(
+                    f"{km_path} is missing — the near tier needs the "
+                    "recorded signature geometry"
+                )
+            recrawl_geo = _json.loads(km_path.read_text())
+            recrawl_id = f"{recrawl_id}:near"
+            recrawl_sig_df = spark.read.parquet(
+                str(_Path(recrawl_keys) / "sig.parquet")
+            )
 
     if input_format == "warc":
         from .warc import _DELIM, _parse_records
@@ -233,6 +255,15 @@ def run_streaming_job(
             from .incr_dedup import drop_recrawls
 
             batch_df = drop_recrawls(batch_df, recrawl_fp_df)
+        if recrawl_sig_df is not None:
+            from .incr_dedup import drop_recrawls_near
+
+            batch_df = drop_recrawls_near(
+                batch_df, recrawl_sig_df,
+                shingle_len=recrawl_geo["shingle_len"],
+                stride=recrawl_geo["stride"],
+                bands=recrawl_geo["bands"],
+            )
         result = run_pipeline(batch_df, partitions=partitions,
                               profile=profile)
         if clf_census is not None:

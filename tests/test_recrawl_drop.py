@@ -297,3 +297,69 @@ def test_base_keys_append_cli_geometry_guard(base_and_snapshot, tmp_path):
     )
     assert r.returncode != 0
     assert "run without --append first" in (r.stderr + r.stdout)
+
+
+def test_recrawl_near_tier_inline(spark, base_and_snapshot, tmp_path):
+    """r7: the MinHash band tier fused into ingest (--recrawl-near).
+    Near-recrawls (base text + appended footer — byte-different, so
+    the exact tier misses them) are dropped in batch AND streaming;
+    toggling the tier across a resume/restart refuses (the identity
+    is ':near'-suffixed)."""
+    from pii_spark.spark.jobs import run_quality_job
+    from pii_spark.spark.streaming import run_streaming_job
+
+    ctx = base_and_snapshot
+    # snapshot: 3 near-recrawls of base docs + 3 genuinely novel docs
+    base_rows = (
+        generate_corpus(spark, 60)
+        .filter(F.col("url").isin(list(ctx["overlap"])))
+        .limit(3).collect()
+    )
+    near = [
+        (f"https://near{i}.example/p", None, None,
+         r.text + " an appended syndication footer line here", "en")
+        for i, r in enumerate(base_rows)
+    ]
+    novel = [
+        (f"https://novel{i}.example/p", None, None,
+         "A completely different honest article about %d gardens and "
+         "their long seasonal histories, with many varied words that "
+         "share no twelve-character shingles with the base corpus at "
+         "all, hopefully %d." % (i, i), "en")
+        for i in range(3)
+    ]
+    snap2 = str(tmp_path / "snap2")
+    spark.createDataFrame(
+        near + novel,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(snap2)
+
+    out_dir, audit_dir = str(tmp_path / "out"), str(tmp_path / "audit")
+    t = run_quality_job(
+        spark, snap2, out_dir, audit_dir, groups=2,
+        recrawl_keys=ctx["keys"], recrawl_near=True,
+    )
+    urls = {r.url for r in t.read(spark).collect()}
+    assert all("near" not in u for u in urls), urls
+    assert {f"https://novel{i}.example/p" for i in range(3)} <= urls
+
+    # toggling the near tier OFF on resume refuses (identity differs)
+    with pytest.raises(RuntimeError, match="recrawl key set"):
+        run_quality_job(spark, snap2, out_dir, audit_dir, groups=2,
+                        recrawl_keys=ctx["keys"])
+
+    # streaming twin + restart toggle refusal
+    sout, ck = str(tmp_path / "sout"), str(tmp_path / "ck")
+    st = run_streaming_job(spark, snap2, sout, ck,
+                           recrawl_keys=ctx["keys"], recrawl_near=True)
+    surls = {r.url for r in st.read(spark).collect()}
+    assert surls == urls
+    with pytest.raises(RuntimeError, match="recrawl key set"):
+        run_streaming_job(spark, snap2, sout, ck,
+                          recrawl_keys=ctx["keys"])
+    # near without keys is a loud contract error
+    with pytest.raises(ValueError, match="recrawl_near needs"):
+        run_quality_job(spark, snap2, str(tmp_path / "x"),
+                        str(tmp_path / "y"), groups=2,
+                        recrawl_near=True)
