@@ -1259,17 +1259,40 @@ def q_token_count(spark, sf_dir):
     return tokens.unionByName(packing)
 
 
-def q_langid_stopwords(spark, sf_dir):  # heuristic language-ID
+def q_langid_stopwords(spark, sf_dir):
+    """Heuristic language-ID census PLUS (r7, SURVEY R91) the
+    per-language document-frequency census that DERIVES such stopword
+    lists from the corpus — labeled union: 'pred' arm keys by the
+    langid prediction (n = doc count), 'df' arm keys by word
+    (n = df_count, x = doc_frac rounded 4dp), words in ≥40% of a
+    language's ≥-min_df docs."""
+    from pii_spark.quality.stopwords import derive_stopwords
+
     hits = F.size(
         F.regexp_extract_all(F.lower(F.col("text")),
                              F.lit(rf"\b{_STOPWORDS}\b"), F.lit(0))
     )
     pred = F.when(hits >= 3, "en").otherwise("other")
-    return (
+    preds = (
         _docs(spark, sf_dir)
         .groupBy(F.col("lang"), pred.alias("pred"))
         .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("pred").alias("part"),
+            "lang",
+            F.col("pred").alias("key"),
+            F.col("n_docs").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("x"),
+        )
     )
+    sw = derive_stopwords(_docs(spark, sf_dir), 0.4).select(
+        F.lit("df").alias("part"),
+        "lang",
+        F.col("word").alias("key"),
+        F.col("df_count").alias("n"),
+        F.col("doc_frac").alias("x"),
+    )
+    return preds.unionByName(sw)
 
 
 def q_quality_heuristics(spark, sf_dir):
@@ -2939,12 +2962,31 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "langid_stopwords": f"""
-            SELECT lang,
+            SELECT 'pred' AS part, lang,
                    CASE WHEN len(regexp_extract_all(lower(text),
                         '\\b{_STOPWORDS}\\b')) >= 3
-                        THEN 'en' ELSE 'other' END AS pred,
-                   count(*) AS n_docs
-            FROM documents GROUP BY 1, 2
+                        THEN 'en' ELSE 'other' END AS key,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS x
+            FROM documents GROUP BY 1, 2, 3
+            UNION ALL
+            -- df arm (R91): per-language document frequency — a word
+            -- counts once per doc (list_distinct), stopwords = words
+            -- in >= 40% of a language's docs, min_df 2
+            SELECT 'df', lang, word,
+                   CAST(df_count AS BIGINT),
+                   round(df_count / n_docs, 4)
+            FROM (
+              SELECT lang, word, count(*) AS df_count
+              FROM (SELECT lang, unnest(list_distinct(list_filter(
+                      string_split_regex(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+'),
+                      w -> w <> ''))) AS word
+                    FROM documents)
+              GROUP BY 1, 2 HAVING count(*) >= 2) c
+            JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY 1) t USING (lang)
+            WHERE round(df_count / n_docs, 4) >= 0.4
         """,
         "quality_heuristics": f"""
             WITH s AS (
