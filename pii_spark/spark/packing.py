@@ -143,6 +143,75 @@ def pack_offsets(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Materialize the packed training sequences: (seq_id, tokens)
+    with every sequence except the last exactly ``seq_len`` tokens —
+    the shard-writer output of :func:`pack_offsets`.
+
+    Pure Catalyst: each doc explodes into its (seq_id, within-seq
+    slice) contributions via a higher-order sequence over
+    [seq_first..seq_last] — a doc touches ceil(n/seq_len)+1 sequences,
+    so the explode is O(corpus tokens / seq_len) rows of bounded
+    slices; the per-sequence assembly groups ≤ a few contributions
+    and flattens them in (start_offset) order. No sequence ever holds
+    more than ``seq_len`` tokens, so the groupBy rows are bounded by
+    construction — this is NOT a collect-a-document-list aggregate."""
+    packed = pack_offsets(
+        df, seq_len, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets,
+    ).select(
+        id_col, "n_tokens", "start_offset",
+        "seq_first", "seq_last",
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
+            lambda w: w != "",
+        ).alias("_toks"),
+    )
+    contrib = packed.filter(F.col("n_tokens") > 0).select(
+        "start_offset",
+        "_toks",
+        F.explode(
+            F.sequence(F.col("seq_first"), F.col("seq_last"))
+        ).alias("seq_id"),
+    ).select(
+        "seq_id",
+        "start_offset",
+        # slice of _toks that falls inside [seq_id*L, (seq_id+1)*L):
+        # local start = max(0, seq_id*L - start_offset) (0-based),
+        # length = min(n, (seq_id+1)*L - start_offset) - local start
+        F.expr(
+            f"slice(_toks, "
+            f"1 + CAST(greatest(0L, seq_id * {seq_len} - start_offset)"
+            f" AS INT), "
+            f"CAST(least(CAST(size(_toks) AS BIGINT), "
+            f"(seq_id + 1) * {seq_len} - start_offset) "
+            f"- greatest(0L, seq_id * {seq_len} - start_offset) AS INT)"
+            f")"
+        ).alias("piece"),
+    )
+    return (
+        contrib.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("start_offset", "piece")
+                        )
+                    ),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens")
+        )
+    )
+
+
 def packing_summary(packed: DataFrame, seq_len: int) -> DataFrame:
     """One-row census of a packing assignment: total tokens, number of
     full sequences, docs split across a boundary — the shard-writer

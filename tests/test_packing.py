@@ -107,3 +107,34 @@ def test_pack_offsets_never_sorts_globally(spark):
     assert all(r.n_tokens == 7 for r in seven)
     assert sorted(r.start_offset for r in seven) == \
         [7 * i for i in range(len(seven))]
+
+
+def test_pack_sequences_lossless_and_fixed_length(spark):
+    """The shard-writer output: every sequence except the last is
+    exactly seq_len tokens, and concatenating all sequences in seq_id
+    order reconstructs the concatenation of all docs' tokens in id
+    order — packing never loses or reorders a token."""
+    import re
+
+    from pii_spark.spark.packing import pack_sequences
+
+    d = _docs(spark, "/root/testdata/sf0.001").limit(120)
+    L = 128
+    seqs = {r.seq_id: r.tokens
+            for r in pack_sequences(d, L, n_buckets=8).collect()}
+    ids = sorted(seqs)
+    assert ids == list(range(len(ids)))  # dense seq ids from 0
+    for s in ids[:-1]:
+        assert len(seqs[s]) == L, (s, len(seqs[s]))
+    assert 0 < len(seqs[ids[-1]]) <= L
+    flat = [t for s in ids for t in seqs[s]]
+    ref = []
+    for r in d.orderBy("doc_id").collect():
+        ref.extend(w for w in re.split(r"[ \t\n\x0b\f\r]+",
+                                       r.text or "") if w)
+    assert flat == ref
+    # layout independence
+    seqs2 = {r.seq_id: r.tokens
+             for r in pack_sequences(d.repartition(7), L,
+                                     n_buckets=8).collect()}
+    assert seqs == seqs2
