@@ -34,6 +34,17 @@ Iterative by nature → no DuckDB oracle (the driver records rows-only
 for such ops); correctness is the byte-equal pure twin + determinism
 pins, like the perplexity LM trainer.
 
+Cost honesty: each merge is one Spark job over the census (~seconds of
+fixed overhead at any scale), so a production 32k–100k-merge vocab is
+hours of driver-loop latency — which is why every real tokenizer
+trainer (SentencePiece caps input sentences; GPT-2's BPE trained on a
+sample) runs on a CORPUS SAMPLE, not the full corpus. The intended
+composition here is the same: `uniform_sample_n`/`token_budget_sample`
+→ `word_census` → `train_bpe`. What this module adds over a
+single-machine trainer is that the census (the only corpus-sized
+step) is distributed and the vocabulary state never touches the
+driver.
+
 Reference analogue: none (the reference uses a pretrained RoBERTa
 tokenizer); north-rule training-pipeline addition.
 """
