@@ -51,6 +51,12 @@ def main() -> None:
                          "by default; ppl for raw CCNet perplexity "
                          "routing")
     ap.add_argument("--route-stratum-col", default="lang_pred")
+    ap.add_argument("--route-desc", action="store_true",
+                    help="rank DESCENDING so head = highest score. "
+                         "CCNet ranks perplexity ascending (low ppl = "
+                         "head); classifier scores are high = good, so "
+                         "routing on clf_score without this flag puts "
+                         "the best docs in 'tail'")
     ap.add_argument("--derive-blocklist", default=None,
                     help="derive a domain blocklist from the committed "
                          "table's quality signals (C4/RefinedWeb-style "
@@ -100,11 +106,21 @@ def main() -> None:
         if args.route_buckets:
             if not args.route_output:
                 ap.error("--route-buckets requires --route-output")
+            from pyspark.sql import functions as F
+
             from pii_spark.spark.sampling import ccnet_buckets
 
             df = t.read(spark)
+            score = args.route_score_col
+            if args.route_desc:
+                # negate for the cut (membership is exact on
+                # (score, id), so negation flips bucket order); the
+                # emitted column stays the original score
+                df = df.withColumn("__rank_score",
+                                   -F.col(score).cast("double"))
+                score = "__rank_score"
             routed = ccnet_buckets(
-                df, args.route_score_col,
+                df, score,
                 stratum_col=args.route_stratum_col,
                 id_col="url", n_buckets=args.route_buckets,
             ).select("url", args.route_stratum_col,

@@ -217,3 +217,35 @@ def test_maintenance_route_buckets_cli(spark, tmp_path):
     for lang in ("en", "de"):
         assert bymax[(lang, "head")] <= bymax[(lang, "middle")] \
             <= bymax[(lang, "tail")]
+
+
+def test_maintenance_route_desc(spark, tmp_path):
+    """--route-desc: classifier scores rank high = good, so head must
+    hold the HIGHEST scores (CCNet's ppl convention is the opposite —
+    without the flag, routing on clf_score put the best docs in
+    'tail')."""
+    from pyspark.sql import functions as F
+
+    from pii_spark.icelite.catalog import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "table"))
+    rows = [Row(url=f"https://d/{i}", lang_pred="en",
+                clf_score=float(i)) for i in range(30)]
+    t.append(spark.createDataFrame(rows), summary={"group": 0})
+    out = str(tmp_path / "routing")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "table"),
+         "--route-buckets", "3", "--route-output", out, "--route-desc"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    routed = spark.read.parquet(out)
+    assert "__rank_score" not in routed.columns
+    per = {r2.ccnet_bucket: (r2.mn, r2.mx)
+           for r2 in routed.groupBy("ccnet_bucket")
+           .agg(F.min("clf_score").alias("mn"),
+                F.max("clf_score").alias("mx")).collect()}
+    assert per["head"] == (20.0, 29.0)   # highest scores = head
+    assert per["middle"] == (10.0, 19.0)
+    assert per["tail"] == (0.0, 9.0)

@@ -138,3 +138,37 @@ def test_pack_sequences_lossless_and_fixed_length(spark):
              for r in pack_sequences(d.repartition(7), L,
                                      n_buckets=8).collect()}
     assert seqs == seqs2
+
+
+def test_pack_offsets_property_fuzz(spark):
+    """Hypothesis sweep over adversarial token-count shapes (zeros,
+    huge docs, sparse/dense ids): bucketed offsets == the driver-side
+    running sum, always."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        counts=st.lists(
+            st.tuples(st.integers(0, 10**6),      # sparse doc ids
+                      st.integers(0, 5000)),      # token counts
+            min_size=1, max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        L=st.sampled_from([1, 7, 512]),
+    )
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(counts, L):
+        d = spark.createDataFrame(
+            [(i, n) for i, n in counts], "doc_id long, nt long"
+        )
+        got = {r.doc_id: (r.start_offset, r.seq_first, r.seq_last)
+               for r in pack_offsets(d, L, n_tokens_col="nt",
+                                     n_buckets=4).collect()}
+        off = 0
+        for i, n in sorted(counts):
+            assert got[i] == (off, off // L, (off + max(n, 1) - 1) // L), \
+                (i, n, L)
+            off += n
+
+    check()
