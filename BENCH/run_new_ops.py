@@ -1,0 +1,91 @@
+"""Measure the round-7 operator family over bench.py's 50k-doc
+generated corpus (local[32], cached input): packing offsets, packed
+sequences, stopword census, BPE (census + 32 merges — the merge loop
+is per-iteration driver-paced, so merges/sec is the honest number).
+Appends a "new_ops_r7" record to BENCH/dedup_ops.json.
+
+Run from the repo root:  python BENCH/run_new_ops.py [reps]
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    os.chdir(ROOT)
+    from pyspark.sql import SparkSession, functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("new_ops_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pii_spark.quality.bpe import train_bpe, word_census
+    from pii_spark.quality.stopwords import derive_stopwords
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.packing import pack_offsets, pack_sequences
+
+    corpus = generate_corpus(spark, 50_000, partitions=cpus * 2) \
+        .select(F.col("doc_id"), F.col("text"),
+                F.lit("en").alias("lang")).cache()
+    corpus.count()
+
+    def timed(fn):
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 2))
+        return walls
+
+    rec = {"n_docs": 50_000, "cpus": cpus}
+    rec["pack_offsets_walls_sec"] = timed(
+        lambda: pack_offsets(corpus, 512).agg(
+            F.max("seq_last")).collect()
+    )
+    rec["pack_sequences_walls_sec"] = timed(
+        lambda: pack_sequences(corpus, 512).agg(
+            F.count("*"), F.sum(F.size("tokens"))).collect()
+    )
+    rec["stopword_census_walls_sec"] = timed(
+        lambda: derive_stopwords(corpus, 0.05).collect()
+    )
+    census = word_census(corpus).cache()
+    n_vocab = census.count()
+    rec["bpe_word_census_walls_sec"] = timed(lambda: census.count())
+    t0 = time.time()
+    merges = train_bpe(census, 32)
+    bpe_wall = round(time.time() - t0, 2)
+    census.unpersist()
+    rec["bpe_32_merges_wall_sec"] = bpe_wall
+    rec["bpe_merges_per_sec"] = round(32 / bpe_wall, 2)
+    rec["bpe_vocab_words"] = n_vocab
+    rec["n_merges_learned"] = len(merges)
+    rec["note"] = (
+        "packing + stopwords are one-or-two-shuffle passes like the "
+        "dedup family; BPE's cost is per-merge driver pacing "
+        "(merges/sec above) — production vocabs train on a corpus "
+        "SAMPLE, as the module documents."
+    )
+    path = ROOT / "BENCH" / "dedup_ops.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data["new_ops_r7"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -109,11 +109,14 @@ def train_bpe(
     census: DataFrame,
     n_merges: int,
     min_count: int = 2,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a word census. Returns
     the ordered merge list. Stops early when no pair reaches
-    ``min_count``."""
+    ``min_count``. ``checkpoint_every`` is retained for API compat;
+    lineage is truncated every iteration regardless — persist() does
+    not truncate LOGICAL plans, and the accumulated tree OOMed a
+    default-sized driver (measured r7)."""
     state = census.select(
         F.concat(
             F.split(F.col("word"), ""),  # chars
@@ -143,16 +146,18 @@ def train_bpe(
                 break
             left, right = top[0]["l"], top[0]["r"]
             merges.append((left, right))
+            # ONE full UDF pass per merge, lineage truncated per
+            # iteration. Measured alternative (r7): applying the merge
+            # only to words containing the pair (codegen exists() +
+            # affected/untouched union) did NOT beat this — the
+            # per-iteration floor is the pair-count scan + job
+            # overhead, not the Arrow pass — while the 3-way union
+            # TRIPLED partition count per iteration (3^k tasks) and
+            # its plan growth OOMed a default-sized driver. Simple
+            # wins; the cost model is documented above.
             nxt = state.select(
                 _apply_merge_udf(left, right)("syms").alias("syms"), "n"
-            )
-            if (it + 1) % checkpoint_every == 0:
-                # truncate the UDF-chain lineage (eager); without this
-                # N merges is an N-deep plan re-evaluated per iteration
-                nxt = nxt.localCheckpoint(eager=True)
-            else:
-                nxt = nxt.persist()
-                nxt.count()
+            ).localCheckpoint(eager=True)
             state.unpersist()
             state = nxt
     finally:
