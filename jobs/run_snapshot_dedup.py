@@ -12,9 +12,11 @@ corpus-append job would ingest); ``--mode annotate`` writes every
 snapshot row with its ``drop_stage`` (exact / near / NULL) for
 inspection. The per-stage census is printed either way.
 
-This is the full-strength batch tier; the quality jobs' lighter
-``--recrawl-keys`` flag applies only the exact tier in-line (streaming-
-safe). A monthly pipeline composes them: snapshot → THIS job with
+This job gives the per-stage census / annotate view; the quality jobs
+apply the same tiers in-line (``--recrawl-keys`` = exact,
+``--recrawl-near`` adds the band tier, batch AND streaming since r7)
+when you want drop-and-ingest in one pass without the census
+artifact. A monthly pipeline composes them: snapshot → THIS job with
 ``--update-keys`` (both tiers, then the novel docs' keys folded into
 the keys dir at delta cost — the full-corpus recompute of the old
 "run_base_keys over the grown corpus" step is gone; VERDICT r6
