@@ -120,7 +120,11 @@ def main() -> None:
 
         (out / "keys_meta.json").write_text(json.dumps(
             {"shingle_len": args.shingle_len, "stride": args.stride,
-             "bands": args.bands, "text_col": args.text_col},
+             "bands": args.bands, "text_col": args.text_col,
+             # the hash path is part of the key identity too: md5-path
+             # (string) keys silently match nothing against xxhash64
+             # consumers (review r7)
+             "hashed": True},
             indent=1,
         ))
         n_fp = spark.read.parquet(str(out / "fp.parquet")).count()

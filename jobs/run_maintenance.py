@@ -111,6 +111,12 @@ def main() -> None:
             from pii_spark.spark.sampling import ccnet_buckets
 
             df = t.read(spark)
+            if "keep" in df.columns:
+                # quantiles over the USABLE corpus only (review r7):
+                # known-dropped junk in the cut skews every bucket
+                # boundary with the junk fraction, and dropped urls
+                # have no business in a routing table a trainer reads
+                df = df.filter(F.col("keep"))
             score = args.route_score_col
             if args.route_desc:
                 # negate for the cut (membership is exact on
@@ -126,8 +132,6 @@ def main() -> None:
             ).select("url", args.route_stratum_col,
                      args.route_score_col, "ccnet_bucket")
             routed.write.mode("overwrite").parquet(args.route_output)
-            from pyspark.sql import functions as F
-
             census = {
                 f"{r[args.route_stratum_col]}/{r.ccnet_bucket}": r.n
                 for r in spark.read.parquet(args.route_output)

@@ -83,6 +83,13 @@ def main() -> None:
                     "over different shingles and silently match "
                     "nothing; drop the flag or recompute the keys"
                 )
+        if not km.get("hashed", True):
+            raise SystemExit(
+                f"{km_path} records hashed=false (md5 oracle path) — "
+                "this job computes xxhash64 signatures, which would "
+                "silently match nothing against string keys; rebuild "
+                "the keys with jobs/run_base_keys.py"
+            )
         params = {n: km[n] for n in given}
         text_col = args.text_col or km.get("text_col", "text")
     elif all(g is not None for g in given.values()):

@@ -196,11 +196,19 @@ def train_bpe_pure(
     return merges
 
 
-def bpe_encode_pure(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def bpe_encode_pure(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict | None = None,
+) -> list[str]:
     """Encode one word with a learned merge list (rank order = merge
-    priority — the standard BPE encode)."""
+    priority — the standard BPE encode). Pass a prebuilt ``ranks``
+    map when encoding many words (review r7: rebuilding the
+    O(|merges|) dict per word dwarfed the actual encode at a 50k-merge
+    vocab — |merges|/|word| wasted work per word)."""
     syms = list(word) + [_EOW]
-    ranks = {m: i for i, m in enumerate(merges)}
+    if ranks is None:
+        ranks = {m: i for i, m in enumerate(merges)}
     while len(syms) >= 2:
         best, bi = None, -1
         for i in range(len(syms) - 1):
@@ -227,11 +235,13 @@ def bpe_tokenize(
     def enc(texts: pd.Series) -> pd.Series:
         import re
 
+        ranks = {m: i for i, m in enumerate(merges)}  # once per batch
+
         def one(t):
             toks: list[str] = []
             for w in re.split(_WS, (t or "").lower()):
                 if w:
-                    toks.extend(bpe_encode_pure(w, merges))
+                    toks.extend(bpe_encode_pure(w, merges, ranks))
             return toks
 
         return texts.map(one)

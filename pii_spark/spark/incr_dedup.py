@@ -184,6 +184,18 @@ def drop_recrawls(df: DataFrame, fp_df: DataFrame,
     Row-local w.r.t. ``df`` (the build side is distinct), so it
     composes with any upstream reader — parquet groups, WARC groups,
     or streaming micro-batches."""
+    from pyspark.sql.types import LongType
+
+    if not isinstance(fp_df.schema["fp"].dataType, LongType):
+        # a hand-built md5-path (string) fp table would coerce to
+        # NULL bigints and the anti-join would silently drop NOTHING
+        # (review r7) — the same match-nothing hazard the geometry
+        # guard refuses
+        raise ValueError(
+            "fp relation must carry BIGINT xxhash64 fingerprints "
+            f"(got {fp_df.schema['fp'].dataType.simpleString()}); "
+            "build the keys with jobs/run_base_keys.py (hashed path)"
+        )
     keyed = df.withColumn(
         "__fp", content_fingerprint(F.col(text_col))
     )
@@ -325,6 +337,15 @@ def append_key_delta(
             "signature geometry; run jobs/run_base_keys.py first"
         )
     km = json.loads(meta_path.read_text())
+    if not km.get("hashed", True):
+        # md5-path key dirs are check-scale artifacts; appending
+        # xxhash64 deltas into them would poison the tables with keys
+        # no consumer can match (review r7)
+        raise ValueError(
+            f"{keys_dir} records hashed=false (md5 oracle path) — "
+            "production key maintenance requires the xxhash64 path; "
+            "rebuild with jobs/run_base_keys.py"
+        )
     base_fp = spark.read.parquet(str(kd / "fp.parquet"))
     base_sig = spark.read.parquet(str(kd / "sig.parquet"))
     d_fp, d_sig = key_delta(

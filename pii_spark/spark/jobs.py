@@ -109,10 +109,19 @@ def _backfill_missing_audit(spark, out: IceliteTable, audit: IceliteTable,
 
 
 def url_domain(col):
-    """Domain of a url — ONE definition shared by the blocklist drop
-    (batch + streaming) and the blocklist derivation, so a domain
-    written by one is always joinable by the other."""
-    return F.regexp_extract(col, r"//([^/]+)", 1)
+    """Normalized host of a url — ONE definition shared by the
+    blocklist drop (batch + streaming) and the blocklist derivation,
+    so a domain written by one is always joinable by the other.
+
+    Normalized because hosts are case-insensitive and userinfo/port
+    spellings name the same origin (review r7): without it,
+    'https://SPAM.example/x', 'https://spam.example:443/x' and
+    'https://a@spam.example/x' all bypassed a 'spam.example'
+    blocklist entry. Pattern: skip an optional userinfo@ (no '/' in
+    it), capture up to the first of [:/?#], lowercase."""
+    return F.lower(
+        F.regexp_extract(col, r"//(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
 
 
 def domain_blocklist_identity(blocklist_dir: str) -> str:

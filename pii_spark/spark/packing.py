@@ -99,7 +99,17 @@ def pack_offsets(
         )
     mn, mx = int(ext.mn), int(ext.mx)
     width = max((mx - mn) // n_buckets + 1, 1)
-    bkt = ((F.col(id_col) - F.lit(mn)) / F.lit(width)).cast("long")
+    # bucket computed in DOUBLE on purpose (review r7): xxhash64-style
+    # ids span most of int64, and (id - mn) as integers overflows
+    # (ANSI: job death; non-ANSI: silent wrap breaking bucket order).
+    # double conversion / constant subtraction / positive division /
+    # floor are each monotone, so bucket order still refines id order
+    # — the exactness precondition; past 2^53 nearby ids may share a
+    # bucket (coarser buckets, never misordered).
+    bkt = F.floor(
+        (F.col(id_col).cast("double") - F.lit(float(mn)))
+        / F.lit(float(width))
+    ).cast("long")
     d = d.withColumn("_bkt", bkt)
 
     # phase 2: per-bucket sums → driver cumsum (≤ n_buckets tiny rows)

@@ -249,3 +249,33 @@ def test_maintenance_route_desc(spark, tmp_path):
     assert per["head"] == (20.0, 29.0)   # highest scores = head
     assert per["middle"] == (10.0, 19.0)
     assert per["tail"] == (0.0, 9.0)
+
+
+def test_route_buckets_cut_over_kept_rows_only(spark, tmp_path):
+    """Review r7: routing quantiles must be cut over the USABLE corpus
+    — keep=false junk in the cut skews every bucket boundary with the
+    junk fraction, and dropped urls don't belong in a routing table."""
+    from pyspark.sql import functions as F
+
+    from pii_spark.icelite.catalog import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "table"))
+    rows = [Row(url=f"https://k/{i}", lang_pred="en", keep=True,
+                clf_score=float(i)) for i in range(12)]
+    rows += [Row(url=f"https://x/{i}", lang_pred="en", keep=False,
+                 clf_score=-1000.0) for i in range(24)]
+    t.append(spark.createDataFrame(rows), summary={"group": 0})
+    out = str(tmp_path / "routing")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "table"),
+         "--route-buckets", "3", "--route-output", out],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    routed = spark.read.parquet(out)
+    assert routed.count() == 12  # dropped urls absent entirely
+    per = {r2.ccnet_bucket: r2.n for r2 in
+           routed.groupBy("ccnet_bucket")
+           .agg(F.count("*").alias("n")).collect()}
+    assert per == {"head": 4, "middle": 4, "tail": 4}

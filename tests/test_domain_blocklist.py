@@ -105,3 +105,33 @@ def test_streaming_blocklist_and_restart_guard(spark, tmp_path):
     assert len(urls) == 12 and all("junk" not in u for u in urls)
     with pytest.raises(RuntimeError, match="domain blocklist"):
         run_streaming_job(spark, corpus, out, ck)
+
+
+def test_url_domain_normalization_closes_bypass(spark, tmp_path):
+    """Review r7: hosts are case-insensitive and userinfo/port
+    spellings name the same origin — every equivalent spelling of a
+    blocklisted domain must drop."""
+    from pii_spark.spark.jobs import drop_blocklisted_domains
+
+    bl = spark.createDataFrame([("junk.example",)], "domain string")
+    d = spark.createDataFrame(
+        [(u, "t") for u in (
+            "https://JUNK.example/x",
+            "https://junk.example:443/x",
+            "https://a@junk.example/x",
+            "https://User:Pw@JUNK.EXAMPLE:8080/deep?q=1",
+            "https://fine.example/x",
+            "https://junk.example.evil.com/x",  # different host: keep
+        )],
+        "url string, text string",
+    )
+    kept = {r.url for r in drop_blocklisted_domains(d, bl).collect()}
+    assert kept == {"https://fine.example/x",
+                    "https://junk.example.evil.com/x"}
+    # derivation uses the SAME definition, so mixed-case crawl urls
+    # aggregate into one domain row
+    from pii_spark.spark.jobs import url_domain
+
+    doms = {r.d for r in d.select(url_domain(F.col("url")).alias("d"))
+            .collect()}
+    assert "junk.example" in doms and "JUNK.example" not in doms

@@ -140,3 +140,37 @@ def test_driver_query_matches_module(spark, sf_dir="/root/testdata/sf0.001"):
     # the planted byte-identical recrawls guarantee a nonempty exact
     # tier; the planted footer variants guarantee near candidates
     assert any(r.stage == "exact" for r in rows if r.probe == "dropped")
+
+
+def test_hash_path_mismatches_refuse_loudly(spark, tmp_path):
+    """Review r7: md5-path (string) key relations silently match
+    nothing against xxhash64 consumers — every consumer must refuse,
+    not no-op."""
+    import json
+
+    import pytest
+    from pyspark.sql import Row
+
+    from pii_spark.spark.incr_dedup import (
+        append_key_delta,
+        base_keys,
+        drop_recrawls,
+    )
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some document body number {i}")
+         for i in range(5)]
+    )
+    fp_str, _ = base_keys(d, hashed=False)  # md5 path: string keys
+    with pytest.raises(ValueError, match="BIGINT xxhash64"):
+        drop_recrawls(d.withColumnRenamed("doc_id", "url"), fp_str)
+
+    keys = tmp_path / "md5keys"
+    fp, sig = base_keys(d, hashed=False)
+    fp.write.parquet(str(keys / "fp.parquet"))
+    sig.write.parquet(str(keys / "sig.parquet"))
+    (keys / "keys_meta.json").write_text(json.dumps(
+        {"shingle_len": 12, "stride": 5, "bands": 4,
+         "text_col": "text", "hashed": False}))
+    with pytest.raises(ValueError, match="hashed=false"):
+        append_key_delta(spark, d, str(keys))

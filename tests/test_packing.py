@@ -172,3 +172,23 @@ def test_pack_offsets_property_fuzz(spark):
             off += n
 
     check()
+
+
+def test_pack_offsets_survives_hash_range_ids(spark):
+    """Review r7: xxhash64-style ids span most of int64; the bucket
+    arithmetic must not overflow (ANSI job death / silent wrap).
+    Offsets must equal the driver-side running sum in id order."""
+    ids = [-(1 << 62) * 3 // 2, -(1 << 61), -12345, 0, 99,
+           (1 << 61), (1 << 62) * 3 // 2]
+    d = spark.createDataFrame(
+        [(i, 10 + k) for k, i in enumerate(ids)],
+        "doc_id long, nt long",
+    )
+    got = {r.doc_id: r.start_offset
+           for r in pack_offsets(d, 512, n_tokens_col="nt",
+                                 n_buckets=16).collect()}
+    off, ref = 0, {}
+    for k, i in enumerate(sorted(ids)):
+        ref[i] = off
+        off += 10 + ids.index(i)
+    assert got == ref
