@@ -192,3 +192,26 @@ def test_pack_offsets_survives_hash_range_ids(spark):
         ref[i] = off
         off += 10 + ids.index(i)
     assert got == ref
+
+
+def test_packing_composes_with_bpe_tokenizer(spark):
+    """Composition: a trained BPE tokenizer's counts drive the packing
+    assignment through n_tokens_col — the real pipeline shape
+    (tokenizer-aware budgets, not whitespace counts)."""
+    from pii_spark.quality.bpe import bpe_tokenize, train_bpe, word_census
+
+    d = _docs(spark, "/root/testdata/sf0.001").limit(80)
+    merges = train_bpe(word_census(d), 10)
+    tok = bpe_tokenize(d, merges).withColumn(
+        "bpe_n", F.size("bpe_tokens").cast("long")
+    )
+    out = pack_offsets(tok, 256, n_tokens_col="bpe_n", n_buckets=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    # offsets are the running sum of BPE counts in id order
+    off = 0
+    for r in tok.select("doc_id", "bpe_n").orderBy("doc_id").collect():
+        assert rows[r.doc_id].start_offset == off
+        assert rows[r.doc_id].n_tokens == r.bpe_n
+        off += r.bpe_n
+    total = off
+    assert max(x.seq_last for x in rows.values()) == (total - 1) // 256
