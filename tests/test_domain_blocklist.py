@@ -135,3 +135,54 @@ def test_url_domain_normalization_closes_bypass(spark, tmp_path):
     doms = {r.d for r in d.select(url_domain(F.col("url")).alias("d"))
             .collect()}
     assert "junk.example" in doms and "JUNK.example" not in doms
+
+
+def test_derive_blocklist_score_criterion(spark, tmp_path):
+    """--blocklist-max-score: the classifier-score criterion (needs a
+    clf_score column; refuses without one), with reason='low_score',
+    composable with the keep-rate criterion."""
+    from pii_spark.icelite.catalog import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "table"))
+    rows = []
+    for i in range(6):
+        rows.append(("https://good.example/p/%d" % i, True, 50.0))
+        rows.append(("https://lowscore.example/p/%d" % i, True, -40.0))
+        rows.append(("https://dropped.example/p/%d" % i, False, 10.0))
+    t.append(
+        spark.createDataFrame(
+            rows, "url string, keep boolean, clf_score double"
+        ),
+        summary={"group": 0},
+    )
+    bl = str(tmp_path / "bl")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "table"),
+         "--derive-blocklist", bl,
+         "--blocklist-max-score", "0",
+         "--blocklist-max-keep-rate", "0.5"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {x.domain: x.reason for x in spark.read.parquet(bl).collect()}
+    assert got == {"lowscore.example": "low_score",
+                   "dropped.example": "low_keep_rate"}
+
+    # the score criterion without a clf_score column refuses loudly
+    t2 = IceliteTable(str(tmp_path / "plain"))
+    t2.append(
+        spark.createDataFrame(
+            [("https://a/1", True)], "url string, keep boolean"
+        ),
+        summary={"group": 0},
+    )
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "plain"),
+         "--derive-blocklist", str(tmp_path / "bl2"),
+         "--blocklist-max-score", "0"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode != 0
+    assert "needs a clf_score column" in (r.stderr + r.stdout)
