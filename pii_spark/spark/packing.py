@@ -17,7 +17,19 @@ corpus (``Window.orderBy(id)`` with no partition: a single task sorts
 and scans 10^10 rows). This module is the classic two-phase
 distributed prefix sum instead:
 
-1. range-bucket docs by id (driver collects only min/max — 2 numbers);
+1. RANK-bucket docs by id: ``n_buckets - 1`` approximate id quantiles
+   (one Greenwald–Khanna pass; the driver holds only the cut values)
+   define the buckets, so every bucket covers ≈ 1/n_buckets of the
+   ROWS whatever the id distribution. Equal-width bins in raw id
+   space were the r7 geometry and are the same failure shape the
+   sampling module's r6 histogram fix closed (VERDICT r7 #1): ids
+   were assumed uniform over [mn, mx], so ONE outlier id (a corrupt
+   id, or one xxhash64-keyed doc mixed into a sequential-id corpus)
+   put every normal row into bucket 0 and the intra-bucket window
+   degenerated to the single-task global sort this design exists to
+   avoid. Quantile cuts are distribution-free; exactness is untouched
+   because ANY bucketing whose order refines id order yields the same
+   offsets, and the cuts are constants for the whole computation.
 2. per-bucket token sums (partial-aggregable, ≤ n_buckets rows to the
    driver) → cumulative bucket offsets, broadcast back as literals;
 3. an intra-bucket cumulative window ``partitionBy(bucket) orderBy
@@ -54,6 +66,22 @@ def whitespace_token_count(text: Column) -> Column:
     ).cast("long")
 
 
+def _id_bucket_cuts(
+    d: DataFrame, id_col: str, n_buckets: int
+) -> list[float]:
+    """Rank-geometry bucket boundaries: the ``n_buckets - 1``
+    approximate quantiles of the id column (relative error
+    1/(4·n_buckets), so any bucket holds ≤ ~1.5/n_buckets of the rows
+    whatever the id distribution — outlier ids cannot concentrate
+    mass). Returned deduplicated/sorted; split out so the planted-
+    outlier test can measure per-bucket populations directly."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = d.select(
+        F.col(id_col).cast("double").alias("_idd")
+    ).stat.approxQuantile("_idd", probs, 1.0 / (4 * n_buckets))
+    return sorted(set(cuts))
+
+
 def pack_offsets(
     df: DataFrame,
     seq_len: int,
@@ -67,10 +95,14 @@ def pack_offsets(
     concatenated in ``id_col`` order. ``n_tokens_col`` supplies a real
     tokenizer's counts; otherwise whitespace counts over ``text_col``.
 
-    Exact by construction: bucket-range order refines id order, so
-    (bucket offsets) + (intra-bucket cumsum) == the single global
-    cumsum. NULL ids are refused loudly (their global position would
-    be engine-dependent)."""
+    Exact by construction: bucket order refines id order (the cuts are
+    constants, double cast is monotone), so (bucket offsets) +
+    (intra-bucket cumsum) == the single global cumsum. NULL ids are
+    refused loudly (their global position would be engine-dependent);
+    so are DUPLICATE ids (review r7: ties in the intra-bucket
+    ``orderBy(id)`` would make start_offset nondeterministic across
+    partitionings — and vs the oracle's own tie order — silently
+    breaking the layout-independence contract this module pins)."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     nt = (
@@ -81,8 +113,8 @@ def pack_offsets(
     d = df.withColumn("n_tokens", F.coalesce(nt, F.lit(0)))
 
     ext = d.agg(
-        F.min(id_col).alias("mn"),
-        F.max(id_col).alias("mx"),
+        F.count("*").alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
         F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
     ).collect()[0]
     if ext.nulls:
@@ -90,26 +122,38 @@ def pack_offsets(
             f"{ext.nulls} rows have NULL {id_col}; packing order needs "
             "total ids — assign ids first"
         )
-    if ext.mn is None:  # empty input
+    if int(ext.nd) != int(ext.n):
+        raise ValueError(
+            f"{int(ext.n) - int(ext.nd)} duplicate {id_col} values; "
+            "packing order needs UNIQUE ids — concatenation order (and "
+            "therefore every offset) would be tie-order-dependent"
+        )
+    if int(ext.n) == 0:  # empty input
         return d.select(
             "*",
             F.lit(0).cast("long").alias("start_offset"),
             F.lit(0).cast("long").alias("seq_first"),
             F.lit(0).cast("long").alias("seq_last"),
         )
-    mn, mx = int(ext.mn), int(ext.mx)
-    width = max((mx - mn) // n_buckets + 1, 1)
-    # bucket computed in DOUBLE on purpose (review r7): xxhash64-style
-    # ids span most of int64, and (id - mn) as integers overflows
-    # (ANSI: job death; non-ANSI: silent wrap breaking bucket order).
-    # double conversion / constant subtraction / positive division /
-    # floor are each monotone, so bucket order still refines id order
-    # — the exactness precondition; past 2^53 nearby ids may share a
-    # bucket (coarser buckets, never misordered).
-    bkt = F.floor(
-        (F.col(id_col).cast("double") - F.lit(float(mn)))
-        / F.lit(float(width))
-    ).cast("long")
+    # rank-geometry buckets (VERDICT r7 #1 — see module docstring).
+    # Ids are compared as DOUBLEs on purpose: xxhash64-style ids span
+    # most of int64, and integer (id - mn) arithmetic overflows (ANSI:
+    # job death; non-ANSI: silent wrap breaking bucket order). The
+    # cast is monotone; past 2^53 nearby ids may collapse onto a cut
+    # value and share a bucket (coarser buckets, never misordered).
+    cuts = _id_bucket_cuts(d, id_col, n_buckets) if n_buckets > 1 else []
+    if cuts:
+        # CreateArray over literals constant-folds to ONE array
+        # literal; the per-row cost is an O(n_buckets) codegen scan —
+        # trivial next to the token counting it sits beside
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bkt = F.size(
+            F.filter(
+                cut_arr, lambda c: c <= F.col(id_col).cast("double")
+            )
+        ).cast("long")
+    else:
+        bkt = F.lit(0).cast("long")
     d = d.withColumn("_bkt", bkt)
 
     # phase 2: per-bucket sums → driver cumsum (≤ n_buckets tiny rows)

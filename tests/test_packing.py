@@ -86,6 +86,46 @@ def test_pack_offsets_refusals_and_empty(spark):
         pack_offsets(d.filter("doc_id is not null"), 0)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert pack_offsets(empty, 512).count() == 0
+    # duplicate ids: ties in the intra-bucket orderBy(id) would make
+    # start_offset tie-order-dependent — refused loudly (review r7)
+    dup = spark.createDataFrame(
+        [Row(doc_id=1, text="x"), Row(doc_id=1, text="y"),
+         Row(doc_id=2, text="z")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        pack_offsets(dup, 512)
+
+
+def test_pack_offsets_outlier_id_keeps_buckets_balanced(spark):
+    """VERDICT r7 #1 (the ccnet planted-outlier pattern, verbatim):
+    sequential bulk ids plus ONE corrupt/mixed-scheme xxhash64-range
+    id. The r7 equal-width geometry put every bulk row into bucket 0
+    (width ≈ outlier/n_buckets) — a single-task sort of the whole
+    corpus. Rank-geometry cuts must keep every bucket ≤ ~1.5/n_buckets
+    of the rows, and the offsets must stay exact."""
+    from pii_spark.spark.packing import _id_bucket_cuts
+
+    n, nb = 4000, 16
+    rows = [(i, (i % 7) + 1) for i in range(n)] + [(1 << 62, 3)]
+    d = spark.createDataFrame(rows, "doc_id long, nt long")
+    cuts = _id_bucket_cuts(d, "doc_id", nb)
+    pop: dict[int, int] = {}
+    for i, _ in rows:
+        b = sum(1 for c in cuts if c <= float(i))
+        pop[b] = pop.get(b, 0) + 1
+    # err = 1/(4*nb) → any bucket ≤ (1/nb + 2*err) * N = 1.5N/nb
+    assert max(pop.values()) <= int(1.5 * (n + 1) / nb) + 1, pop
+    assert len(pop) >= nb // 2  # mass actually spreads across buckets
+
+    got = {r.doc_id: r.start_offset
+           for r in pack_offsets(d, 512, n_tokens_col="nt",
+                                 n_buckets=nb).collect()}
+    off, ref = 0, {}
+    for i, t in sorted(rows):
+        ref[i] = off
+        off += t
+    assert got == ref
 
 
 def test_pack_offsets_never_sorts_globally(spark):
