@@ -34,16 +34,19 @@ Iterative by nature → no DuckDB oracle (the driver records rows-only
 for such ops); correctness is the byte-equal pure twin + determinism
 pins, like the perplexity LM trainer.
 
-Cost honesty: each merge is one Spark job over the census (~seconds of
-fixed overhead at any scale), so a production 32k–100k-merge vocab is
-hours of driver-loop latency — which is why every real tokenizer
-trainer (SentencePiece caps input sentences; GPT-2's BPE trained on a
-sample) runs on a CORPUS SAMPLE, not the full corpus. The intended
-composition here is the same: `uniform_sample_n`/`token_budget_sample`
-→ `word_census` → `train_bpe`. What this module adds over a
-single-machine trainer is that the census (the only corpus-sized
-step) is distributed and the vocabulary state never touches the
-driver.
+Cost honesty: each distributed merge is one Spark job over the census
+(~seconds of fixed overhead at any scale), so a production
+32k–100k-merge vocab is hours of driver-loop latency — which is why
+every real tokenizer trainer (SentencePiece caps input sentences;
+GPT-2's BPE trained on a sample) runs on a CORPUS SAMPLE, not the
+full corpus. The intended composition here is the same:
+`uniform_sample_n`/`token_budget_sample` → `word_census` →
+`train_bpe`. What this module adds over a single-machine trainer is
+that the census (the only corpus-sized step) is distributed; and
+since a sampled census usually FITS the driver, `train_bpe`
+auto-collects such censuses and trains with the byte-equal pure twin
+(VERDICT r7 #3) — the distributed merge loop is the above-bound
+escape hatch, not the common path.
 
 Reference analogue: none (the reference uses a pretrained RoBERTa
 tokenizer); north-rule training-pipeline addition.
@@ -109,14 +112,29 @@ def train_bpe(
     census: DataFrame,
     n_merges: int,
     min_count: int = 2,
-    checkpoint_every: int = 1,
+    driver_bound: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a word census. Returns
     the ordered merge list. Stops early when no pair reaches
-    ``min_count``. ``checkpoint_every`` is retained for API compat;
-    lineage is truncated every iteration regardless — persist() does
-    not truncate LOGICAL plans, and the accumulated tree OOMed a
-    default-sized driver (measured r7)."""
+    ``min_count``.
+
+    Auto-dispatch (VERDICT r7 #3): a census that fits the driver —
+    the COMMON case, since every real tokenizer trains on a corpus
+    sample (module docstring) — is collected once and trained with
+    the pure twin (already byte-equal by the twin tests): seconds
+    instead of one Spark job per merge. The distributed loop runs
+    only above ``driver_bound`` rows (~tens of MB of words at the
+    default; pass 0 to force the distributed path, as the twin tests
+    do). Lineage in the distributed loop is truncated every iteration
+    — persist() does not truncate LOGICAL plans, and the accumulated
+    tree OOMed a default-sized driver (measured r7)."""
+    if driver_bound > 0:
+        head = census.limit(driver_bound + 1).collect()
+        if len(head) <= driver_bound:
+            return train_bpe_pure(
+                {r["word"]: int(r["n"]) for r in head},
+                n_merges, min_count=min_count,
+            )
     state = census.select(
         F.concat(
             F.split(F.col("word"), ""),  # chars

@@ -16,9 +16,11 @@ from pii_spark.quality.bpe import (
 
 def test_trainer_matches_pure_twin_byte_equal(spark):
     """Same census → same ordered merge list, across partitionings —
-    the train_lm.py trainer standard. Crosses a checkpoint boundary
-    (checkpoint_every=4 < n_merges) so the lineage-truncation path is
-    exercised too."""
+    the train_lm.py trainer standard. driver_bound=0 forces the
+    DISTRIBUTED merge loop (whose every iteration eagerly
+    localCheckpoints — lineage truncation is unconditional there);
+    the default dispatch would collect this driver-sized census and
+    train pure, which is the other side of the same equality."""
     d = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).limit(300)
@@ -26,11 +28,25 @@ def test_trainer_matches_pure_twin_byte_equal(spark):
     counts = {r.word: r.n for r in census.collect()}
     pure = train_bpe_pure(counts, 20)
     assert len(pure) == 20
-    got = train_bpe(census, 20, checkpoint_every=4)
+    got = train_bpe(census, 20, driver_bound=0)
     assert got == pure
-    got2 = train_bpe(word_census(d.repartition(7)), 20,
-                     checkpoint_every=4)
+    got2 = train_bpe(word_census(d.repartition(7)), 20, driver_bound=0)
     assert got2 == pure
+
+
+def test_dispatch_boundary_identical_merges(spark):
+    """VERDICT r7 #3: the pure-twin auto-dispatch. The same census
+    trained just under and just over ``driver_bound`` (pure collect
+    vs distributed loop) must produce IDENTICAL merge lists — the
+    boundary is a cost decision, never a semantics one."""
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    census = word_census(d)
+    n_rows = census.count()
+    via_pure = train_bpe(census, 12, driver_bound=n_rows)      # fits
+    via_dist = train_bpe(census, 12, driver_bound=0)           # forced
+    assert via_pure == via_dist and len(via_pure) == 12
 
 
 def test_classic_bpe_merge_order(spark):
