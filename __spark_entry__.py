@@ -1217,10 +1217,14 @@ def q_token_count(spark, sf_dir):
     packing assignment (concat-and-chunk at seq_len 512, docs in
     doc_id order): per-doc global start offset + seq_first/seq_last —
     the two-phase distributed prefix sum vs DuckDB's plain window
-    cumsum, all integers. Labeled-union schema: tokens arm keys by
-    lang (na/nb = ws/bpe sums, xa/xb = the averages); packing arm
-    keys by doc_id (na/nb = start_offset/n_tokens, xa/xb =
-    seq_first/seq_last as exact doubles)."""
+    cumsum, all integers. Since r8 the arm feeds the TOKENIZER-style
+    counts (the BPE-regex census both engines twin) through
+    ``n_tokens_col`` — the external-counts path `jobs/run_pack.py`
+    uses in production — instead of the internal whitespace counter.
+    Labeled-union schema: tokens arm keys by lang (na/nb = ws/bpe
+    sums, xa/xb = the averages); packing arm keys by doc_id
+    (na/nb = start_offset/n_tokens, xa/xb = seq_first/seq_last as
+    exact doubles)."""
     from pii_spark.spark.packing import pack_offsets
 
     ws = F.size(
@@ -1247,7 +1251,8 @@ def q_token_count(spark, sf_dir):
         )
     )
     packing = pack_offsets(
-        _docs(spark, sf_dir), 512, n_buckets=64
+        _docs(spark, sf_dir).withColumn("_bpe_nt", bpe.cast("long")),
+        512, n_tokens_col="_bpe_nt", n_buckets=64,
     ).select(
         F.lit("packing").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
@@ -2948,17 +2953,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             -- packing arm (R87): global prefix-sum offsets + 512-token
             -- chunk ids, integer-exact (Spark side is the two-phase
-            -- distributed prefix sum; this is the plain window cumsum)
+            -- distributed prefix sum; this is the plain window cumsum).
+            -- r8: counts are the tokenizer-style BPE-regex census
+            -- (ntok) through the n_tokens_col path, not whitespace
             SELECT 'packing', CAST(doc_id AS VARCHAR),
-                   CAST(sum(ws) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - ws AS BIGINT),
-                   CAST(ws AS BIGINT),
-                   CAST((sum(ws) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - ws) // 512
+                   CAST(sum(ntok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ntok AS BIGINT),
+                   CAST(ntok AS BIGINT),
+                   CAST((sum(ntok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ntok) // 512
                         AS DOUBLE),
-                   CAST((sum(ws) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - ws
-                        + greatest(ws, 1) - 1) // 512 AS DOUBLE)
+                   CAST((sum(ntok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ntok
+                        + greatest(ntok, 1) - 1) // 512 AS DOUBLE)
             FROM s
         """,
         "langid_stopwords": f"""

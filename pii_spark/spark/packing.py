@@ -203,10 +203,14 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences: (seq_id, tokens)
     with every sequence except the last exactly ``seq_len`` tokens —
-    the shard-writer output of :func:`pack_offsets`.
+    the shard-writer output of :func:`pack_offsets`. ``tokens_col``
+    supplies a REAL tokenizer's ``array<string>`` tokens (e.g.
+    ``bpe_tokenize``'s output — the `jobs/run_pack.py` path);
+    otherwise tokens are the whitespace split of ``text_col``.
 
     Pure Catalyst: each doc explodes into its (seq_id, within-seq
     slice) contributions via a higher-order sequence over
@@ -216,17 +220,32 @@ def pack_sequences(
     and flattens them in (start_offset) order. No sequence ever holds
     more than ``seq_len`` tokens, so the groupBy rows are bounded by
     construction — this is NOT a collect-a-document-list aggregate."""
-    packed = pack_offsets(
-        df, seq_len, id_col=id_col, text_col=text_col,
-        n_buckets=n_buckets,
-    ).select(
-        id_col, "n_tokens", "start_offset",
-        "seq_first", "seq_last",
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
-            lambda w: w != "",
-        ).alias("_toks"),
-    )
+    if tokens_col is not None:
+        toks = F.coalesce(
+            F.col(tokens_col), F.array().cast("array<string>")
+        )
+        d = df.withColumn("_toks", toks).withColumn(
+            "_ntoks", F.size("_toks").cast("long")
+        )
+        packed = pack_offsets(
+            d, seq_len, id_col=id_col, n_tokens_col="_ntoks",
+            n_buckets=n_buckets,
+        ).select(
+            id_col, "n_tokens", "start_offset",
+            "seq_first", "seq_last", "_toks",
+        )
+    else:
+        packed = pack_offsets(
+            df, seq_len, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets,
+        ).select(
+            id_col, "n_tokens", "start_offset",
+            "seq_first", "seq_last",
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
+                lambda w: w != "",
+            ).alias("_toks"),
+        )
     contrib = packed.filter(F.col("n_tokens") > 0).select(
         "start_offset",
         "_toks",
