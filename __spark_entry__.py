@@ -1939,11 +1939,45 @@ def q_pii_pipeline(spark, sf_dir):
                       F.size("spans").alias("n_spans"))
 
 
+# The two confusion queries materialize their decoded entity tuples
+# here so DuckDB can replay the F1/confusion arithmetic in SQL
+# (VERDICT r7 #6 — the UDF decode is pinned by the seqeval twin; the
+# join/count arithmetic needs no UDF). Both relations are
+# DETERMINISTIC and sf-independent (seeded generator / fixed fixture),
+# so the committed artifacts match a fresh regeneration byte-for-byte
+# in content — the oracle reads them whatever order the driver runs.
+_ORACLE_ART = str(Path(__file__).resolve().parent / "artifacts" / "oracle")
+
+
+def _materialize_entities(spark, truth, pred, name: str):
+    from pii_spark.spark.metrics import entity_rows
+
+    rel = (
+        entity_rows(truth).withColumn("src", F.lit("t"))
+        .unionByName(entity_rows(pred).withColumn("src", F.lit("p")))
+    )
+    path = f"{_ORACLE_ART}/{name}.parquet"
+    rel.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _confusion_from_relation(rel):
+    from pii_spark.spark.metrics import entity_confusion
+
+    return entity_confusion(
+        rel.filter(F.col("src") == "t").drop("src"),
+        rel.filter(F.col("src") == "p").drop("src"),
+    )
+
+
 def q_pii_f1(spark, sf_dir):
     """Entity-level F1 vs generator ground truth on the synthetic PII
-    corpus (the reference's evaluation protocol as Spark joins)."""
+    corpus (the reference's evaluation protocol as Spark joins). The
+    decoded (doc_id, label, t0, t1, src) tuples are materialized to
+    ``artifacts/oracle/pii_entities.parquet`` and the confusion is
+    computed FROM that relation — identically in DuckDB (r8: this
+    query left the no_oracle set)."""
     from pii_spark.spark.gen_job import generate_full
-    from pii_spark.spark.metrics import entity_confusion, entity_rows
     from pii_spark.spark.pipeline import run_pipeline
 
     full = generate_full(spark, 500).where("lang = 'en'").cache()
@@ -1953,18 +1987,28 @@ def q_pii_f1(spark, sf_dir):
         .select("doc_id", "spans")
         .join(full.select("doc_id", "text"), "doc_id")
     )
-    return entity_confusion(entity_rows(truth), entity_rows(pred))
+    rel = _materialize_entities(spark, truth, pred, "pii_entities")
+    full.unpersist()
+    return _confusion_from_relation(rel)
 
 
 def q_eval_confusion(spark, sf_dir):
     """EP3 real-world-style eval (model_evaluation.py end to end) over
     the deterministic ai4privacy-shaped fixture: per-label TP/FP/FN
-    entity confusion rows. Committed artifact from the same job:
-    evaluation/evaluation_results.json (see evaluation/COMPARISON.md)."""
+    entity confusion rows, computed from the materialized entity
+    relation (``artifacts/oracle/eval_entities.parquet``) so DuckDB
+    replays the arithmetic (r8: left the no_oracle set). Committed
+    artifact from the same job: evaluation/evaluation_results.json
+    (see evaluation/COMPARISON.md)."""
     from pii_spark.spark.eval_fixture import eval_fixture_df
-    from pii_spark.spark.evaljob import evaluate
+    from pii_spark.spark.evaljob import aligned_truth_pred
 
-    return evaluate(eval_fixture_df(spark, 150), limit_n=150).orderBy("label")
+    truth, pred = aligned_truth_pred(eval_fixture_df(spark, 150),
+                                     limit_n=150)
+    rel = _materialize_entities(spark, truth, pred, "eval_entities")
+    truth.unpersist()
+    pred.unpersist()
+    return _confusion_from_relation(rel).orderBy("label")
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -2967,6 +3011,52 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) - ntok
                         + greatest(ntok, 1) - 1) // 512 AS DOUBLE)
             FROM s
+        """,
+        # pii_f1 / eval_confusion (r8, VERDICT r7 #6): the queries
+        # materialize their decoded (doc_id, label, t0, t1, src)
+        # entity tuples to artifacts/oracle/*.parquet (deterministic,
+        # sf-independent, committed); the confusion arithmetic is then
+        # pure SQL — a full outer join on the tuple key + per-label
+        # counts, exactly pii_spark.spark.metrics.entity_confusion
+        "pii_f1": f"""
+            WITH e AS (SELECT * FROM read_parquet(
+                   '{_ORACLE_ART}/pii_entities.parquet/*.parquet')),
+            t AS (SELECT doc_id, label, t0, t1 FROM e WHERE src = 't'),
+            p AS (SELECT doc_id, label, t0, t1 FROM e WHERE src = 'p'),
+            j AS (SELECT coalesce(t.label, p.label) AS label,
+                         t.doc_id IS NOT NULL AS ht,
+                         p.doc_id IS NOT NULL AS hp
+                  FROM t FULL OUTER JOIN p
+                    ON t.doc_id = p.doc_id AND t.label = p.label
+                   AND t.t0 = p.t0 AND t.t1 = p.t1)
+            SELECT label,
+                   CAST(sum(CASE WHEN ht AND hp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN ht AND NOT hp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN hp AND NOT ht THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp
+            FROM j GROUP BY label
+        """,
+        "eval_confusion": f"""
+            WITH e AS (SELECT * FROM read_parquet(
+                   '{_ORACLE_ART}/eval_entities.parquet/*.parquet')),
+            t AS (SELECT doc_id, label, t0, t1 FROM e WHERE src = 't'),
+            p AS (SELECT doc_id, label, t0, t1 FROM e WHERE src = 'p'),
+            j AS (SELECT coalesce(t.label, p.label) AS label,
+                         t.doc_id IS NOT NULL AS ht,
+                         p.doc_id IS NOT NULL AS hp
+                  FROM t FULL OUTER JOIN p
+                    ON t.doc_id = p.doc_id AND t.label = p.label
+                   AND t.t0 = p.t0 AND t.t1 = p.t1)
+            SELECT label,
+                   CAST(sum(CASE WHEN ht AND hp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN ht AND NOT hp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN hp AND NOT ht THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp
+            FROM j GROUP BY label ORDER BY label
         """,
         "langid_stopwords": f"""
             SELECT 'pred' AS part, lang,

@@ -61,12 +61,15 @@ def convert_eval_table(df: DataFrame, limit_n: int = 300) -> DataFrame:
     return out
 
 
-def evaluate_full(
+def aligned_truth_pred(
     df: DataFrame, limit_n: int = 300
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full EP3: returns (confusion_rows, truth, pred) so callers can
-    also compute token accuracy (model_evaluation.py:322) over the same
-    aligned frames."""
+) -> tuple[DataFrame, DataFrame]:
+    """(truth, pred) — the converted ground truth and the pipeline's
+    predictions joined back to the same texts, both cached (pred's
+    lineage replays truth). Callers unpersist both. Split out of
+    ``evaluate_full`` so the driver query can MATERIALIZE the decoded
+    entity tuples and hand the confusion arithmetic to the SQL oracle
+    (VERDICT r7 #6)."""
     truth = convert_eval_table(df, limit_n).cache()
     corpus = truth.select(
         "doc_id",
@@ -82,6 +85,16 @@ def evaluate_full(
         .select("doc_id", "spans")
         .join(truth.select("doc_id", "text"), "doc_id")
     ).cache()
+    return truth, pred
+
+
+def evaluate_full(
+    df: DataFrame, limit_n: int = 300
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full EP3: returns (confusion_rows, truth, pred) so callers can
+    also compute token accuracy (model_evaluation.py:322) over the same
+    aligned frames."""
+    truth, pred = aligned_truth_pred(df, limit_n)
     conf = entity_confusion(entity_rows(truth), entity_rows(pred))
     return conf, truth, pred
 
