@@ -43,6 +43,14 @@ def main() -> None:
     ap.add_argument("--id-col", default="url",
                     help="doc identity column for per-doc scores")
     ap.add_argument("--dim", type=int, default=2 ** 18)
+    ap.add_argument("--stopwords", default=None,
+                    help="train: a run_maintenance.py --derive-stopwords "
+                         "parquet dir — weak labels use the derived "
+                         "per-language lists (union) instead of the "
+                         "built-in English 10; the lists' identity and "
+                         "words are recorded in meta.json, so the "
+                         "model identity (and every downstream resume "
+                         "guard) changes with the teacher")
     args = ap.parse_args()
     if args.mode == "score" and not args.output:
         ap.error("score mode requires --output")
@@ -63,8 +71,22 @@ def main() -> None:
         meta_path = model_dir / "meta.json"
         if args.mode == "train":
             text_col = args.text_col or "text"
+            sw_meta: dict = {}
+            sw_words = None
+            if args.stopwords:
+                from pii_spark.quality.stopwords import (
+                    load_stopword_lists,
+                    stopwords_identity,
+                )
+
+                lists = load_stopword_lists(spark, args.stopwords)
+                sw_words = sorted({w for ws in lists.values() for w in ws})
+                sw_meta = {"stopwords": stopwords_identity(args.stopwords),
+                           "stopword_words": sw_words,
+                           "stopword_langs": sorted(lists)}
             labeled = weak_labels(
-                spark.read.parquet(args.input), text_col=text_col
+                spark.read.parquet(args.input), text_col=text_col,
+                stopwords=sw_words,
             )
             census = train_quality_nb(
                 labeled, text_col=text_col, dim=args.dim,
@@ -79,7 +101,7 @@ def main() -> None:
             model_dir.mkdir(parents=True, exist_ok=True)
             meta_path.write_text(json.dumps(
                 {"dim": args.dim, "hashed": True, "labels": lab,
-                 "text_col": text_col}, indent=1,
+                 "text_col": text_col, **sw_meta}, indent=1,
             ))
             n = spark.read.parquet(census_path).count()
             print(f"trained: {n} features, labels {lab} -> {model_dir}")

@@ -72,6 +72,20 @@ def main() -> None:
     ap.add_argument("--blocklist-max-score", type=float, default=None,
                     help="flag domains whose mean clf_score is BELOW "
                          "this (needs a --classifier-model'd table)")
+    ap.add_argument("--derive-stopwords", default=None,
+                    help="derive per-language stopword lists from the "
+                         "committed table's kept docs (document-"
+                         "frequency census) and write them here as a "
+                         "(lang, word, df_count, n_docs, doc_frac) "
+                         "parquet — feed back to run_classifier.py "
+                         "--stopwords so the weak teacher works for "
+                         "non-English strata")
+    ap.add_argument("--stopword-min-frac", type=float, default=0.4,
+                    help="a stopword appears in at least this fraction "
+                         "of a language's documents")
+    ap.add_argument("--stopword-lang-col", default="lang_pred",
+                    help="stratum column (the pipeline's language "
+                         "prediction by default)")
     args = ap.parse_args()
 
     from pii_spark.icelite.catalog import IceliteTable
@@ -186,6 +200,29 @@ def main() -> None:
             )
             n = spark.read.parquet(args.derive_blocklist).count()
             print(f"blocklist: {n} domains -> {args.derive_blocklist}")
+        if args.derive_stopwords:
+            from pyspark.sql import functions as F
+
+            from pii_spark.quality.stopwords import derive_stopwords
+
+            df = t.read(spark)
+            if "keep" in df.columns:
+                # teach from the usable corpus only, like --route-
+                # buckets: dropped junk would vote words into the lists
+                df = df.filter(F.col("keep"))
+            text_col = ("scrubbed_text" if "scrubbed_text" in df.columns
+                        else "text")
+            sw = derive_stopwords(
+                df, args.stopword_min_frac,
+                text_col=text_col, lang_col=args.stopword_lang_col,
+            )
+            sw.write.mode("overwrite").parquet(args.derive_stopwords)
+            census = {
+                r.lang: r.n
+                for r in spark.read.parquet(args.derive_stopwords)
+                .groupBy("lang").agg(F.count("*").alias("n")).collect()
+            }
+            print(f"stopwords: {census} -> {args.derive_stopwords}")
     finally:
         spark.stop()
 

@@ -66,6 +66,45 @@ def doc_frequency_census(
     return census.join(F.broadcast(totals), "lang")
 
 
+def stopwords_identity(stopwords_dir: str) -> str:
+    """Content identity of a derived-stopwords parquet dir (sorted
+    (name, size) listing — metadata only; the blocklist/recrawl-keys
+    pattern). `jobs/run_classifier.py` folds it into the model's
+    meta.json, so the classifier identity — and therefore every
+    downstream resume guard — changes whenever the teaching lists do."""
+    import hashlib
+    from pathlib import Path
+
+    files = sorted(
+        f"{p.name}:{p.stat().st_size}"
+        for p in Path(stopwords_dir).rglob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no stopword parquet files under {stopwords_dir} — derive "
+            "one with jobs/run_maintenance.py --derive-stopwords"
+        )
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+
+
+def load_stopword_lists(spark, stopwords_dir: str) -> dict:
+    """{lang: sorted word list} from a derived-stopwords parquet dir
+    (the `derive_stopwords` relation, as written by the maintenance
+    CLI). Refuses an empty derivation loudly — an empty teaching list
+    would silently label every document negative."""
+    rows = spark.read.parquet(stopwords_dir).select("lang", "word").collect()
+    if not rows:
+        raise ValueError(
+            f"derived stopword relation at {stopwords_dir} is empty — "
+            "lower --stopword-min-frac or check the lang column"
+        )
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["lang"], []).append(r["word"])
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def derive_stopwords(
     df: DataFrame,
     min_doc_frac: float = 0.4,
