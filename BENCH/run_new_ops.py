@@ -1,8 +1,9 @@
-"""Measure the round-7 operator family over bench.py's 50k-doc
+"""Measure the r7/r8 operator family over bench.py's 50k-doc
 generated corpus (local[32], cached input): packing offsets, packed
-sequences, stopword census, BPE (census + 32 merges — the merge loop
-is per-iteration driver-paced, so merges/sec is the honest number).
-Appends a "new_ops_r7" record to BENCH/dedup_ops.json.
+sequences, stopword census, BPE census + 32 merges via BOTH dispatch
+paths (pure collect for driver-fitting censuses vs the forced
+distributed loop, whose per-iteration driver pacing merges/sec is the
+honest number). Appends a "new_ops_r8" record to BENCH/dedup_ops.json.
 
 Run from the repo root:  python BENCH/run_new_ops.py [reps]
 """
@@ -65,23 +66,33 @@ def main() -> None:
     census = word_census(corpus).cache()
     n_vocab = census.count()
     rec["bpe_word_census_walls_sec"] = timed(lambda: census.count())
+    # r8 dispatch split (VERDICT r7 #3): the SAME census trained via
+    # the auto-dispatched pure path (it fits the driver) vs the forced
+    # distributed loop — the numbers the dispatch bound exists for
     t0 = time.time()
-    merges = train_bpe(census, 32)
-    bpe_wall = round(time.time() - t0, 2)
+    merges_pure = train_bpe(census, 32)  # auto: collect + pure twin
+    pure_wall = round(time.time() - t0, 2)
+    t0 = time.time()
+    merges_dist = train_bpe(census, 32, driver_bound=0)
+    dist_wall = round(time.time() - t0, 2)
+    assert merges_pure == merges_dist, "dispatch must not change merges"
     census.unpersist()
-    rec["bpe_32_merges_wall_sec"] = bpe_wall
-    rec["bpe_merges_per_sec"] = round(32 / bpe_wall, 2)
+    rec["bpe_32_merges_pure_dispatch_wall_sec"] = pure_wall
+    rec["bpe_32_merges_distributed_wall_sec"] = dist_wall
+    rec["bpe_distributed_merges_per_sec"] = round(32 / dist_wall, 2)
     rec["bpe_vocab_words"] = n_vocab
-    rec["n_merges_learned"] = len(merges)
+    rec["n_merges_learned"] = len(merges_pure)
     rec["note"] = (
         "packing + stopwords are one-or-two-shuffle passes like the "
-        "dedup family; BPE's cost is per-merge driver pacing "
-        "(merges/sec above) — production vocabs train on a corpus "
-        "SAMPLE, as the module documents."
+        "dedup family; BPE's driver-fitting censuses auto-dispatch to "
+        "the byte-equal pure trainer (pure_dispatch wall above) — the "
+        "distributed per-merge pacing applies only above the bound, "
+        "and production vocabs train on a corpus SAMPLE anyway, as "
+        "the module documents."
     )
     path = ROOT / "BENCH" / "dedup_ops.json"
     data = json.loads(path.read_text()) if path.exists() else {}
-    data["new_ops_r7"] = rec
+    data["new_ops_r8"] = rec
     path.write_text(json.dumps(data, indent=1))
     print(json.dumps(rec))
     spark.stop()

@@ -957,7 +957,14 @@ def q_ann_ivf_topk(spark, sf_dir):
     assigned to those cells — the classic two-level ANN scale path
     (coarse quantizer + within-list exact scan) complementing the
     hyperplane-LSH path. At 10^9 vectors the centroid table stays tiny
-    (broadcast) and the scan touches nprobe/k of the data."""
+    (broadcast) and the scan touches nprobe/k of the data.
+
+    Cell-size skew (r8 equal-width audit): IVF cells are CLUSTER
+    assignments, not value-space bins — a skewed cell means the data
+    genuinely clusters there, the inherent IVF tradeoff (FAISS's too);
+    the per-cell work is a hash aggregate (partial-agg), never a
+    per-cell sort, so a hot cell costs proportionally more scan, not
+    a single-task collapse."""
     ex = (
         _emb(spark, sf_dir)
         .select("vec_id", "label", F.posexplode("embedding").alias("i0", "v"))

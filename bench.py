@@ -52,6 +52,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     stolen: dict[str, float] = {}
+    attempts: dict[str, list] = {}
+
+    # VERDICT r7 #7: a leg measured under heavy co-tenant steal is a
+    # load artifact, not a code fact — rerun such legs (up to
+    # MAX_TRIES) and keep the LOWEST-steal attempt. Selection is never
+    # silent: every attempt is emitted under "attempts". Retries
+    # re-execute the full plan (nothing is cached across actions; the
+    # 8k-doc warmup already warmed workers/page cache before attempt
+    # one, so attempts are like-for-like).
+    RETRY_STEAL = float(os.environ.get("SPARK_GRAFT_MAX_STEAL", "0.5"))
+    MAX_TRIES = int(os.environ.get("SPARK_GRAFT_BENCH_TRIES", "3"))
 
     def _steal_ticks() -> int:
         # cumulative CPU steal (/proc/stat field 8): the host is a
@@ -67,11 +78,21 @@ def main() -> None:
             return 0
 
     def timed(name, fn):
-        s0, t0 = _steal_ticks(), time.time()
-        fn()
-        wall = time.time() - t0
-        timings[name] = round(wall, 3)
-        stolen[name] = round((_steal_ticks() - s0) / 100.0 / wall, 3)
+        best = None
+        for _ in range(MAX_TRIES):
+            s0, t0 = _steal_ticks(), time.time()
+            fn()
+            wall = time.time() - t0
+            st = round((_steal_ticks() - s0) / 100.0 / wall, 3)
+            attempts.setdefault(name, []).append(
+                {"sec": round(wall, 3), "stolen_cores": st}
+            )
+            if best is None or (st, wall) < best:
+                best = (st, wall)
+            if st < RETRY_STEAL:
+                break
+        stolen[name] = best[0]
+        timings[name] = round(best[1], 3)
 
     # generate once, cache, force materialization (generation is part of
     # the corpus, not of the measured pipeline throughput)
@@ -127,9 +148,13 @@ def main() -> None:
         "cpus": CPUS,
         "docs_per_sec": docs_per_sec,
         # co-tenancy disclosure: avg cores stolen per leg + the 1-min
-        # loadavg at suite start — a loaded run is self-identifying
+        # loadavg at suite start — a loaded run is self-identifying.
+        # Legs with steal >= the retry bar reran (r8); EVERY attempt is
+        # listed so the lowest-steal selection is explicit, never silent
         "stolen_cores": stolen,
         "loadavg_start": loadavg0,
+        "attempts": attempts,
+        "retry_steal_bar": RETRY_STEAL,
     }))
     spark.stop()
 

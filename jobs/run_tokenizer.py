@@ -29,7 +29,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="parquet corpus dir")
+    ap.add_argument("--input", required=True,
+                    help="corpus dir (parquet, or a committed icelite "
+                         "table with --input-format icelite)")
+    ap.add_argument("--input-format", choices=["parquet", "icelite"],
+                    default="parquet")
     ap.add_argument("--model", required=True, help="tokenizer model dir")
     ap.add_argument("--merges", type=int, required=True,
                     help="number of BPE merge rules to learn")
@@ -48,7 +52,15 @@ def main() -> None:
 
     spark = get_spark(app="pii_tokenizer_train")
     try:
-        corpus = spark.read.parquet(args.input)
+        if args.input_format == "icelite":
+            from pii_spark.icelite.catalog import IceliteTable
+            from pyspark.sql import functions as F
+
+            corpus = IceliteTable(args.input).read(spark)
+            if "keep" in corpus.columns:
+                corpus = corpus.filter(F.col("keep"))
+        else:
+            corpus = spark.read.parquet(args.input)
         sample_spec = "full"
         if args.sample_n is not None:
             from pii_spark.spark.sampling import uniform_sample_n

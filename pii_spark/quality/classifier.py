@@ -317,14 +317,34 @@ def attach_quality_scores(
 
     Scores are byte-stable across input partitionings: a doc's
     exploded tokens stay inside the task that holds its row, so each
-    doc's sum is ONE partial aggregate accumulated in row order."""
-    scores = score_quality_nb(
-        df, census, id_col=id_col, text_col=text_col,
-        dim=int(meta["dim"]), hashed=bool(meta["hashed"]),
-    ).select(
-        id_col,
-        F.col("score").alias("clf_score"),
-        F.col("predict_pos").alias("clf_predict_pos"),
+    doc's sum is ONE partial aggregate accumulated in row order.
+
+    Duplicate ids (crawl revisits — review r7): the scorer's
+    zero-token arm emits one row PER input row, so a url with several
+    empty-text rows would MULTIPLY committed rows through the
+    join-back. The scores relation is therefore reduced to one row per
+    id first — max over the (n_tokens, score, predict) struct, a
+    deterministic pick in which the pooled tokenful row beats empty
+    rows (the tokenful rows themselves are already pooled per id by
+    the scorer's groupBy, the same aggregate-per-id-keeps-cardinality
+    standard as the gopher census join). One extra group-sized
+    aggregate; the join-back cardinality is now df's exactly."""
+    scores = (
+        score_quality_nb(
+            df, census, id_col=id_col, text_col=text_col,
+            dim=int(meta["dim"]), hashed=bool(meta["hashed"]),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct("n_tokens", "score", "predict_pos")
+            ).alias("_s")
+        )
+        .select(
+            id_col,
+            F.col("_s.score").alias("clf_score"),
+            F.col("_s.predict_pos").alias("clf_predict_pos"),
+        )
     )
     return df.join(scores, id_col, "left")
 

@@ -152,28 +152,50 @@ def _band_minhashes(sh: DataFrame, id_col: str, bands: int,
     ).select(id_col, F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
 
 
-def recrawl_keys_identity(keys_dir: str) -> str:
+def recrawl_keys_identity(keys_dir: str, include_sig: bool = False) -> str:
     """Cheap content identity of a `jobs/run_base_keys.py` output dir:
     md5 over the sorted (name, size) listing of fp.parquet's data
     files — file metadata only, no scan. Recorded by the quality jobs
     per commit so a resume under DIFFERENT base keys (a new corpus
     version) refuses loudly instead of silently mixing recrawl
-    semantics across groups/batches."""
+    semantics across groups/batches.
+
+    ``include_sig`` (review r7b): with the near tier enabled,
+    sig.parquet and the recorded geometry are load-bearing too — a
+    sig-only change (possible via ``run_base_keys --append`` on an
+    arbitrary delta) must be visible to the drift guard — so their
+    listing/bytes fold into the hash. Callers pass it iff
+    ``recrawl_near`` is on; exact-tier-only identities stay
+    byte-compatible with every ledger written before r8."""
     import hashlib
     from pathlib import Path
 
-    fp_dir = Path(keys_dir) / "fp.parquet"
-    files = sorted(
-        f"{p.name}:{p.stat().st_size}"
-        for p in fp_dir.rglob("*.parquet")
-        if not p.name.startswith((".", "_"))
-    )
+    def _listing(sub: str) -> list[str]:
+        return sorted(
+            f"{p.name}:{p.stat().st_size}"
+            for p in (Path(keys_dir) / sub).rglob("*.parquet")
+            if not p.name.startswith((".", "_"))
+        )
+
+    files = _listing("fp.parquet")
     if not files:
         raise FileNotFoundError(
             f"no fp.parquet data files under {keys_dir} — run "
             "jobs/run_base_keys.py first"
         )
-    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+    payload = "\n".join(files)
+    if include_sig:
+        sig_files = _listing("sig.parquet")
+        if not sig_files:
+            raise FileNotFoundError(
+                f"no sig.parquet data files under {keys_dir} — the "
+                "near tier needs the signature relation; run "
+                "jobs/run_base_keys.py first"
+            )
+        meta_path = Path(keys_dir) / "keys_meta.json"
+        meta = meta_path.read_text() if meta_path.exists() else ""
+        payload += "\nsig:" + "\n".join(sig_files) + "\nmeta:" + meta
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
 def drop_recrawls(df: DataFrame, fp_df: DataFrame,

@@ -118,10 +118,30 @@ def url_domain(col):
     'https://SPAM.example/x', 'https://spam.example:443/x' and
     'https://a@spam.example/x' all bypassed a 'spam.example'
     blocklist entry. Pattern: skip an optional userinfo@ (no '/' in
-    it), capture up to the first of [:/?#], lowercase."""
-    return F.lower(
-        F.regexp_extract(col, r"//(?:[^/@]*@)?([^/:?#]+)", 1)
-    )
+    it), capture up to the first of [:/?#], lowercase. Scheme-less
+    urls ('spam.example/x' — review r7b: they extracted '' and
+    bypassed every blocklist) fall back to the leading host-like
+    token."""
+    strict = F.regexp_extract(col, r"//(?:[^/@]*@)?([^/:?#]+)", 1)
+    loose = F.regexp_extract(col, r"^(?:[^/@:?#]*@)?([^/:?#]+)", 1)
+    return F.lower(F.coalesce(F.nullif(strict, F.lit("")), loose))
+
+
+def registered_domain(dom):
+    """Last-two-labels rollup of a host — the eTLD+1 approximation
+    available offline (no public-suffix list in this sandbox; under a
+    2-label public suffix like co.uk this under-rolls, and blocklist
+    entries that are THEMSELVES 3+-label subdomains only match
+    exactly — both documented limits of the approximation, never
+    over-drops)."""
+    parts = F.split(dom, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(
+            ".", F.element_at(parts, -2), F.element_at(parts, -1)
+        ),
+    ).otherwise(dom)
 
 
 def domain_blocklist_identity(blocklist_dir: str) -> str:
@@ -149,13 +169,28 @@ def drop_blocklisted_domains(df, blocklist_df) -> "DataFrame":
     url domain is blocklisted are dropped BEFORE the pipeline — the
     C4/RefinedWeb ingest-side URL-filter tier. The blocklist is
     broadcast (domain lists are ~10^5 rows even for aggressive
-    curation); row-local w.r.t. ``df``, so it composes with any
-    reader or micro-batch like the recrawl drop."""
+    curation); row-local w.r.t. ``df`` (two broadcast anti-joins, zero
+    shuffle), so it composes with any reader or micro-batch like the
+    recrawl drop.
+
+    Matching (review r7b — exact-host-only let 'evil.spam.example'
+    bypass a 'spam.example' entry, silently under-matching externally
+    curated registered-domain lists): a row drops when its EXACT host
+    is listed OR its registered-domain rollup (`registered_domain`,
+    last two labels) is listed. Entries that are themselves 3+-label
+    subdomains still match exactly only — the documented limit of the
+    offline eTLD+1 approximation."""
     bl = blocklist_df.select("domain").distinct()
     keyed = df.withColumn("__dom", url_domain(F.col("url")))
-    return keyed.join(
+    exact = keyed.join(
         F.broadcast(bl), keyed["__dom"] == bl["domain"], "left_anti"
-    ).drop("__dom")
+    )
+    rolled = exact.withColumn(
+        "__reg", registered_domain(F.col("__dom"))
+    )
+    return rolled.join(
+        F.broadcast(bl), rolled["__reg"] == bl["domain"], "left_anti"
+    ).drop("__dom", "__reg")
 
 
 def refuse_summary_drift(
@@ -315,7 +350,10 @@ def run_quality_job(
     if recrawl_keys is not None:
         from .incr_dedup import recrawl_keys_identity
 
-        recrawl_id = recrawl_keys_identity(recrawl_keys)
+        # with the near tier on, sig.parquet + geometry are load-
+        # bearing and fold into the identity (review r7b)
+        recrawl_id = recrawl_keys_identity(recrawl_keys,
+                                           include_sig=recrawl_near)
         recrawl_fp_df = spark.read.parquet(
             str(Path(recrawl_keys) / "fp.parquet")
         )

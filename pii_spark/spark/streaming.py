@@ -104,7 +104,10 @@ def run_streaming_job(
 
         from .incr_dedup import recrawl_keys_identity
 
-        recrawl_id = recrawl_keys_identity(recrawl_keys)
+        # sig.parquet + geometry fold in when the near tier is on
+        # (review r7b)
+        recrawl_id = recrawl_keys_identity(recrawl_keys,
+                                           include_sig=recrawl_near)
         # static side read once per run; foreachBatch re-joins it per
         # micro-batch as an ordinary batch join
         recrawl_fp_df = spark.read.parquet(

@@ -117,6 +117,25 @@ def test_quality_job_with_classifier_model(spark, tmp_path):
          attach_quality_scores(d.repartition(7), census, meta).collect()}
     assert a == b  # exact equality, not approx
 
+    # duplicate urls (crawl revisits — review r7b): the join-back must
+    # preserve df's cardinality exactly (the zero-token arm used to
+    # emit one score row per input row → row multiplication), and the
+    # per-id pick is deterministic across layouts
+    dup = spark.createDataFrame(
+        [Row(url="https://dup/1", scrubbed_text=""),
+         Row(url="https://dup/1", scrubbed_text=""),
+         Row(url="https://dup/1", scrubbed_text=_CLEAN),
+         Row(url="https://solo/2", scrubbed_text=_CLEAN)]
+    )
+    got = attach_quality_scores(dup, census, meta).collect()
+    assert len(got) == 4, "join-back preserves input cardinality"
+    dup_scores = {r.clf_score for r in got if r.url == "https://dup/1"}
+    assert len(dup_scores) == 1, "one deterministic score per id"
+    got2 = attach_quality_scores(dup.repartition(5), census, meta) \
+        .collect()
+    assert sorted((r.url, r.clf_score) for r in got) == \
+        sorted((r.url, r.clf_score) for r in got2)
+
     # resume under NO model refuses; so does a DIFFERENT model
     with pytest.raises(RuntimeError, match="classifier model"):
         run_quality_job(spark, str(dump), out_dir, audit_dir,

@@ -137,6 +137,46 @@ def test_url_domain_normalization_closes_bypass(spark, tmp_path):
     assert "junk.example" in doms and "JUNK.example" not in doms
 
 
+def test_blocklist_suffix_and_schemeless_matching(spark):
+    """Review r7b: externally curated registered-domain lists must
+    catch subdomains ('evil.spam.example' under a 'spam.example'
+    entry) and scheme-less urls must not bypass the filter entirely.
+    The offline eTLD+1 approximation's limits are pinned too: a
+    3-label blocklist entry matches exactly only, and lookalike hosts
+    never over-drop."""
+    from pii_spark.spark.jobs import drop_blocklisted_domains, url_domain
+
+    bl = spark.createDataFrame(
+        [("spam.example",), ("sub.deep.example",)], "domain string"
+    )
+    d = spark.createDataFrame(
+        [(u, "t") for u in (
+            "https://spam.example/x",            # exact: drop
+            "https://evil.spam.example/x",       # subdomain: drop
+            "https://a.b.spam.example/x",        # deep subdomain: drop
+            "spam.example/landing",              # scheme-less: drop
+            "https://notspam.example/x",         # lookalike: keep
+            "https://sub.deep.example/x",        # 3-label exact: drop
+            "https://x.sub.deep.example/x",      # under 3-label entry:
+                                                 # kept (documented
+                                                 # eTLD+1 limit)
+            "https://fine.example/x",            # keep
+        )],
+        "url string, text string",
+    )
+    kept = {r.url for r in drop_blocklisted_domains(d, bl).collect()}
+    assert kept == {"https://notspam.example/x",
+                    "https://x.sub.deep.example/x",
+                    "https://fine.example/x"}
+    # scheme-less extraction itself (was '' pre-r8)
+    doms = {r.u: r.d for r in spark.createDataFrame(
+        [("spam.example/landing",), ("https://spam.example/x",)],
+        "u string",
+    ).select("u", url_domain(F.col("u")).alias("d")).collect()}
+    assert doms["spam.example/landing"] == "spam.example"
+    assert doms["https://spam.example/x"] == "spam.example"
+
+
 def test_derive_blocklist_score_criterion(spark, tmp_path):
     """--blocklist-max-score: the classifier-score criterion (needs a
     clf_score column; refuses without one), with reason='low_score',

@@ -170,3 +170,91 @@ def test_monthly_crawl_workflow(spark, tmp_path):
     routed = spark.read.parquet(route)
     assert routed.count() == 3
     assert set(routed.columns) >= {"url", "clf_score", "ccnet_bucket"}
+
+    # --- month 2 (r8): export training shards — tokenizer trained on
+    # the committed month-0 table, pack/export of month-1 consuming
+    # its OWN routing table (tail dropped at export time) ---
+    tok = tmp_path / "tokenizer"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_tokenizer.py"),
+         "--input", str(tmp_path / "corpus_v0"),
+         "--input-format", "icelite", "--model", str(tok),
+         "--merges", "24", "--text-col", "scrubbed_text"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    shards = tmp_path / "shards"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_pack.py"),
+         "--input", str(tmp_path / "corpus_v1"),
+         "--tokenizer-model", str(tok), "--output", str(shards),
+         "--seq-len", "64", "--n-buckets", "4",
+         "--route-table", route,
+         "--route-weights", "head=1.0,middle=1.0,tail=0.0"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pm = json.loads((shards / "pack_meta.json").read_text())
+    assert pm["route_table"] != "none" and pm["n_sequences"] > 0
+
+    # 3 routed docs / 3 buckets → exactly one tail doc dropped: the
+    # exported token stream holds the 2 surviving docs' tokens only
+    from pii_spark.quality.bpe import bpe_encode_pure, load_bpe_model
+
+    tail_url = routed.filter("ccnet_bucket = 'tail'").collect()[0].url
+    # each novel doc i carries a unique harbor{i} word; the url ends /i
+    tail_word = f"harbor{tail_url.rsplit('/', 1)[-1]}"
+    merges, _ = load_bpe_model(spark, str(tok))
+    flat = "".join(
+        t for s in spark.read.parquet(str(shards / "shards.parquet"))
+        .collect() for t in s.tokens
+    )
+    assert "".join(bpe_encode_pure(tail_word, merges)) not in flat
+    kept_words = {f"harbor{i}" for i in range(3)} - {tail_word}
+    for w in kept_words:
+        assert "".join(bpe_encode_pure(w, merges)) in flat
+
+    # a re-export under a different routing table refuses (identity)
+    route2 = str(tmp_path / "routing2")
+    spark.read.parquet(route).limit(2).write.parquet(route2)
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_pack.py"),
+         "--input", str(tmp_path / "corpus_v1"),
+         "--tokenizer-model", str(tok), "--output", str(shards),
+         "--seq-len", "64", "--route-table", route2],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode != 0
+    assert "different inputs" in (r.stderr + r.stdout)
+
+    # --- stopword feedback loop (r8, CLI surfaces): derive lists from
+    # the committed corpus, retrain the classifier with them — the
+    # model identity changes, so every downstream resume guard sees it
+    from pii_spark.quality.classifier import classifier_model_identity
+
+    sw = str(tmp_path / "stopwords")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "corpus_v0"),
+         "--derive-stopwords", sw, "--stopword-min-frac", "0.6"],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    derived = {x.word for x in spark.read.parquet(sw).collect()}
+    assert {"the", "and", "was"} <= derived
+    train_dir = str(tmp_path / "clf_train")
+    t0.read(spark).select("url", "scrubbed_text").write.parquet(train_dir)
+    m_plain, m_sw = tmp_path / "m_plain", tmp_path / "m_sw"
+    for margs in ([], ["--stopwords", sw]):
+        r = subprocess.run(
+            [sys.executable, str(ROOT / "jobs" / "run_classifier.py"),
+             "train", "--input", train_dir,
+             "--model", str(m_sw if margs else m_plain),
+             "--text-col", "scrubbed_text", *margs],
+            capture_output=True, text=True, cwd=ROOT, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    meta_sw = json.loads((m_sw / "meta.json").read_text())
+    assert meta_sw["stopword_words"] and "the" in meta_sw["stopword_words"]
+    assert classifier_model_identity(str(m_sw)) != \
+        classifier_model_identity(str(m_plain))

@@ -174,6 +174,44 @@ def test_keys_identity_tracks_content(spark, base_and_snapshot, tmp_path):
         recrawl_keys_identity(str(tmp_path))
 
 
+def test_near_identity_folds_sig_relation(spark, tmp_path):
+    """Review r7b: with --recrawl-near, sig.parquet (and the recorded
+    geometry) are load-bearing — a sig-only change (e.g. an --append
+    on an arbitrary delta) must flip the near-tier identity even
+    though fp.parquet is untouched; the exact-tier identity stays
+    byte-compatible with pre-r8 ledgers."""
+    import shutil
+
+    corpus = generate_corpus(spark, 20)
+    keys_dir = tmp_path / "keys"
+    _write_keys(spark, corpus, keys_dir)
+    exact0 = recrawl_keys_identity(str(keys_dir))
+    near0 = recrawl_keys_identity(str(keys_dir), include_sig=True)
+    assert near0 != exact0
+    assert near0 == recrawl_keys_identity(str(keys_dir),
+                                          include_sig=True)
+
+    # sig-only change: append a data file under sig.parquet
+    sig = keys_dir / "sig.parquet"
+    src = next(p for p in sig.glob("*.parquet"))
+    shutil.copy(src, sig / f"part-99999-{src.name.split('-', 2)[-1]}")
+    assert recrawl_keys_identity(str(keys_dir)) == exact0
+    assert recrawl_keys_identity(str(keys_dir),
+                                 include_sig=True) != near0
+
+    # geometry-only change flips it too (meta bytes participate)
+    import json
+
+    meta = keys_dir / "keys_meta.json"
+    km = json.loads(meta.read_text())
+    near1 = recrawl_keys_identity(str(keys_dir), include_sig=True)
+    km["bands"] = 2
+    meta.write_text(json.dumps(km))
+    assert recrawl_keys_identity(str(keys_dir),
+                                 include_sig=True) != near1
+    assert recrawl_keys_identity(str(keys_dir)) == exact0
+
+
 def test_append_key_delta_matches_full_recompute(
     spark, base_and_snapshot, tmp_path
 ):
