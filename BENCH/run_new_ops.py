@@ -69,26 +69,36 @@ def main() -> None:
     # r8 dispatch split (VERDICT r7 #3): the SAME census trained via
     # the auto-dispatched pure path (it fits the driver) vs the forced
     # distributed loop — the numbers the dispatch bound exists for
+    from pii_spark.quality.bpe import train_bpe_fast
+
     t0 = time.time()
-    merges_pure = train_bpe(census, 32)  # auto: collect + pure twin
-    pure_wall = round(time.time() - t0, 2)
+    merges_fast = train_bpe(census, 32)  # auto: collect + fast trainer
+    fast_wall = round(time.time() - t0, 2)
     t0 = time.time()
     merges_dist = train_bpe(census, 32, driver_bound=0)
     dist_wall = round(time.time() - t0, 2)
-    assert merges_pure == merges_dist, "dispatch must not change merges"
+    assert merges_fast == merges_dist, "dispatch must not change merges"
+    wc = {r["word"]: int(r["n"]) for r in census.collect()}
+    t0 = time.time()
+    train_bpe_fast(wc, 512)
+    fast512_wall = round(time.time() - t0, 2)
     census.unpersist()
-    rec["bpe_32_merges_pure_dispatch_wall_sec"] = pure_wall
+    rec["bpe_32_merges_fast_dispatch_wall_sec"] = fast_wall
     rec["bpe_32_merges_distributed_wall_sec"] = dist_wall
+    rec["bpe_512_merges_fast_wall_sec"] = fast512_wall
     rec["bpe_distributed_merges_per_sec"] = round(32 / dist_wall, 2)
     rec["bpe_vocab_words"] = n_vocab
-    rec["n_merges_learned"] = len(merges_pure)
+    rec["n_merges_learned"] = len(merges_fast)
     rec["note"] = (
         "packing + stopwords are one-or-two-shuffle passes like the "
         "dedup family; BPE's driver-fitting censuses auto-dispatch to "
-        "the byte-equal pure trainer (pure_dispatch wall above) — the "
-        "distributed per-merge pacing applies only above the bound, "
-        "and production vocabs train on a corpus SAMPLE anyway, as "
-        "the module documents."
+        "the INCREMENTAL pure trainer (fast_dispatch wall above; the "
+        "naive rescan twin measured 42s here and is test-only) — "
+        "per-merge cost decays as merges specialize (512 merges ≈ "
+        "3x the 32-merge wall, not 16x), while the distributed loop "
+        "pays ~1.1s/merge flat and applies only above the bound. "
+        "Production vocabs train on a corpus SAMPLE anyway, as the "
+        "module documents."
     )
     path = ROOT / "BENCH" / "dedup_ops.json"
     data = json.loads(path.read_text()) if path.exists() else {}

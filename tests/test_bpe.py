@@ -9,9 +9,46 @@ from pii_spark.quality.bpe import (
     bpe_encode_pure,
     bpe_tokenize,
     train_bpe,
+    train_bpe_fast,
     train_bpe_pure,
     word_census,
 )
+
+
+def test_fast_trainer_byte_equal_to_naive_twin(spark):
+    """The incremental trainer (what the driver dispatch actually
+    calls) must produce IDENTICAL merge lists to the obviously-correct
+    rescan twin — fixed overlapping-pair cases plus a hypothesis fuzz
+    over adversarial censuses (repeats like 'aaaa', shared
+    prefixes/suffixes, count ties)."""
+    cases = [
+        {"low": 3, "lower": 1, "lowest": 1, "newer": 2, "wider": 1},
+        {"aaaa": 5, "aaa": 4, "aa": 3, "a": 2},          # overlapping
+        {"abab": 2, "baba": 2, "aabb": 2},                # tie-heavy
+        {"x": 1},
+        {},
+    ]
+    for wc in cases:
+        for n in (1, 5, 40):
+            assert train_bpe_fast(wc, n) == train_bpe_pure(wc, n), (wc, n)
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        wc=st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=8),
+            st.integers(1, 9), min_size=1, max_size=25,
+        ),
+        n=st.integers(1, 30),
+        mc=st.integers(1, 3),
+    )
+    @settings(max_examples=120, deadline=None)
+    def fuzz(wc, n, mc):
+        assert train_bpe_fast(wc, n, min_count=mc) == \
+            train_bpe_pure(wc, n, min_count=mc)
+
+    fuzz()
 
 
 def test_trainer_matches_pure_twin_byte_equal(spark):
