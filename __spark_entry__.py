@@ -948,6 +948,11 @@ def q_ann_lsh_bucket(spark, sf_dir):
 # nprobe=2 (tests/test_neardup_scale.py::test_ivf_recall_on_clustered).
 _IVF_NPROBE = 4
 
+# SemDeDup cosine threshold (q_kmeans_clusters): organic pairs on the
+# driver embeddings top out at ~0.48 and planted exact copies sit at
+# ~1.0, so 0.9 is decision-stable under any cross-engine float drift
+_SD_TAU = 0.9
+
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: the embeddings table's label column defines the
@@ -2041,12 +2046,69 @@ def q_eval_confusion(spark, sf_dir):
 
 
 def q_kmeans_clusters(spark, sf_dir):
-    """Distributed Lloyd's k-means over the embeddings table (iterative
-    algorithm — genuinely non-SQL-expressible, rows-only check):
-    deterministic init, 5 iterations, per-cluster size + inertia."""
-    from pii_spark.spark.kmeans import kmeans_summary
+    """Distributed Lloyd's k-means + SemDeDup (Abbas et al. 2023) over
+    the embeddings table. r8: left the no_oracle set via the
+    materialization pattern — the ITERATIVE part (the Lloyd fit, the
+    one step SQL cannot express) writes its converged centroids to
+    ``artifacts/oracle/kmeans_centroids.parquet``, and DuckDB replays
+    everything downstream of the fit from scratch: nearest-centroid
+    assignment (argmin via window rank — the ann_ivf_topk float-
+    portability rule), per-cluster census + inertia, and the full
+    SemDeDup within-cluster cosine keep/drop rule.
 
-    return kmeans_summary(_emb(spark, sf_dir), k=8, iters=5)
+    The corpus is the first 500 vectors plus exact-copy near-dups
+    planted at every 25th id (id+100000) — the planted copies give the
+    semdedup tier deterministic drops (cos ≈ 1, far from tau on both
+    engines; organic max pairwise cos on this table is ~0.48, see the
+    IVF recall note), while the base vectors prove the no-drop arm.
+
+    Rows: part='cluster' (key=cluster, n=n_vecs, metric=inertia@3dp)
+    + part='semdedup' (key=cluster, n=n_dropped, metric=n_kept)."""
+    from pii_spark.spark.kmeans import _explode
+    from pii_spark.spark.semdedup import semdedup
+
+    base = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    dups = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = base.unionByName(dups)
+    dec, cents = semdedup(aug, k=8, iters=5, tau=_SD_TAU)
+    path = f"{_ORACLE_ART}/kmeans_centroids.parquet"
+    cents.select("cluster", "i", "cv").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    rcents = spark.read.parquet(path)
+    sq = (
+        _explode(aug)
+        .join(dec.select("vec_id", "cluster"), "vec_id")
+        .join(F.broadcast(rcents), ["cluster", "i"])
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("sqdist"))
+    )
+    cl = sq.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("sqdist"), 3).alias("metric"),
+    ).select(
+        F.lit("cluster").alias("part"),
+        F.col("cluster").cast("string").alias("key"), "n", "metric",
+    )
+    sd = dec.groupBy("cluster").agg(
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("n"),
+        F.sum(F.col("keep").cast("long")).cast("double").alias("metric"),
+    ).select(
+        F.lit("semdedup").alias("part"),
+        F.col("cluster").cast("string").alias("key"), "n", "metric",
+    )
+    out = cl.unionByName(sd)
+    rows = out.collect()
+    schema = out.schema
+    dec.unpersist()
+    cents.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def q_media_features(spark, sf_dir):
@@ -3118,6 +3180,69 @@ def oracle_sql() -> dict[str, str]:
                         END AS drop_reason,
                    s.lang_pred, s.ppl, s.n_spans
             FROM sig s JOIN d USING (url)
+        """,
+        # kmeans_clusters (r8): the Lloyd fit (the only genuinely
+        # iterative step) materializes its converged centroids; DuckDB
+        # replays the ENTIRE downstream from scratch — nearest-centroid
+        # assignment (window-rank argmin, never float-equality),
+        # cluster census + inertia, and the SemDeDup within-cluster
+        # cosine keep/drop rule over the planted exact-copy dups
+        "kmeans_clusters": f"""
+            WITH cents AS (SELECT cluster, i, cv FROM read_parquet(
+                   '{_ORACLE_ART}/kmeans_centroids.parquet/*.parquet')),
+            base AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id < 500),
+            aug AS (SELECT vec_id, embedding FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000, embedding FROM base
+                    WHERE vec_id % 25 = 0),
+            ex AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS i,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM aug),
+            score AS (SELECT e.vec_id, c.cluster,
+                             sum(c.cv * c.cv) - 2 * sum(e.v * c.cv)
+                                 AS part
+                      FROM ex e JOIN cents c ON e.i = c.i
+                      GROUP BY 1, 2),
+            assign AS (SELECT vec_id, cluster FROM (
+                         SELECT vec_id, cluster,
+                                row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY part, cluster) AS rn
+                         FROM score) WHERE rn = 1),
+            sq AS (SELECT e.vec_id, a.cluster,
+                          sum((e.v - c.cv) * (e.v - c.cv)) AS sqdist
+                   FROM ex e JOIN assign a USING (vec_id)
+                   JOIN cents c ON c.cluster = a.cluster AND c.i = e.i
+                   GROUP BY 1, 2),
+            exc AS (SELECT e.vec_id, e.i, e.v, a.cluster
+                    FROM ex e JOIN assign a USING (vec_id)),
+            pair AS (SELECT l.vec_id AS u, r.vec_id AS w,
+                            sum(l.v * r.v) AS dot,
+                            sqrt(sum(l.v * l.v)) AS nu,
+                            sqrt(sum(r.v * r.v)) AS nw
+                     FROM exc l JOIN exc r
+                       ON l.cluster = r.cluster AND l.i = r.i
+                      AND l.vec_id < r.vec_id
+                     GROUP BY 1, 2),
+            dup AS (SELECT w FROM pair
+                    WHERE dot / (nu * nw) >= {_SD_TAU}
+                    GROUP BY w),
+            dd AS (SELECT a.cluster,
+                          sum(CASE WHEN d.w IS NOT NULL
+                              THEN 1 ELSE 0 END) AS n_drop,
+                          sum(CASE WHEN d.w IS NULL
+                              THEN 1 ELSE 0 END) AS n_keep
+                   FROM assign a LEFT JOIN dup d ON a.vec_id = d.w
+                   GROUP BY 1)
+            SELECT 'cluster' AS part, CAST(cluster AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(sqdist), 3) AS metric
+            FROM sq GROUP BY cluster
+            UNION ALL
+            SELECT 'semdedup', CAST(cluster AS VARCHAR),
+                   CAST(n_drop AS BIGINT), CAST(n_keep AS DOUBLE)
+            FROM dd
         """,
         # pii_f1 / eval_confusion (r8, VERDICT r7 #6): the queries
         # materialize their decoded (doc_id, label, t0, t1, src)

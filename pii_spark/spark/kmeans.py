@@ -99,6 +99,28 @@ def kmeans_fit(
         cents = cents.cache()
         cents.count()
         prev_cents.unpersist()  # no-op on the uncached seed frame
+    # final assignment pass against the CONVERGED centroids (r8): the
+    # in-loop assign corresponds to the previous iteration's centroids,
+    # so returning it would pair a stale assignment with the final
+    # centroid relation — the returned triple must be self-consistent
+    # (it is what the kmeans_clusters oracle replays from the
+    # materialized centroids).
+    fscore = (
+        ex.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            (F.sum(F.col("cv") * F.col("cv"))
+             - 2.0 * F.sum(F.col("v") * F.col("cv"))).alias("part")
+        )
+    )
+    fw = Window.partitionBy("vec_id").orderBy(
+        F.col("part"), F.col("cluster")
+    )
+    assign = (
+        fscore.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
     sqdist = (
         ex.join(assign, "vec_id")
         .join(F.broadcast(cents), ["cluster", "i"])

@@ -159,7 +159,10 @@ def _numpy_lloyds(ids: np.ndarray, V: np.ndarray, k: int, iters: int):
     """Brute-force Lloyd's with the SAME deterministic rules as
     kmeans_fit: farthest-point init from the lowest vec_id (ties →
     lowest vec_id), squared-L2 assignment (ties → lowest cluster),
-    mean update, empty clusters dropped from the centroid set."""
+    mean update, empty clusters dropped from the centroid set, and
+    (r8) a final reassignment against the converged centroids so the
+    returned (assignment, centroids, sqdist) triple is
+    self-consistent — what the kmeans_clusters oracle replays."""
     order = np.argsort(ids, kind="stable")
     ids, V = ids[order], V[order].astype(np.float64)
     seeds = [0]  # lowest vec_id
@@ -182,7 +185,10 @@ def _numpy_lloyds(ids: np.ndarray, V: np.ndarray, k: int, iters: int):
         }
     live = sorted(cents)
     C = np.stack([cents[c] for c in live])
-    sq = ((V - C[[live.index(c) for c in assign]]) ** 2).sum(axis=1)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    j = d2.argmin(axis=1)
+    assign = np.array([live[x] for x in j])
+    sq = d2[np.arange(len(V)), j]
     return dict(zip(ids.tolist(), assign.tolist())), float(sq.sum())
 
 

@@ -1,0 +1,96 @@
+"""SemDeDup (pii_spark/spark/semdedup.py): planted-geometry keep/drop
+semantics, the one-pass greedy rule, and partitioning independence.
+
+The q_kmeans_clusters oracle replays the same arithmetic in DuckDB at
+sf0.01; these tests pin the module on a corpus whose geometry is
+hand-built so every decision is provable by trigonometry.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.spark.semdedup import semdedup, semdedup_decisions
+
+TAU = 0.95
+# two orthogonal cluster directions; within cluster A three vectors at
+# 0/15/30 degrees: cos(15°)=.966 >= tau, cos(30°)=.866 < tau — so the
+# 15° neighbour chain drops b (dup of a) and c (dup of b) while a-c
+# alone would NOT drop; cluster B holds a 40°-apart pair (no drop).
+def _vecs():
+    def deg(d):
+        return (math.cos(math.radians(d)), math.sin(math.radians(d)))
+
+    a, b, c = deg(0), deg(15), deg(30)
+    d, e = deg(0), deg(40)
+    return [
+        (0, [a[0], a[1], 0.0, 0.0]),
+        (1, [b[0], b[1], 0.0, 0.0]),
+        (2, [c[0], c[1], 0.0, 0.0]),
+        (10, [0.0, 0.0, d[0], d[1]]),
+        (11, [0.0, 0.0, e[0], e[1]]),
+    ]
+
+
+def _df(spark, partitions=3):
+    return spark.createDataFrame(
+        _vecs(), "vec_id long, embedding array<float>"
+    ).repartition(partitions)
+
+
+def test_semdedup_planted_geometry(spark):
+    dec, cents = semdedup(_df(spark), k=2, iters=3, tau=TAU)
+    rows = {r.vec_id: r for r in dec.collect()}
+    dec.unpersist()
+    cents.unpersist()
+
+    assert len(rows) == 5
+    # cluster A chain: b dups a; c dups b (one-pass greedy — c is
+    # dropped by the already-dropped b, cos(a,c) < tau)
+    assert rows[0].keep and rows[0].dup_of is None
+    assert not rows[1].keep and rows[1].dup_of == 0
+    assert not rows[2].keep and rows[2].dup_of == 1
+    # cluster B pair is 40° apart — below tau, both kept
+    assert rows[10].keep and rows[11].keep
+    # the two tiers landed in different clusters
+    assert rows[0].cluster == rows[1].cluster == rows[2].cluster
+    assert rows[10].cluster == rows[11].cluster
+    assert rows[0].cluster != rows[10].cluster
+
+
+def test_semdedup_partitioning_independent(spark):
+    outs = []
+    for p in (1, 7):
+        dec, cents = semdedup(_df(spark, p), k=2, iters=3, tau=TAU)
+        outs.append(sorted(
+            (r.vec_id, r.cluster, r.keep, r.dup_of) for r in dec.collect()
+        ))
+        dec.unpersist()
+        cents.unpersist()
+    assert outs[0] == outs[1]
+
+
+def test_semdedup_exact_copies_always_drop(spark):
+    """Exact copies have cos == 1 regardless of tau < 1 — the planted
+    pattern the driver query uses (recrawl-embedding semantics)."""
+    base = _df(spark)
+    dups = base.filter(F.col("vec_id").isin(0, 10)).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    dec, cents = semdedup(
+        base.unionByName(dups), k=2, iters=3, tau=0.999
+    )
+    rows = {r.vec_id: r for r in dec.collect()}
+    dec.unpersist()
+    cents.unpersist()
+    assert not rows[100].keep and rows[100].dup_of == 0
+    assert not rows[110].keep and rows[110].dup_of == 10
+    # at tau=0.999 the 15° neighbours survive
+    assert rows[1].keep and rows[2].keep
+
+
+def test_semdedup_decisions_requires_assignment_columns(spark):
+    d = _df(spark)
+    with pytest.raises(Exception):
+        semdedup_decisions(d, d.select("vec_id"), tau=TAU).collect()
