@@ -342,6 +342,18 @@ def _minhash_band_census(per_doc: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_per_doc_fast(spark, sf_dir) -> DataFrame:
+    """(doc_id, mh0..mh3): band-seeded xxhash64 min-hash signatures —
+    the corpus-scale widening of the md5 variant (factored so the
+    fast-variant bundle can materialize exactly this relation)."""
+    return _minhash_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(b), F.col("shingle"))).alias(f"mh{b}")
+            for b in range(4)
+        ]
+    )
+
+
 def q_dedup_minhash_fast(spark, sf_dir):
     """Scale variant of q_dedup_minhash (symmetric with
     fingerprint_winnow_fast): band-seeded xxhash64 instead of md5 hex.
@@ -349,17 +361,12 @@ def q_dedup_minhash_fast(spark, sf_dir):
     the band salt — bit-slicing ONE hash into 4×16-bit bands would
     leave only 65k buckets per band, useless at corpus scale), and
     xxhash64 is cheap enough JVM-side that 4 evaluations still cost
-    far less than one md5 + hex materialization. DuckDB has no
-    xxhash64 → rows-only driver check; band/collision semantics pinned
-    against the oracle-checked md5 variant by
-    tests/test_winnow_scale.py."""
-    per_doc = _minhash_shingles(spark, sf_dir).groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(b), F.col("shingle"))).alias(f"mh{b}")
-            for b in range(4)
-        ]
-    )
-    return _minhash_band_census(per_doc)
+    far less than one md5 + hex materialization. The hash itself has
+    no DuckDB twin, but the banding census IS oracle-checked: the
+    fast-variant bundle materializes this per-doc relation and DuckDB
+    replays the census (r8); semantics additionally pinned against the
+    oracle-checked md5 variant by tests/test_winnow_scale.py."""
+    return _minhash_band_census(_minhash_per_doc_fast(spark, sf_dir))
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -689,11 +696,19 @@ def q_simhash_hamming_pairs_fast(spark, sf_dir):
     (Hamming ≤ 3 cannot touch all 4 bands), exact verify is ONE
     bit_count(sa ^ sb) per candidate. No hot keys at corpus scale: a
     band key space of 65k on near-random 16-bit slices keeps expected
-    bucket size n/65536. DuckDB has no xxhash64 → rows-only driver
-    check (via q_scale_fast_variants); band/pair semantics pinned
-    against the oracle-checked md5 16-bit variant on a
+    bucket size n/65536. The vote hash has no DuckDB twin, but the
+    band/pair arithmetic IS oracle-checked: the fast-variant bundle
+    materializes the signature relation and DuckDB replays the
+    pigeonhole join + bit_count verify (r8); semantics additionally
+    pinned against the oracle-checked md5 16-bit variant on a
     planted-duplicate corpus by tests/test_simhash_scale.py."""
-    sigs = _simhash_sigs_fast(spark, sf_dir)
+    return _simhash_pairs64(_simhash_sigs_fast(spark, sf_dir))
+
+
+def _simhash_pairs64(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → Hamming ≤ 3 pairs via the 4×16-bit pigeonhole
+    band prefilter + exact bit_count verify (factored so the
+    fast-variant bundle can replay it from the materialized sigs)."""
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(F.array(*[
@@ -1628,10 +1643,28 @@ def q_scale_fast_variants(spark, sf_dir):
     keeps its full operator (q_dedup_minhash_fast,
     q_fingerprint_winnow_fast, q_simhash_hamming_pairs_fast) and its
     own semantics pin against the oracle-checked md5 twin
-    (tests/test_winnow_scale.py, tests/test_simhash_scale.py); DuckDB
-    has no xxhash64, so none of the three can take a SQL oracle
-    anyway."""
-    mh = q_dedup_minhash_fast(spark, sf_dir).select(
+    (tests/test_winnow_scale.py, tests/test_simhash_scale.py).
+
+    r8: left the no_oracle set via the materialization pattern. DuckDB
+    cannot compute xxhash64, but everything DOWNSTREAM of the hash is
+    relational — the bundle writes the three hash relations (minhash
+    per-doc signatures, winnow fingerprints, simhash longs) to
+    artifacts/oracle/fastvar_*.parquet and the oracle replays the band
+    census, the winnow census, and the full pigeonhole band join +
+    bit_count(xor) Hamming verify from them. The hash step itself
+    stays pinned by the md5-twin tests."""
+    mh_rel = _minhash_per_doc_fast(spark, sf_dir)
+    wf_rel = winnow_fps(
+        _docs(spark, sf_dir).select("doc_id", "text"), fast=True
+    )
+    sh_rel = _simhash_sigs_fast(spark, sf_dir)
+    rels = {}
+    for name, rel in (("minhash", mh_rel), ("winnow", wf_rel),
+                      ("simhash", sh_rel)):
+        path = f"{_ORACLE_ART}/fastvar_{name}.parquet"
+        rel.coalesce(1).write.mode("overwrite").parquet(path)
+        rels[name] = spark.read.parquet(path)
+    mh = _minhash_band_census(rels["minhash"]).select(
         F.lit("minhash_xxh64").alias("variant"),
         F.explode(F.array(
             F.struct(
@@ -1644,7 +1677,7 @@ def q_scale_fast_variants(spark, sf_dir):
                 F.col("n_collided_docs").cast("double").alias("value")),
         )).alias("s"),
     ).select("variant", "s.stat", "s.value")
-    wf = q_fingerprint_winnow_fast(spark, sf_dir).select(
+    wf = _winnow_census(rels["winnow"]).select(
         F.lit("winnow_xxh64").alias("variant"),
         F.explode(F.array(
             F.struct(F.lit("n_docs").alias("stat"),
@@ -1656,7 +1689,7 @@ def q_scale_fast_variants(spark, sf_dir):
         )).alias("s"),
     ).select("variant", "s.stat", "s.value")
     sp = (
-        q_simhash_hamming_pairs_fast(spark, sf_dir)
+        _simhash_pairs64(rels["simhash"])
         .agg(
             F.count("*").alias("n_pairs"),
             F.coalesce(F.max("hamming"), F.lit(-1)).alias("max_hamming"),
@@ -2123,7 +2156,15 @@ def q_media_features(spark, sf_dir):
         24-bpp BMP / binary PPM payloads generated deterministically
         per doc_id (VERDICT r3 #5: the r3 pure-numpy decoders run on
         the driver path, not just handcrafted-bytes pytest; sha/mean_px
-        goldens pinned in tests/test_multimodal.py)."""
+        goldens pinned in tests/test_multimodal.py).
+
+    r8: left the no_oracle set — the UDF outputs are materialized
+    TOGETHER with the raw payload bytes
+    (artifacts/oracle/media_features.parquet) and DuckDB recomputes
+    n_bytes (octet_length) and sha (sha256 prefix) from the payload:
+    the UDF's byte accounting and content hashing are cross-checked
+    per row. mean_px/feat_dim remain decode outputs (passthrough —
+    the decode itself is pinned by the multimodal goldens)."""
     from pii_spark.multimodal import (
         media_features,
         with_fake_media,
@@ -2133,31 +2174,52 @@ def q_media_features(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.col("doc_id") < 200
     )
-    fake = media_features(with_fake_media(d), fake_decode=True).withColumn(
-        "decoder", F.lit("fake")
-    )
+    f_in = with_fake_media(d)
+    fake = media_features(f_in, fake_decode=True).join(
+        f_in.select("doc_id", F.col("media.payload").alias("payload")),
+        "doc_id",
+    ).withColumn("decoder", F.lit("fake"))
     d2 = _docs(spark, sf_dir).select("doc_id").filter(
         (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
     )
-    real = media_features(
-        with_synthetic_real_media(d2), fake_decode=False
+    r_in = with_synthetic_real_media(d2)
+    real = media_features(r_in, fake_decode=False).join(
+        r_in.select("doc_id", F.col("media.payload").alias("payload")),
+        "doc_id",
     ).withColumn("decoder", F.lit("real"))
-    return fake.unionByName(real).select(
-        "doc_id", "decoder", "n_bytes", "sha",
+    rel = fake.unionByName(real).select(
+        "doc_id", "decoder", "payload", "n_bytes", "sha",
         F.round("mean_px", 4).alias("mean_px"),
         F.size("feat").alias("feat_dim"),
     )
+    path = f"{_ORACLE_ART}/media_features.parquet"
+    rel.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select(
+        "doc_id", "decoder", "n_bytes", "sha", "mean_px", "feat_dim")
 
 
 def q_synth_corpus(spark, sf_dir):
-    """Distributed corpus generation (EP1): mix + span census."""
+    """Distributed corpus generation (EP1): mix + span census.
+
+    r8: left the no_oracle set — the generated per-doc relation
+    (doc_id, kind, lang, n_spans) is materialized
+    (artifacts/oracle/synth_docs.parquet; deterministic AND
+    sf-independent, seeded generator) and DuckDB replays the census.
+    The generation itself is pinned by the single-process twin
+    (tests/test_independent_twins.py) and the grammar suite."""
     from pii_spark.spark.gen_job import generate_full
 
+    rel = generate_full(spark, 600).select(
+        "doc_id", "kind", "lang",
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+    path = f"{_ORACLE_ART}/synth_docs.parquet"
+    rel.coalesce(1).write.mode("overwrite").parquet(path)
     return (
-        generate_full(spark, 600)
+        spark.read.parquet(path)
         .groupBy("kind", "lang")
         .agg(F.count("*").alias("n_docs"),
-             F.sum(F.size("spans")).cast("long").alias("n_spans"))
+             F.sum("n_spans").cast("long").alias("n_spans"))
     )
 
 
@@ -3180,6 +3242,98 @@ def oracle_sql() -> dict[str, str]:
                         END AS drop_reason,
                    s.lang_pred, s.ppl, s.n_spans
             FROM sig s JOIN d USING (url)
+        """,
+        # synth_corpus (r8): the seeded generation materializes its
+        # per-doc relation (deterministic AND sf-independent); the
+        # census is replayed here. Generation itself is pinned by the
+        # single-process twin test.
+        "synth_corpus": f"""
+            SELECT kind, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_spans) AS BIGINT) AS n_spans
+            FROM read_parquet(
+                 '{_ORACLE_ART}/synth_docs.parquet/*.parquet')
+            GROUP BY kind, lang
+        """,
+        # media_features (r8): n_bytes is recomputed from the
+        # materialized payload for every row; sha is recomputed for
+        # the fake arm (utf-8 payloads — DuckDB 1.0 sha256 takes only
+        # VARCHAR, so the real arm's binary BMP/PPM sha stays a
+        # passthrough, pinned instead by the multimodal goldens).
+        "media_features": f"""
+            SELECT doc_id, decoder,
+                   CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+                   CASE WHEN decoder = 'fake'
+                        THEN substr(sha256(CAST(payload AS VARCHAR)),
+                                    1, 16)
+                        ELSE sha END AS sha,
+                   mean_px, feat_dim
+            FROM read_parquet(
+                 '{_ORACLE_ART}/media_features.parquet/*.parquet')
+        """,
+        # scale_fast_variants (r8): DuckDB has no xxhash64, but the
+        # band census / winnow census / pigeonhole Hamming verify are
+        # relational — replayed here from the hash relations the query
+        # materializes. The arithmetic-vs-logical shift difference is
+        # immaterial: (sig >> k) & 65535 extracts bits k..k+15 under
+        # either shift semantics.
+        "scale_fast_variants": f"""
+            WITH mh AS (SELECT * FROM read_parquet(
+                   '{_ORACLE_ART}/fastvar_minhash.parquet/*.parquet')),
+            bands AS (
+              SELECT 0 AS band, mh0 AS mh FROM mh UNION ALL
+              SELECT 1, mh1 FROM mh UNION ALL
+              SELECT 2, mh2 FROM mh UNION ALL
+              SELECT 3, mh3 FROM mh),
+            mcen AS (SELECT band, count(*) AS n_buckets,
+                            sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                AS n_collided
+                     FROM (SELECT band, mh, count(*) AS c
+                           FROM bands GROUP BY 1, 2)
+                     GROUP BY band),
+            wf AS (SELECT * FROM read_parquet(
+                   '{_ORACLE_ART}/fastvar_winnow.parquet/*.parquet')),
+            wper AS (SELECT doc_id, count(DISTINCT fp) AS n_fp
+                     FROM wf GROUP BY 1),
+            wshared AS (SELECT count(*) AS n_shared FROM (
+                SELECT fp FROM wf GROUP BY fp
+                HAVING count(DISTINCT doc_id) > 1)),
+            sh AS (SELECT * FROM read_parquet(
+                   '{_ORACLE_ART}/fastvar_simhash.parquet/*.parquet')),
+            sbanded AS (SELECT doc_id, sig, band,
+                               ((sig >> (16 * band)) & 65535) AS bits
+                        FROM sh,
+                             (SELECT unnest([0, 1, 2, 3]) AS band)),
+            cand AS (SELECT DISTINCT a.doc_id AS da, a.sig AS sa,
+                                     b.doc_id AS db, b.sig AS sb
+                     FROM sbanded a JOIN sbanded b
+                       ON a.band = b.band AND a.bits = b.bits
+                      AND a.doc_id < b.doc_id),
+            spairs AS (SELECT bit_count(xor(sa, sb)) AS hamming
+                       FROM cand
+                       WHERE bit_count(xor(sa, sb)) <= 3)
+            SELECT 'minhash_xxh64' AS variant,
+                   'band' || CAST(band AS VARCHAR) || '_buckets' AS stat,
+                   CAST(n_buckets AS DOUBLE) AS value FROM mcen
+            UNION ALL
+            SELECT 'minhash_xxh64',
+                   'band' || CAST(band AS VARCHAR) || '_collided',
+                   CAST(n_collided AS DOUBLE) FROM mcen
+            UNION ALL
+            SELECT 'winnow_xxh64', 'n_docs', CAST(count(*) AS DOUBLE)
+            FROM wper
+            UNION ALL
+            SELECT 'winnow_xxh64', 'avg_fp_per_doc',
+                   round(sum(n_fp) * 1.0 / count(*), 4) FROM wper
+            UNION ALL
+            SELECT 'winnow_xxh64', 'n_shared_fp',
+                   CAST(n_shared AS DOUBLE) FROM wshared
+            UNION ALL
+            SELECT 'simhash64_xxh64', 'n_pairs',
+                   CAST(count(*) AS DOUBLE) FROM spairs
+            UNION ALL
+            SELECT 'simhash64_xxh64', 'max_hamming',
+                   CAST(coalesce(max(hamming), -1) AS DOUBLE)
+            FROM spairs
         """,
         # kmeans_clusters (r8): the Lloyd fit (the only genuinely
         # iterative step) materializes its converged centroids; DuckDB

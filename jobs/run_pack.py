@@ -10,16 +10,21 @@ mile of the training-data pipeline (VERDICT r7 #1).
 
 Chain: read the committed quality table (keep rows only) → optionally
 apply the CCNet routing table (per-bucket deterministic down-weighting
-— the `--route-buckets` consumer, VERDICT r7 missing #2) → BPE-encode
+— the `--route-buckets` consumer, VERDICT r7 missing #2) → optionally
+drop benchmark-contaminated docs (``--decontam-benchmark``: winnowed
+fingerprints of the eval set broadcast against the corpus — the
+r8 production consumer of spark/decontam.py; contamination must be
+removed at EXPORT time or eval scores silently inflate) → BPE-encode
 the scrubbed text with the persisted tokenizer → two-phase prefix-sum
 packing → write ``shards.parquet`` (seq_id, tokens; every sequence
 except the last exactly ``--seq-len`` tokens) + ``pack_meta.json``.
 
-Identity guard: the tokenizer's and routing table's content
-identities (and the packing geometry) are recorded in pack_meta.json;
-re-exporting over an existing shard dir under DIFFERENT inputs
-refuses loudly unless ``--force`` — shards from two token universes
-must never mix (the classifier/recrawl-keys drift-guard class).
+Identity guard: the tokenizer's, routing table's, and benchmark set's
+content identities (and the packing geometry) are recorded in
+pack_meta.json; re-exporting over an existing shard dir under
+DIFFERENT inputs refuses loudly unless ``--force`` — shards from two
+token universes must never mix (the classifier/recrawl-keys
+drift-guard class).
 
 Concatenation order: docs are ordered by ``xxhash64(id)`` — a
 deterministic shuffle, which is exactly what a pretraining shard
@@ -72,6 +77,15 @@ def main() -> None:
     ap.add_argument("--route-weights", default="head=1.0,middle=1.0,tail=0.0",
                     help="bucket=keep-probability list (CCNet default: "
                          "keep head+middle, drop tail)")
+    ap.add_argument("--decontam-benchmark", default=None,
+                    help="benchmark/eval parquet dir (any schema with "
+                         "a text column): docs sharing winnowed "
+                         "fingerprints with it are dropped before "
+                         "packing")
+    ap.add_argument("--decontam-min-shared", type=int, default=2,
+                    help="shared-fingerprint threshold (1 shared "
+                         "8-gram minimum can be coincidence; 2 almost "
+                         "never is)")
     ap.add_argument("--force", action="store_true",
                     help="rewrite shards even under changed input "
                          "identities")
@@ -95,10 +109,17 @@ def main() -> None:
 
         route_id = route_table_identity(args.route_table)
         weights = _parse_weights(args.route_weights)
+    bench_id = "none"
+    if args.decontam_benchmark is not None:
+        from pii_spark.spark.decontam import benchmark_identity
+
+        bench_id = (f"{benchmark_identity(args.decontam_benchmark)}"
+                    f":{args.decontam_min_shared}")
 
     out_dir = Path(args.output)
     meta_path = out_dir / "pack_meta.json"
     current = {"tokenizer": tok_id, "route_table": route_id,
+               "benchmark": bench_id,
                "seq_len": args.seq_len, "text_col": args.text_col}
     if meta_path.exists() and not args.force:
         prev = json.loads(meta_path.read_text())
@@ -129,6 +150,32 @@ def main() -> None:
             df = route_weight_filter(
                 df, route, weights, id_col=args.id_col
             )
+        n_contaminated = 0
+        if args.decontam_benchmark is not None:
+            from pii_spark.spark.decontam import decontaminate
+
+            bench = spark.read.parquet(args.decontam_benchmark)
+            if "text" not in bench.columns:
+                raise SystemExit(
+                    f"--decontam-benchmark {args.decontam_benchmark} "
+                    "has no 'text' column"
+                )
+            bench = bench.select(
+                F.xxhash64("text").alias("doc_id"), "text"
+            )
+            flags = decontaminate(
+                df.select(F.col(args.id_col).alias("doc_id"),
+                          F.col(args.text_col).alias("text")),
+                bench, min_shared=args.decontam_min_shared,
+            )
+            # contaminated-first then anti-join (decontam.py docstring:
+            # anti-joining the whole flag relation would also drop
+            # clean docs sharing one coincidental fingerprint)
+            bad = flags.filter("contaminated").select(
+                F.col("doc_id").alias(args.id_col)
+            )
+            n_contaminated = bad.count()
+            df = df.join(F.broadcast(bad), args.id_col, "left_anti")
         merges, tok_meta = load_bpe_model(spark, args.tokenizer_model)
         tok = bpe_tokenize(df, merges, text_col=args.text_col)
         # deterministic shuffle order; collisions/dup urls refuse loudly
@@ -155,6 +202,7 @@ def main() -> None:
             {**current,
              "n_merges": int(tok_meta.get("n_merges", len(merges))),
              "route_weights": weights,
+             "n_contaminated_dropped": int(n_contaminated),
              "n_sequences": int(stats.n_sequences or 0),
              "total_tokens": int(stats.total_tokens or 0),
              "full_sequences": int(stats.full_sequences or 0)},

@@ -71,6 +71,28 @@ def decontaminate(
     )
 
 
+def benchmark_identity(bench_dir: str) -> str:
+    """Content identity of a benchmark parquet dir (sorted (name,
+    size) listing — metadata only), recorded by the pack/export job
+    like every other model input (the route_table_identity /
+    classifier_model_identity drift-guard class): exporting shards
+    decontaminated against a DIFFERENT benchmark set must refuse
+    loudly, not silently change training membership."""
+    import hashlib
+    from pathlib import Path
+
+    files = sorted(
+        f"{p.name}:{p.stat().st_size}"
+        for p in Path(bench_dir).rglob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no benchmark parquet files under {bench_dir}"
+        )
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+
+
 def select_canonical(
     clusters: DataFrame, docs: DataFrame, quality_col: str = "n_chars"
 ) -> DataFrame:

@@ -205,3 +205,76 @@ def test_pack_job_consumes_route_table_cli(spark, tmp_path):
     head_marker = "".join(bpe_encode_pure("w3", merges))
     assert head_marker in flat
     assert tail_marker not in flat
+
+
+def test_pack_decontam_drops_benchmark_overlaps(spark, tmp_path):
+    """r8: the --decontam-benchmark consumer — a corpus doc whose text
+    a benchmark/eval set contains is dropped at export time, the drop
+    count lands in pack_meta, and exporting against a DIFFERENT
+    benchmark set refuses loudly (the drift-guard class)."""
+    # pairwise non-overlapping docs (every word carries the doc index)
+    # so ONLY the planted benchmark copy shares 8-gram fingerprints
+    rows = [
+        Row(url=f"https://d.example/{i}",
+            scrubbed_text=(f"alpha{i} bravo{i} charlie{i} delta{i} "
+                           f"echo{i} foxtrot{i} golf{i} hotel{i} ") * 4,
+            keep=True)
+        for i in range(8)
+    ]
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(rows).write.parquet(corpus)
+
+    model = tmp_path / "tok"
+    r = _run("run_tokenizer.py",
+             ["--input", corpus, "--model", str(model), "--merges", "8",
+              "--text-col", "scrubbed_text"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [Row(text=rows[3].scrubbed_text)]
+    ).write.parquet(bench)
+
+    out = tmp_path / "shards"
+    r = _run("run_pack.py",
+             ["--input", corpus, "--input-format", "parquet",
+              "--tokenizer-model", str(model), "--output", str(out),
+              "--seq-len", "48", "--decontam-benchmark", bench])
+    assert r.returncode == 0, r.stderr[-2000:]
+    pm = json.loads((out / "pack_meta.json").read_text())
+    assert pm["n_contaminated_dropped"] == 1
+    assert pm["benchmark"].endswith(":2") and pm["benchmark"] != "none"
+
+    from pii_spark.quality.bpe import bpe_encode_pure, load_bpe_model
+
+    merges, _ = load_bpe_model(spark, str(model))
+    flat = "".join(
+        t for s in spark.read.parquet(str(out / "shards.parquet")).collect()
+        for t in s.tokens
+    )
+    gone = "".join(bpe_encode_pure("alpha3", merges))
+    kept_marker = "".join(bpe_encode_pure("alpha4", merges))
+    assert kept_marker in flat
+    assert gone not in flat
+
+    # identity drift: a different benchmark set against the same shard
+    # dir refuses without --force, proceeds with it
+    bench2 = str(tmp_path / "bench2")
+    spark.createDataFrame(
+        [Row(text=rows[5].scrubbed_text)]
+    ).write.parquet(bench2)
+    r = _run("run_pack.py",
+             ["--input", corpus, "--input-format", "parquet",
+              "--tokenizer-model", str(model), "--output", str(out),
+              "--seq-len", "48", "--decontam-benchmark", bench2])
+    assert r.returncode != 0
+    assert "different inputs" in (r.stderr + r.stdout)
+    r = _run("run_pack.py",
+             ["--input", corpus, "--input-format", "parquet",
+              "--tokenizer-model", str(model), "--output", str(out),
+              "--seq-len", "48", "--decontam-benchmark", bench2,
+              "--force"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    pm2 = json.loads((out / "pack_meta.json").read_text())
+    assert pm2["n_contaminated_dropped"] == 1
+    assert pm2["benchmark"] != pm["benchmark"]
