@@ -17,6 +17,16 @@ Stages run in the order given, each feeding the next:
   substring  duplicate >=k-token span removal (Lee et al. 2022,
              pii_spark/spark/substr_dedup.py, xxhash64 census) —
              rewrites text
+  semantic   SemDeDup (Abbas et al. 2023, pii_spark/spark/semdedup.py):
+             embed surviving docs with the deterministic hashed-3-gram
+             embedder, k-means-cluster the vectors, drop within-cluster
+             cosine near-duplicates (keep = lowest id). Put it AFTER
+             exact/paragraph/substring — the lexical tiers are cheaper
+             per doc and shrink the embedding work. k is auto-sized as
+             ceil(rows / --sem-cluster-size) but clamped to
+             --sem-max-clusters because the farthest-point init costs
+             one driver pass per seed; the k actually used is recorded
+             in the audit summary (sem_k), never silently.
 
 The output is an icelite table whose snapshot summary records the
 stage chain and per-stage row/char deltas — the audit trail a corpus
@@ -32,7 +42,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-STAGES = ("exact", "paragraph", "substring")
+STAGES = ("exact", "paragraph", "substring", "semantic")
 
 
 def main() -> None:
@@ -45,6 +55,22 @@ def main() -> None:
                          "(substring stage)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--sem-tau", type=float, default=0.92,
+                    help="semantic stage: within-cluster cosine "
+                         "threshold for a drop")
+    ap.add_argument("--sem-dim", type=int, default=64,
+                    help="semantic stage: hashed-3-gram embedding dim")
+    ap.add_argument("--sem-iters", type=int, default=5,
+                    help="semantic stage: Lloyd iterations")
+    ap.add_argument("--sem-clusters", type=int, default=0,
+                    help="semantic stage: explicit k (0 = auto from "
+                         "--sem-cluster-size, clamped)")
+    ap.add_argument("--sem-cluster-size", type=int, default=512,
+                    help="semantic stage: target docs per cluster when "
+                         "k is auto-sized")
+    ap.add_argument("--sem-max-clusters", type=int, default=256,
+                    help="semantic stage: auto-k clamp (the seed init "
+                         "is one driver pass per cluster)")
     args = ap.parse_args()
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     bad = [s for s in stages if s not in STAGES]
@@ -83,7 +109,22 @@ def main() -> None:
                 f"{n_dup} {idc} values are duplicated; ids must be "
                 "unique for a corpus rewrite"
             )
+        if "semantic" in stages:
+            # the embedder keys vectors on an int64 vec_id cast from the
+            # id column — refuse a non-integral id BEFORE any stage
+            # rewrites anything, not mid-chain
+            dt = dict(df.dtypes)[idc]
+            if dt not in ("tinyint", "smallint", "int", "bigint"):
+                raise SystemExit(
+                    f"semantic stage requires an integral {idc} "
+                    f"(got {dt}): embeddings key on int64 vec_id"
+                )
+            if not (0.0 < args.sem_tau <= 1.0):
+                raise SystemExit(
+                    f"--sem-tau must be in (0, 1], got {args.sem_tau}"
+                )
         deltas: dict = {}
+        extra_summary: dict = {}
 
         def stats(frame):
             r = frame.agg(
@@ -96,6 +137,7 @@ def main() -> None:
         rows, chars = stats(df)
         prev = None
         for s in stages:
+            release: list = []
             if s == "exact":
                 # skew-safe winner selection: groupBy + min partial-
                 # aggregates map-side, so a viral page duplicated 10^8
@@ -141,6 +183,47 @@ def main() -> None:
                     )
                     .drop("cleaned_text", "n_removed_tokens")
                 )
+            elif s == "semantic":
+                if rows == 0:
+                    deltas[s] = {"rows": 0, "chars": 0}
+                    continue
+                from pii_spark.spark.embed import embed_documents
+                from pii_spark.spark.semdedup import semdedup
+
+                k_sem = args.sem_clusters or min(
+                    args.sem_max_clusters,
+                    -(-rows // args.sem_cluster_size),
+                )
+                k_sem = max(1, min(k_sem, rows))
+                emb = embed_documents(
+                    df, dim=args.sem_dim, id_col=idc, text_col=txc
+                )
+                # the k-means fit iterates and self-joins over this
+                # frame, embedding its logical plan MANY times into the
+                # fit's trees; persist does NOT truncate the plan, so
+                # after paragraph/substring the optimizer re-analyzes
+                # the whole upstream census chain per iteration and the
+                # driver heap blows up (measured: heap OOM on the
+                # 4-stage chain at 6 docs). Checkpoint eagerly — the
+                # blocked relation is only (vec_id, dim floats), never
+                # the text table.
+                emb = emb.localCheckpoint(eager=True)
+                dec, cents = semdedup(
+                    emb, k=k_sem, iters=args.sem_iters,
+                    tau=args.sem_tau,
+                )
+                keep = dec.filter("keep").select(
+                    F.col("vec_id").alias(idc)
+                )
+                df = df.join(keep, idc, "left_semi")
+                # dec/cents are cached inside semdedup; they back this
+                # stage's lazy semi-join, so they are released only
+                # AFTER the stats action below materializes df
+                release += [dec, cents]
+                extra_summary.update(
+                    sem_k=k_sem, sem_tau=args.sem_tau,
+                    sem_dim=args.sem_dim,
+                )
             # persist each stage before its stats action: without it,
             # every stats() and the final overwrite would re-execute
             # the whole upstream chain — with 3 stages the first
@@ -149,6 +232,8 @@ def main() -> None:
             r2, c2 = stats(df)
             if prev is not None:
                 prev.unpersist()
+            for fr in release:
+                fr.unpersist()
             prev = df
             deltas[s] = {"rows": rows - r2, "chars": chars - c2}
             rows, chars = r2, c2
@@ -157,6 +242,7 @@ def main() -> None:
         snap = out.overwrite(
             df,
             summary={"dedup_stages": ",".join(stages), "k": args.k,
+                     **extra_summary,
                      **{f"removed_{s}_{m}": v
                         for s, d in deltas.items()
                         for m, v in d.items()}},

@@ -68,7 +68,20 @@ def semdedup_decisions(
             F.sqrt(F.sum(F.col("l.v") * F.col("l.v"))).alias("nu"),
             F.sqrt(F.sum(F.col("r.v") * F.col("r.v"))).alias("nw"),
         )
-        .withColumn("cos", F.col("dot") / (F.col("nu") * F.col("nw")))
+        .withColumn(
+            # a zero-norm vector (an empty doc after upstream rewrites
+            # embeds to the zero vector) has no direction: its cosine
+            # is undefined, NOT 1.0 — NULL here, which the tau filter
+            # below excludes, so zero vectors are never semantic dups
+            # (byte-identical empties are the exact tier's job). A
+            # plain division would raise DIVIDE_BY_ZERO under ANSI
+            # mode (measured on the 4-stage run_dedup chain).
+            "cos",
+            F.when(
+                (F.col("nu") > 0) & (F.col("nw") > 0),
+                F.col("dot") / (F.col("nu") * F.col("nw")),
+            ),
+        )
     )
     dup = (
         pairs.filter(F.col("cos") >= F.lit(float(tau)))

@@ -90,6 +90,29 @@ def test_semdedup_exact_copies_always_drop(spark):
     assert rows[1].keep and rows[2].keep
 
 
+def test_semdedup_zero_vectors_never_dup(spark):
+    """A zero-norm embedding (an empty doc after upstream rewrites)
+    has no direction: its cosine is undefined, so zero vectors must be
+    KEPT, never dropped as dups of each other or of anything — and the
+    pairs must not raise DIVIDE_BY_ZERO under ANSI mode (measured on
+    the 4-stage run_dedup chain before the guard)."""
+    vecs = _vecs() + [
+        (20, [0.0, 0.0, 0.0, 0.0]),
+        (21, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).repartition(3)
+    dec, cents = semdedup(df, k=2, iters=3, tau=TAU)
+    rows = {r.vec_id: r for r in dec.collect()}
+    dec.unpersist()
+    cents.unpersist()
+    assert rows[20].keep and rows[20].dup_of is None
+    assert rows[21].keep and rows[21].dup_of is None
+    # the geometry decisions are unchanged by the zero rows
+    assert rows[0].keep and not rows[1].keep and not rows[2].keep
+
+
 def test_semdedup_decisions_requires_assignment_columns(spark):
     d = _df(spark)
     with pytest.raises(Exception):
