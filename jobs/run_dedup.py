@@ -23,10 +23,13 @@ Stages run in the order given, each feeding the next:
              cosine near-duplicates (keep = lowest id). Put it AFTER
              exact/paragraph/substring — the lexical tiers are cheaper
              per doc and shrink the embedding work. k is auto-sized as
-             ceil(rows / --sem-cluster-size) but clamped to
-             --sem-max-clusters because the farthest-point init costs
-             one driver pass per seed; the k actually used is recorded
-             in the audit summary (sem_k), never silently.
+             ceil(rows / --sem-cluster-size), clamped to
+             --sem-max-clusters (the k actually used is recorded in
+             the audit summary, never silently). At-scale shape is the
+             paper's: centroids fit on a deterministic hash-sample
+             (--sem-fit-sample) with one-pass 'hash' seeding
+             (--sem-init), then ONE broadcast-assign pass over the
+             corpus — the big relation never enters the Lloyd loop.
 
 The output is an icelite table whose snapshot summary records the
 stage chain and per-stage row/char deltas — the audit trail a corpus
@@ -69,8 +72,28 @@ def main() -> None:
                     help="semantic stage: target docs per cluster when "
                          "k is auto-sized")
     ap.add_argument("--sem-max-clusters", type=int, default=256,
-                    help="semantic stage: auto-k clamp (the seed init "
-                         "is one driver pass per cluster)")
+                    help="semantic stage: auto-k clamp (the farthest "
+                         "init is one driver pass per cluster; see "
+                         "--sem-init hash)")
+    ap.add_argument("--sem-init", default="hash",
+                    choices=("hash", "farthest"),
+                    help="semantic stage: k-means seeding — 'hash' is "
+                         "one pass for any k (the at-scale default), "
+                         "'farthest' spreads seeds best but costs one "
+                         "pass per cluster")
+    ap.add_argument("--sem-pairs", default="blas",
+                    choices=("blas", "join"),
+                    help="semantic stage: within-cluster pair engine "
+                         "— 'blas' is one gram matrix per cluster "
+                         "task (identical decisions, pinned; the "
+                         "speed path), 'join' is the exploded SQL "
+                         "self-join (no per-task memory footprint)")
+    ap.add_argument("--sem-fit-sample", type=int, default=100_000,
+                    help="semantic stage: fit centroids on a "
+                         "deterministic hash-sample of ~this many "
+                         "docs, then broadcast-assign everyone "
+                         "(SemDeDup's at-scale composition); 0 fits "
+                         "on the full corpus")
     args = ap.parse_args()
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     bad = [s for s in stages if s not in STAGES]
@@ -208,9 +231,25 @@ def main() -> None:
                 # blocked relation is only (vec_id, dim floats), never
                 # the text table.
                 emb = emb.localCheckpoint(eager=True)
+                fit_df = None
+                if 0 < args.sem_fit_sample < rows:
+                    # deterministic Bernoulli-by-hash sample: one
+                    # filter scan, no global sort — approximate size
+                    # is fine for a centroid fit. xxhash64 of the id,
+                    # NOT of the text: re-sampling is stable across
+                    # text rewrites by earlier stages.
+                    frac = args.sem_fit_sample / rows
+                    fit_df = emb.filter(
+                        F.pmod(F.xxhash64(F.col("vec_id")),
+                               F.lit(1_000_000))
+                        < F.lit(int(frac * 1_000_000))
+                    )
+                    if fit_df.isEmpty():
+                        fit_df = None  # tiny corpus: fit on everything
                 dec, cents = semdedup(
                     emb, k=k_sem, iters=args.sem_iters,
-                    tau=args.sem_tau,
+                    tau=args.sem_tau, fit_df=fit_df,
+                    init=args.sem_init, pairs=args.sem_pairs,
                 )
                 keep = dec.filter("keep").select(
                     F.col("vec_id").alias(idc)
@@ -222,7 +261,9 @@ def main() -> None:
                 release += [dec, cents]
                 extra_summary.update(
                     sem_k=k_sem, sem_tau=args.sem_tau,
-                    sem_dim=args.sem_dim,
+                    sem_dim=args.sem_dim, sem_init=args.sem_init,
+                    sem_pairs=args.sem_pairs,
+                    sem_fit_sampled=bool(fit_df is not None),
                 )
             # persist each stage before its stats action: without it,
             # every stats() and the final overwrite would re-execute

@@ -29,11 +29,39 @@ def _explode(df: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    df: DataFrame, k: int = 8, iters: int = 5
+    df: DataFrame, k: int = 8, iters: int = 5, init: str = "farthest"
 ) -> tuple[DataFrame, DataFrame]:
     """df(vec_id, embedding) → (assignment(vec_id, cluster, sqdist),
-    centroids(cluster, i, cv)). Squared-L2 objective."""
+    centroids(cluster, i, cv)). Squared-L2 objective.
+
+    ``init`` picks the seeding:
+
+    * ``"farthest"`` (default) — deterministic farthest-point: best
+      seed spread, but k-1 sequential one-row collects, each a full
+      pass over the exploded frame. Right for small k (the oracle
+      query, blocking a sampled fit).
+    * ``"hash"`` — the k vec_ids with the lowest ``xxhash64(vec_id)``:
+      a uniform deterministic sample of the rows as seeds, ONE
+      sort-limit pass regardless of k. The at-scale choice when k is
+      sized from the corpus (SemDeDup's k ≈ n/cluster_size): O(k)
+      init passes would dominate the whole fit. Seed quality is that
+      of uniform random init — for dedup BLOCKING (near-identical
+      vectors co-cluster under any reasonable partition of the space)
+      that trade is free; duplicate seed vectors can die as empty
+      clusters during Lloyd, which blocking also tolerates.
+    """
+    if init not in ("farthest", "hash"):
+        raise ValueError(f"unknown init {init!r}: farthest|hash")
     ex = _explode(df).cache()
+    if init == "hash":
+        chosen = [
+            int(r.vec_id)
+            for r in df.select("vec_id")
+            .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(k)
+            .collect()
+        ]
+        return _lloyd(df, ex, chosen, iters)
     # deterministic farthest-point init (k-means++ without randomness):
     # seed 0 = lowest vec_id, each next seed = the vector maximizing its
     # min squared distance to the chosen seeds (ties → lowest vec_id).
@@ -59,6 +87,14 @@ def kmeans_fit(
             .collect()
         )
         chosen.append(int(mind[0].vec_id))
+    return _lloyd(df, ex, chosen, iters)
+
+
+def _lloyd(
+    df: DataFrame, ex: DataFrame, chosen: list, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations from explicit seed vec_ids; ``ex`` is the
+    caller's cached explode (released here once the result is live)."""
     seeds = df.sparkSession.createDataFrame(
         [(v, c) for c, v in enumerate(chosen)], "vec_id long, cluster int"
     )
@@ -105,6 +141,19 @@ def kmeans_fit(
     # centroid relation — the returned triple must be self-consistent
     # (it is what the kmeans_clusters oracle replays from the
     # materialized centroids).
+    sqdist = _assign_ex(ex, cents)
+    # materialize the RESULT before dropping the exploded cache: the
+    # returned frames are lazy, and unpersisting ex first would make
+    # the caller's first action replay the full explode twice
+    sqdist = sqdist.cache()
+    sqdist.count()
+    ex.unpersist()
+    return sqdist, cents
+
+
+def _assign_ex(ex: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exploded vectors + FIXED centroids → (vec_id, cluster, sqdist):
+    one broadcast join + hash-agg + per-vector window rank."""
     fscore = (
         ex.join(F.broadcast(cents), "i")
         .groupBy("vec_id", "cluster")
@@ -121,19 +170,22 @@ def kmeans_fit(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster")
     )
-    sqdist = (
+    return (
         ex.join(assign, "vec_id")
         .join(F.broadcast(cents), ["cluster", "i"])
         .groupBy("vec_id", "cluster")
         .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("sqdist"))
     )
-    # materialize the RESULT before dropping the exploded cache: the
-    # returned frames are lazy, and unpersisting ex first would make
-    # the caller's first action replay the full explode twice
-    sqdist = sqdist.cache()
-    sqdist.count()
-    ex.unpersist()
-    return sqdist, cents
+
+
+def kmeans_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign arbitrary vectors to FIXED centroids — (vec_id, cluster,
+    sqdist). This is the fit-on-a-sample composition (SemDeDup, Abbas
+    et al. 2023 §3 runs exactly this at the 1.1B-point scale): fit
+    centroids on a bounded sample with ``kmeans_fit``, then
+    broadcast-assign the full corpus in ONE pass — the big relation is
+    never touched by the per-iteration Lloyd work or the O(k) init."""
+    return _assign_ex(_explode(df), cents)
 
 
 def kmeans_summary(df: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:

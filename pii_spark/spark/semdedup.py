@@ -35,10 +35,20 @@ partitioning/retry, pinned by tests/test_semdedup.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .kmeans import _explode, kmeans_fit
+from .kmeans import _explode, kmeans_assign, kmeans_fit
+
+_DEC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("cluster", T.IntegerType()),
+    T.StructField("keep", T.BooleanType()),
+    T.StructField("dup_of", T.LongType()),
+])
 
 
 def semdedup_decisions(
@@ -99,15 +109,101 @@ def semdedup_decisions(
     )
 
 
+def semdedup_decisions_fast(
+    df: DataFrame, assign: DataFrame, tau: float,
+    max_block: int = 65536,
+) -> DataFrame:
+    """BLAS twin of ``semdedup_decisions``: one numpy gram matrix per
+    cluster block via ``applyInPandas`` instead of the exploded
+    (cluster, dim) self-join — identical decisions (pinned by
+    tests/test_semdedup.py on planted geometry AND seeded fuzz), at
+    matmul speed instead of |c|²·dim aggregate rows per cluster.
+
+    Scale contract: one cluster = one group = one task, and the gram
+    matrix is |c|² float64 in that task's memory — so this variant
+    REQUIRES the blocking contract the module documents (k sized to
+    the corpus). A block larger than ``max_block`` raises loudly with
+    the fix (raise k, or fall back to the join variant, which trades
+    memory for shuffle); never a silent cap. float64 arithmetic on
+    the same float32-widened values as the SQL path — decisions can
+    differ only for cosines within ~1e-15 of tau."""
+    a = assign.select("vec_id", "cluster")
+    j = df.join(a, "vec_id").select("vec_id", "cluster", "embedding")
+    tau_f = float(tau)
+    mb = int(max_block)
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > mb:
+            raise ValueError(
+                f"semdedup cluster block of {len(pdf)} rows exceeds "
+                f"max_block={mb}: raise k (target cluster size "
+                "n/k) or use the join-based semdedup_decisions"
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        gram = m @ m.T
+        denom = np.outer(norms, norms)
+        # zero-norm vectors have undefined cosine -> never a dup,
+        # matching the SQL path's NULL-cosine guard
+        cos = np.where(denom > 0.0, gram / np.where(denom == 0.0, 1.0, denom), -np.inf)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for w in range(1, len(ids)):
+            us = np.nonzero(cos[w, :w] >= tau_f)[0]
+            if len(us):
+                dup_of[w] = ids[us[0]]  # ids sorted -> lowest u
+        keep = dup_of < 0
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(len(ids), pdf["cluster"].iloc[0],
+                               dtype=np.int32),
+            "keep": keep,
+            "dup_of": pd.array(
+                [None if k_ else int(d) for k_, d in zip(keep, dup_of)],
+                dtype="Int64",
+            ),
+        })
+
+    return j.groupBy("cluster").applyInPandas(block, _DEC_SCHEMA)
+
+
 def semdedup(
-    df: DataFrame, k: int = 8, iters: int = 5, tau: float = 0.92
+    df: DataFrame, k: int = 8, iters: int = 5, tau: float = 0.92,
+    fit_df: DataFrame | None = None, init: str = "farthest",
+    pairs: str = "join", max_block: int = 65536,
 ) -> tuple[DataFrame, DataFrame]:
     """df(vec_id, embedding) → (decisions(vec_id, cluster, keep,
     dup_of), centroids(cluster, i, cv)). The returned centroid frame
     is the fit's cache — callers that keep it long-lived should
-    materialize and unpersist (q_kmeans_clusters does)."""
-    assign, cents = kmeans_fit(df, k, iters)
-    dec = semdedup_decisions(df, assign, tau)
+    materialize and unpersist (q_kmeans_clusters does).
+
+    ``pairs`` picks the within-cluster engine: ``"join"`` (default)
+    is the exploded SQL self-join — oracle-replayable, no per-task
+    memory footprint; ``"blas"`` is ``semdedup_decisions_fast`` — one
+    gram matrix per cluster task (identical decisions, pinned), the
+    production speed path; ``max_block`` bounds its block size.
+
+    ``fit_df`` enables the paper's at-scale composition: fit the
+    centroids on that (bounded, deterministic) sample, then
+    broadcast-assign ALL of ``df`` in one ``kmeans_assign`` pass — the
+    full corpus never enters the Lloyd loop or the seed init. ``init``
+    is forwarded to ``kmeans_fit`` (use ``"hash"`` when k is sized
+    from the corpus — the farthest-point init is one pass PER seed)."""
+    if fit_df is None:
+        assign, cents = kmeans_fit(df, k, iters, init=init)
+    else:
+        fit_assign, cents = kmeans_fit(fit_df, k, iters, init=init)
+        fit_assign.unpersist()
+        # materialize before the decisions self-join reads it twice
+        assign = kmeans_assign(df, cents).cache()
+        assign.count()
+    if pairs == "blas":
+        dec = semdedup_decisions_fast(df, assign, tau, max_block)
+    elif pairs == "join":
+        dec = semdedup_decisions(df, assign, tau)
+    else:
+        raise ValueError(f"unknown pairs engine {pairs!r}: join|blas")
     # decisions are derived from the cached assign; materialize them
     # before handing both frames out so the caller's first action does
     # not replay the fit lineage after assign is unpersisted

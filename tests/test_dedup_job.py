@@ -139,6 +139,8 @@ def test_dedup_job_semantic_stage(spark, tmp_path):
     assert s["removed_exact_rows"] == 1
     assert s["removed_semantic_rows"] == 1
     assert s["sem_k"] == 2 and s["sem_tau"] == 0.92 and s["sem_dim"] == 64
+    # 4 docs < the default fit-sample floor: full fit, hash seeding
+    assert s["sem_init"] == "hash" and s["sem_fit_sampled"] is False
 
 
 def test_dedup_job_full_chain_with_semantic(spark, tmp_path):

@@ -117,3 +117,117 @@ def test_semdedup_decisions_requires_assignment_columns(spark):
     d = _df(spark)
     with pytest.raises(Exception):
         semdedup_decisions(d, d.select("vec_id"), tau=TAU).collect()
+
+
+def test_kmeans_assign_matches_fit_assignment(spark):
+    """kmeans_assign(df, cents) on the fit's own input reproduces the
+    fit's returned assignment exactly — it IS the factored final pass,
+    so the fit-on-a-sample composition changes nothing when the
+    'sample' is everything."""
+    from pii_spark.spark.kmeans import kmeans_assign, kmeans_fit
+
+    d = _df(spark)
+    assign, cents = kmeans_fit(d, k=2, iters=3)
+    got = sorted(
+        (r.vec_id, r.cluster, round(r.sqdist, 9))
+        for r in kmeans_assign(d, cents).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cluster, round(r.sqdist, 9))
+        for r in assign.collect()
+    )
+    assign.unpersist()
+    cents.unpersist()
+    assert got == want
+
+
+def test_semdedup_hash_init_and_sampled_fit(spark):
+    """The at-scale composition — one-pass hash seeding + centroids
+    fit on a SUBSET, full frame broadcast-assigned — must reach the
+    same keep/drop decisions on the planted geometry: tau gating is
+    pairwise cosine WITHIN a block, so any reasonable blocking of two
+    orthogonal cones yields identical dups. Partitioning-independent
+    like every other path."""
+    outs = []
+    for p in (1, 7):
+        d = _df(spark, p)
+        fit = d.filter(F.col("vec_id").isin(0, 10))  # one per cone
+        dec, cents = semdedup(
+            d, k=2, iters=3, tau=TAU, fit_df=fit, init="hash"
+        )
+        rows = {r.vec_id: r for r in dec.collect()}
+        outs.append(sorted(
+            (r.vec_id, r.keep, r.dup_of) for r in rows.values()
+        ))
+        dec.unpersist()
+        cents.unpersist()
+        assert rows[0].keep and rows[0].dup_of is None
+        assert not rows[1].keep and rows[1].dup_of == 0
+        assert not rows[2].keep and rows[2].dup_of == 1
+        assert rows[10].keep and rows[11].keep
+    assert outs[0] == outs[1]
+
+
+def test_kmeans_hash_init_unknown_refused(spark):
+    from pii_spark.spark.kmeans import kmeans_fit
+
+    with pytest.raises(ValueError, match="init"):
+        kmeans_fit(_df(spark), k=2, iters=1, init="random")
+
+
+def _fuzz_df(spark, n=120, dim=16, partitions=5):
+    """Seeded fuzz corpus with engineered near-dups: base vectors plus
+    jittered copies whose cosines straddle tau from BOTH sides."""
+    rng = __import__("numpy").random.default_rng(7)
+    np = __import__("numpy")
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32")
+                     .tolist()))
+        if i % 3 == 0:
+            eps = 0.05 if i % 6 == 0 else 0.6
+            w = v + eps * rng.normal(size=dim)
+            rows.append((i + 10_000,
+                         (w / np.linalg.norm(w)).astype("float32")
+                         .tolist()))
+    rows.append((20_000, [0.0] * dim))  # zero vector in the mix
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(partitions)
+
+
+def test_semdedup_blas_pairs_match_join_pairs(spark):
+    """The gram-matrix engine and the exploded SQL self-join must make
+    IDENTICAL decisions — planted geometry, seeded fuzz (near-dups on
+    both sides of tau), and a zero vector, across two k values."""
+    from pii_spark.spark.semdedup import semdedup_decisions_fast
+    from pii_spark.spark.kmeans import kmeans_fit
+
+    for d, k in ((_df(spark), 2), (_fuzz_df(spark), 6)):
+        assign, cents = kmeans_fit(d, k=k, iters=3, init="hash")
+        sql_rows = sorted(
+            (r.vec_id, r.cluster, r.keep, r.dup_of)
+            for r in semdedup_decisions(d, assign, TAU).collect()
+        )
+        fast_rows = sorted(
+            (r.vec_id, r.cluster, r.keep, r.dup_of)
+            for r in semdedup_decisions_fast(d, assign, TAU).collect()
+        )
+        assign.unpersist()
+        cents.unpersist()
+        assert sql_rows == fast_rows
+        assert any(not keep for _, _, keep, _ in fast_rows)
+        assert any(keep for _, _, keep, _ in fast_rows)
+
+
+def test_semdedup_blas_block_bound_refused(spark):
+    from pii_spark.spark.semdedup import semdedup_decisions_fast
+    from pii_spark.spark.kmeans import kmeans_fit
+
+    d = _df(spark)
+    assign, cents = kmeans_fit(d, k=1, iters=1)
+    with pytest.raises(Exception, match="max_block"):
+        semdedup_decisions_fast(d, assign, TAU, max_block=3).collect()
+    assign.unpersist()
+    cents.unpersist()
