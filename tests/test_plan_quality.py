@@ -175,6 +175,40 @@ def test_new_query_plans_are_scale_safe(spark):
     assert "HashAggregate" not in plan, plan
 
 
+def test_semdedup_scale_plans(spark):
+    """The semantic tier's at-scale shape (r8): kmeans_assign joins
+    the exploded corpus against the centroids by BROADCAST (the big
+    relation is never shuffled by centroid — its exchanges are only
+    the per-vector hash-agg/window), and the blas pair engine feeds
+    ONE FlatMapGroupsInPandas keyed on cluster — no (cluster, dim)
+    explode, no self-join, no cartesian product."""
+    from pii_spark.spark.embed import embed_documents
+    from pii_spark.spark.kmeans import kmeans_assign, kmeans_fit
+    from pii_spark.spark.semdedup import semdedup_decisions_fast
+
+    corpus = generate_corpus(spark, 200, partitions=4) \
+        .select("doc_id", "text")
+    emb = embed_documents(corpus, dim=16).localCheckpoint(eager=True)
+    fit = emb.filter(F.col("vec_id") < 40)
+    assign, cents = kmeans_fit(fit, k=4, iters=2, init="hash")
+
+    plan = _plan(kmeans_assign(emb, cents))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(semdedup_decisions_fast(
+        emb, kmeans_assign(emb, cents), tau=0.9))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair work must NOT be the exploded self-join in this engine
+    assert "Generate" not in plan.split("FlatMapGroupsInPandas")[0], plan
+    assign.unpersist()
+    cents.unpersist()
+
+
 def test_partition_pruning_on_date_layout(spark, tmp_path):
     """SURVEY §4: partition the corpus by warc date and a date filter
     must prune partitions at the scan (PartitionFilters), not scan-all."""
