@@ -2109,7 +2109,12 @@ def q_kmeans_clusters(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     aug = base.unionByName(dups)
-    dec, cents = semdedup(aug, k=8, iters=5, tau=_SD_TAU)
+    # pairs="blas" puts the PRODUCTION pair engine (one gram matrix
+    # per cluster task) under the oracle; DuckDB replays the exploded
+    # cosine arithmetic, so a hash match certifies the two
+    # formulations agree end-to-end (the join twin stays pinned by
+    # tests/test_semdedup.py's equivalence fuzz)
+    dec, cents = semdedup(aug, k=8, iters=5, tau=_SD_TAU, pairs="blas")
     path = f"{_ORACLE_ART}/kmeans_centroids.parquet"
     cents.select("cluster", "i", "cv").coalesce(1).write.mode(
         "overwrite"
