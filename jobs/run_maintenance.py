@@ -6,7 +6,8 @@
         [--forget-urls urls.txt --audit /path/to/audit]
 
 Operations run in the stated order (compact → expire → gc → forget →
-route) and each is independently optional — the composition a
+route → blocklist → stopwords → report) and each is independently
+optional — the composition a
 scheduled maintenance job runs nightly: rewrite small files, drop
 history beyond retention, sweep crashed writers' debris, process any
 queued right-to-be-forgotten requests, and (``--route-buckets``)
@@ -83,6 +84,16 @@ def main() -> None:
     ap.add_argument("--stopword-min-frac", type=float, default=0.4,
                     help="a stopword appears in at least this fraction "
                          "of a language's documents")
+    ap.add_argument("--report", default=None,
+                    help="write a JSON corpus datasheet to this path: "
+                         "rule-family rates (the one-scan "
+                         "quality_report), keep rate, language mix, "
+                         "score quantiles, top domains, snapshot "
+                         "metadata — the stats a curated corpus "
+                         "publishes with every snapshot")
+    ap.add_argument("--report-top-domains", type=int, default=20,
+                    help="how many highest-volume domains the "
+                         "datasheet lists")
     ap.add_argument("--stopword-lang-col", default="lang_pred",
                     help="stratum column (the pipeline's language "
                          "prediction by default)")
@@ -223,6 +234,71 @@ def main() -> None:
                 .groupBy("lang").agg(F.count("*").alias("n")).collect()
             }
             print(f"stopwords: {census} -> {args.derive_stopwords}")
+        if args.report:
+            import json as _json
+            import time as _time
+
+            from pyspark.sql import functions as F
+
+            from pii_spark.spark.jobs import url_domain
+            from pii_spark.spark.quality_report import quality_report
+
+            df = t.read(spark)
+            snap = t.snapshot()
+            rep = {
+                "table": str(Path(args.table).resolve()),
+                "snapshot_version": snap.version,
+                "snapshot_summary": dict(snap.summary or {}),
+                "n_rows": int(df.count()),
+                "generated_unix": int(_time.time()),
+            }
+            if "keep" in df.columns:
+                kr = df.agg(
+                    F.avg(F.col("keep").cast("double"))
+                ).collect()[0][0]
+                rep["keep_rate"] = round(float(kr or 0.0), 4)
+                # distribution stats describe the USABLE corpus, like
+                # --route-buckets / --derive-stopwords
+                df = df.filter(F.col("keep"))
+            text_col = ("scrubbed_text"
+                        if "scrubbed_text" in df.columns else "text")
+            rep["text_col"] = text_col
+            # every driver collect below is bounded by construction:
+            # one wide row, one quantile row, #langs rows, N domains
+            wide = quality_report(
+                df, text_col=text_col, id_col="url"
+            ).collect()[0].asDict()
+            rep["quality"] = {k: (None if v is None else
+                                  (int(v) if isinstance(v, int)
+                                   else float(v)))
+                              for k, v in wide.items()}
+            if "lang_pred" in df.columns:
+                rep["lang_mix"] = {
+                    str(r.lang_pred): int(r.n)
+                    for r in df.groupBy("lang_pred")
+                    .agg(F.count("*").alias("n")).collect()
+                }
+            if "clf_score" in df.columns:
+                q = df.agg(F.expr(
+                    "percentile(clf_score, array(0.1, 0.5, 0.9))"
+                ).alias("q")).collect()[0].q
+                rep["clf_score_p10_p50_p90"] = (
+                    [round(float(x), 4) for x in q]
+                    if q is not None else None
+                )
+            top = (
+                df.withColumn("__dom", url_domain(F.col("url")))
+                .groupBy("__dom").agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), "__dom")
+                .limit(args.report_top_domains).collect()
+            )
+            rep["top_domains"] = [
+                {"domain": r["__dom"], "n": int(r["n"])} for r in top
+            ]
+            Path(args.report).write_text(
+                _json.dumps(rep, indent=1, default=str)
+            )
+            print(f"report: {rep['n_rows']} rows -> {args.report}")
     finally:
         spark.stop()
 
