@@ -227,6 +227,21 @@ def test_monthly_crawl_workflow(spark, tmp_path):
     assert r.returncode != 0
     assert "different inputs" in (r.stderr + r.stdout)
 
+    # --- datasheet (r8): the stats published with the month-1 snapshot
+    rep_path = tmp_path / "datasheet.json"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "jobs" / "run_maintenance.py"),
+         "--table", str(tmp_path / "corpus_v1"),
+         "--report", str(rep_path)],
+        capture_output=True, text=True, cwd=ROOT, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(rep_path.read_text())
+    assert rep["n_rows"] == 3 and rep["quality"]["n_docs"] == 3
+    assert rep["clf_score_p10_p50_p90"] is not None
+    assert {d["domain"] for d in rep["top_domains"]} == \
+        {f"fresh{i}.example" for i in range(3)}
+
     # --- stopword feedback loop (r8, CLI surfaces): derive lists from
     # the committed corpus, retrain the classifier with them — the
     # model identity changes, so every downstream resume guard sees it
