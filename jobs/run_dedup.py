@@ -146,6 +146,17 @@ def main() -> None:
                 raise SystemExit(
                     f"--sem-tau must be in (0, 1], got {args.sem_tau}"
                 )
+            for knob in ("sem_dim", "sem_iters", "sem_cluster_size",
+                         "sem_max_clusters"):
+                if getattr(args, knob) < 1:
+                    raise SystemExit(
+                        f"--{knob.replace('_', '-')} must be >= 1, "
+                        f"got {getattr(args, knob)}"
+                    )
+            if args.sem_fit_sample < 0 or args.sem_clusters < 0:
+                raise SystemExit(
+                    "--sem-fit-sample / --sem-clusters must be >= 0"
+                )
         deltas: dict = {}
         extra_summary: dict = {}
 
@@ -237,12 +248,16 @@ def main() -> None:
                     # filter scan, no global sort — approximate size
                     # is fine for a centroid fit. xxhash64 of the id,
                     # NOT of the text: re-sampling is stable across
-                    # text rewrites by earlier stages.
-                    frac = args.sem_fit_sample / rows
+                    # text rewrites by earlier stages. 2^30 modulus +
+                    # a floor of 1: an int() of frac*granularity would
+                    # truncate to 0 past rows > granularity*sample and
+                    # silently run the full-corpus fit the flag exists
+                    # to avoid (review r8b).
+                    mod = 1 << 30
+                    thr = max(1, int(args.sem_fit_sample / rows * mod))
                     fit_df = emb.filter(
                         F.pmod(F.xxhash64(F.col("vec_id")),
-                               F.lit(1_000_000))
-                        < F.lit(int(frac * 1_000_000))
+                               F.lit(mod)) < F.lit(thr)
                     )
                     if fit_df.isEmpty():
                         fit_df = None  # tiny corpus: fit on everything

@@ -243,7 +243,12 @@ def main() -> None:
             from pii_spark.spark.jobs import url_domain
             from pii_spark.spark.quality_report import quality_report
 
-            df = t.read(spark)
+            # up to six driver actions read this frame (count, keep
+            # rate, the quality row, lang census, quantiles, top
+            # domains) — persist once so the table is scanned from
+            # disk once, not per action (review r8b)
+            base = t.read(spark).persist()
+            df = base
             snap = t.snapshot()
             rep = {
                 "table": str(Path(args.table).resolve()),
@@ -295,6 +300,7 @@ def main() -> None:
             rep["top_domains"] = [
                 {"domain": r["__dom"], "n": int(r["n"])} for r in top
             ]
+            base.unpersist()
             Path(args.report).write_text(
                 _json.dumps(rep, indent=1, default=str)
             )

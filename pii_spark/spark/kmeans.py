@@ -151,9 +151,9 @@ def _lloyd(
     return sqdist, cents
 
 
-def _assign_ex(ex: DataFrame, cents: DataFrame) -> DataFrame:
-    """Exploded vectors + FIXED centroids → (vec_id, cluster, sqdist):
-    one broadcast join + hash-agg + per-vector window rank."""
+def _assign_only(ex: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exploded vectors + FIXED centroids → (vec_id, cluster): one
+    broadcast join + hash-agg + per-vector window rank."""
     fscore = (
         ex.join(F.broadcast(cents), "i")
         .groupBy("vec_id", "cluster")
@@ -165,11 +165,18 @@ def _assign_ex(ex: DataFrame, cents: DataFrame) -> DataFrame:
     fw = Window.partitionBy("vec_id").orderBy(
         F.col("part"), F.col("cluster")
     )
-    assign = (
+    return (
         fscore.withColumn("rn", F.row_number().over(fw))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster")
     )
+
+
+def _assign_ex(ex: DataFrame, cents: DataFrame) -> DataFrame:
+    """As ``_assign_only`` plus the per-vector sqdist to the assigned
+    centroid (a second pass over ``ex`` — callers that don't need the
+    distance should not pay for it)."""
+    assign = _assign_only(ex, cents)
     return (
         ex.join(assign, "vec_id")
         .join(F.broadcast(cents), ["cluster", "i"])
@@ -178,14 +185,22 @@ def _assign_ex(ex: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign arbitrary vectors to FIXED centroids — (vec_id, cluster,
-    sqdist). This is the fit-on-a-sample composition (SemDeDup, Abbas
-    et al. 2023 §3 runs exactly this at the 1.1B-point scale): fit
-    centroids on a bounded sample with ``kmeans_fit``, then
-    broadcast-assign the full corpus in ONE pass — the big relation is
-    never touched by the per-iteration Lloyd work or the O(k) init."""
-    return _assign_ex(_explode(df), cents)
+def kmeans_assign(
+    df: DataFrame, cents: DataFrame, with_sqdist: bool = True
+) -> DataFrame:
+    """Assign arbitrary vectors to FIXED centroids — (vec_id, cluster
+    [, sqdist]). This is the fit-on-a-sample composition (SemDeDup,
+    Abbas et al. 2023 §3 runs exactly this at the 1.1B-point scale):
+    fit centroids on a bounded sample with ``kmeans_fit``, then
+    broadcast-assign the full corpus — the big relation is never
+    touched by the per-iteration Lloyd work or the O(k) init.
+
+    ``with_sqdist=False`` skips the distance aggregate: it is a SECOND
+    full pass over the exploded corpus, pure waste for consumers that
+    only need the blocking (semdedup passes False — one pass total)."""
+    ex = _explode(df)
+    return _assign_ex(ex, cents) if with_sqdist else _assign_only(
+        ex, cents)
 
 
 def kmeans_summary(df: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:

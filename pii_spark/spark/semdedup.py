@@ -195,8 +195,10 @@ def semdedup(
     else:
         fit_assign, cents = kmeans_fit(fit_df, k, iters, init=init)
         fit_assign.unpersist()
-        # materialize before the decisions self-join reads it twice
-        assign = kmeans_assign(df, cents).cache()
+        # materialize before the decisions self-join reads it twice;
+        # no sqdist — the pair engines only need the blocking, and the
+        # distance aggregate would be a second full corpus pass
+        assign = kmeans_assign(df, cents, with_sqdist=False).cache()
         assign.count()
     if pairs == "blas":
         dec = semdedup_decisions_fast(df, assign, tau, max_block)

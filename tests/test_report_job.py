@@ -53,12 +53,12 @@ def test_report_datasheet(spark, tmp_path):
     # exact percentiles over the kept scores [0.5, 0.6, 0.7, 0.8, 0.9]
     p10, p50, p90 = rep["clf_score_p10_p50_p90"]
     assert (p10, p50, p90) == (0.54, 0.7, 0.86)
-    # top-k domains, count-desc, honestly truncated at the asked k
+    # top-k domains, count-desc, over the KEPT corpus only — the
+    # dropped junk.example domain must be absent, not merely outranked
     assert rep["top_domains"] == [
         {"domain": "big.example", "n": 4},
-        {"domain": "junk.example", "n": 1},
-    ] or rep["top_domains"][0] == {"domain": "big.example", "n": 4}
-    assert len(rep["top_domains"]) == 2
+        {"domain": "small.example", "n": 1},
+    ]
 
 
 def test_report_without_optional_columns(spark, tmp_path):
