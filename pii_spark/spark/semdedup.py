@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .kmeans import _explode, kmeans_assign, kmeans_fit
+from .kmeans import _explode, kmeans_assign_blas, kmeans_fit
 
 _DEC_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType()),
@@ -195,10 +195,11 @@ def semdedup(
     else:
         fit_assign, cents = kmeans_fit(fit_df, k, iters, init=init)
         fit_assign.unpersist()
-        # materialize before the decisions self-join reads it twice;
-        # no sqdist — the pair engines only need the blocking, and the
-        # distance aggregate would be a second full corpus pass
-        assign = kmeans_assign(df, cents, with_sqdist=False).cache()
+        # materialize before the decisions self-join reads it twice.
+        # The BLAS assign: the join formulation streams n×dim×k agg
+        # rows (memory-bandwidth-bound — measured flat past 8 threads,
+        # BENCH semdedup_scaling), the matmul moves n×dim floats
+        assign = kmeans_assign_blas(df, cents).cache()
         assign.count()
     if pairs == "blas":
         dec = semdedup_decisions_fast(df, assign, tau, max_block)

@@ -198,6 +198,14 @@ def test_semdedup_scale_plans(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # the production assign is row-local: NO join, NO exchange — one
+    # MapInPandas over the corpus with the centroids closed over
+    from pii_spark.spark.kmeans import kmeans_assign_blas
+
+    plan = _plan(kmeans_assign_blas(emb, cents))
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
     plan = _plan(semdedup_decisions_fast(
         emb, kmeans_assign(emb, cents), tau=0.9))
     assert plan.count("FlatMapGroupsInPandas") == 1, plan

@@ -221,6 +221,35 @@ def test_semdedup_blas_pairs_match_join_pairs(spark):
         assert any(keep for _, _, keep, _ in fast_rows)
 
 
+def test_kmeans_assign_blas_matches_join_assign(spark):
+    """The matmul-argmin assign and the exploded broadcast-join assign
+    must produce IDENTICAL (vec_id, cluster) relations — planted
+    geometry and seeded fuzz (incl. the zero vector), across two k
+    values and partitionings. Same ranking expression, ties → lowest
+    cluster id on both paths."""
+    from pii_spark.spark.kmeans import (
+        kmeans_assign,
+        kmeans_assign_blas,
+        kmeans_fit,
+    )
+
+    for d, k in ((_df(spark, 4), 2), (_fuzz_df(spark), 6)):
+        fit, cents = kmeans_fit(d, k=k, iters=3, init="hash")
+        fit.unpersist()
+        join_rows = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans_assign(d, cents,
+                                   with_sqdist=False).collect()
+        )
+        blas_rows = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans_assign_blas(d, cents).collect()
+        )
+        cents.unpersist()
+        assert join_rows == blas_rows
+        assert len(blas_rows) == d.count()
+
+
 def test_semdedup_blas_block_bound_refused(spark):
     from pii_spark.spark.semdedup import semdedup_decisions_fast
     from pii_spark.spark.kmeans import kmeans_fit
