@@ -8,9 +8,12 @@ Spark-first plan shape:
 
 * the clustering is ``kmeans.kmeans_fit`` (broadcast centroid joins,
   one hash-agg shuffle per Lloyd iteration);
-* the within-cluster pair generation is a self-join of the exploded
-  vectors on (cluster, i) with ``u < w`` — the shuffle key is the
-  cluster id, so the pair work is per-cluster-block, never all-pairs;
+* the within-cluster pair generation has two engines with identical
+  decisions (pinned): the exploded self-join on (cluster, i) with
+  ``u < w`` — oracle-replayable, shuffle key = cluster id, so the
+  pair work is per-cluster-block, never all-pairs — and the
+  production ``semdedup_decisions_fast`` (one numpy gram matrix per
+  cluster task, measured 6.5× faster at 50k docs);
 * the keep rule is the one-pass greedy: drop ``w`` when ANY
   lower-id ``u`` in its cluster has ``cos(u, w) >= tau`` (``dup_of`` =
   the lowest such u). The iterated variant ("u must itself be kept")
