@@ -115,24 +115,22 @@ def main() -> None:
         / legs["local8"]["corpus_docs_per_sec"] / 4, 3)
     rec = {**legs, "n_docs": 200_000, "k": 98, "dim": 64,
            "corpus_part_scaling_efficiency_8_32": eff,
-           "note": ("production semantic tier, warmed legs at both "
-                    "levels. Efficiency is computed on the CORPUS-"
-                    "PROPORTIONAL part only (BLAS matmul assign + "
-                    "blas pair blocks) — the sample fit is a FIXED "
-                    "cost (same 5k sample at any corpus size/"
-                    "parallelism, ~30 small scheduling-bound Spark "
-                    "jobs) that amortizes to nothing at real corpus "
-                    "sizes. Measured lineage: the exploded broadcast-"
-                    "join assign was memory-bandwidth-bound (n*dim*k "
-                    "agg rows; corpus rate grew only 1.2-1.6x from 8 "
-                    "to 32 threads on steal-clean legs) -> replaced "
-                    "by kmeans_assign_blas (n*dim floats moved, 3.4x "
-                    "faster at local[32], eff 0.30 -> 0.57); the "
-                    "residual gap at this toy size is per-job launch "
-                    "latency plus the k=98-task pair stage, both of "
-                    "which shrink relative to data on a real corpus. "
-                    "Earlier poisoned/overhead-bound measurements "
-                    "preserved in git history")}
+           "note": ("production semantic tier, warmed steal-clean "
+                    "legs. Fit auto-dispatches to the driver-side "
+                    "numpy twin for driver-fitting samples (the BPE "
+                    "pattern). With the fit fixed-cost gone and both "
+                    "assign and pairs BLAS/Arrow streaming, 8 threads "
+                    "already move ~10k docs/s — single-socket DRAM "
+                    "bandwidth is the wall (the local-mode artifact "
+                    "BENCH/BASELINE.md documents): on a cluster each "
+                    "NODE adds bandwidth, so the tier scales with "
+                    "nodes, not threads on one socket; the thread-"
+                    "scaling gate lives on the Python-CPU-bound "
+                    "pipeline leg (eff 0.895). Measured lineage in "
+                    "git history: exploded join assign (bandwidth-"
+                    "bound, 1.2-1.6x for 8->32) -> BLAS assign (3.4x "
+                    "faster at local[32]) -> dispatched pure fit "
+                    "(8-15s -> ~3.3s)")}
     path = ROOT / "BENCH" / "dedup_ops.json"
     d = json.loads(path.read_text())
     d["semdedup_scaling"] = rec

@@ -200,8 +200,11 @@ def test_kmeans_matches_numpy_lloyds(spark):
     ids = np.array([r.vec_id for r in rows])
     V = np.array([r.embedding for r in rows])
 
+    # driver_bound=0 forces the DISTRIBUTED loop — this twin is what
+    # pins it now that driver-fitting inputs auto-dispatch to the
+    # pure fit (which shares the twin's arithmetic)
     assign_df, cents = kmeans_fit(emb.select("vec_id", "embedding"),
-                                  k=6, iters=4)
+                                  k=6, iters=4, driver_bound=0)
     got = {r.vec_id: r.cluster for r in assign_df.collect()}
     inertia = assign_df.agg(F.sum("sqdist")).collect()[0][0]
     assign_df.unpersist()

@@ -168,6 +168,30 @@ def test_semdedup_hash_init_and_sampled_fit(spark):
     assert outs[0] == outs[1]
 
 
+def test_kmeans_fit_dispatch_boundary(spark):
+    """The pure driver-side fit (input ≤ driver_bound, the BPE
+    pattern) and the distributed loop must produce IDENTICAL
+    assignments and centroid relations on the same input, under both
+    seedings — so the dispatch is invisible except in job count."""
+    from pii_spark.spark.kmeans import kmeans_fit
+
+    for init in ("farthest", "hash"):
+        outs = []
+        for bound in (0, 100_000):  # 0 forces distributed
+            a, c = kmeans_fit(_fuzz_df(spark), k=5, iters=3,
+                              init=init, driver_bound=bound)
+            outs.append((
+                sorted((r.vec_id, r.cluster, round(r.sqdist, 9))
+                       for r in a.collect()),
+                sorted((r.cluster, r.i, round(r.cv, 9))
+                       for r in c.collect()),
+            ))
+            a.unpersist()
+            c.unpersist()
+        assert outs[0][0] == outs[1][0], init
+        assert outs[0][1] == outs[1][1], init
+
+
 def test_kmeans_hash_init_unknown_refused(spark):
     from pii_spark.spark.kmeans import kmeans_fit
 
