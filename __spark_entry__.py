@@ -37,6 +37,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# r9 optimization: the testdata tables are single-file, single-row-group
+# parquet, so EVERY scan collapses to one input split — compute-heavy
+# map work (md5 shingles, per-doc regex batteries, in-row cosine) ran
+# on 1 of 32 cores. _spread() restores a parallelism floor exactly when
+# the scan is narrower than the session's core count (guide §2.5,
+# "input skew: one huge unsplittable file → repartition immediately
+# after the read"). At real scale the scan already has >= cores splits
+# and this is a no-op — no exchange is added. The probe result is
+# memoized per (table-key, parallelism): it is an environment fact
+# (file layout), never query state or results.
+_SCAN_NARROW_MEMO: dict[tuple[str, int], bool] = {}
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    memo_key = (key, target)
+    narrow = _SCAN_NARROW_MEMO.get(memo_key)
+    if narrow is None:
+        narrow = df.rdd.getNumPartitions() < target
+        _SCAN_NARROW_MEMO[memo_key] = narrow
+    return df.repartition(target) if narrow else df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -291,13 +315,25 @@ def q_dedup_minhash(spark, sf_dir):
     the 4 band values are disjoint 8-hex-char substrings of that one
     digest (md5's 128 bits give 4 independent 32-bit min-hashes) —
     r2 hashed every shingle 4× with per-band salts, 4× the hashing
-    work on the dominant relation for no statistical gain."""
+    work on the dominant relation for no statistical gain.
+
+    Numeric band values (r9 optimization): min over a STRING column has
+    no mutable agg buffer, so Spark planned the per-doc aggregation as
+    SortAggregate — two full sorts of the exploded shingle relation
+    (the dominant relation at scale). Re-coding each 8-hex-char band
+    chunk as its 32-bit integer (conv base 16, a bijection that
+    preserves order because fixed-width lowercase hex compares
+    lexicographically exactly as its numeric value) makes the min
+    HashAggregate-able: map-side partial agg, no sorts. The census
+    counts are identical — bucket identity is preserved under any
+    bijection of the band value."""
     sh = _minhash_shingles(spark, sf_dir).select(
         "doc_id", F.md5(F.col("shingle")).alias("h"),
     )
     per_doc = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring("h", 1 + 8 * b, 8)).alias(f"mh{b}")
+            F.min(F.conv(F.substring("h", 1 + 8 * b, 8), 16, 10)
+                  .cast("long")).alias(f"mh{b}")
             for b in range(4)
         ]
     )
@@ -307,8 +343,11 @@ def q_dedup_minhash(spark, sf_dir):
 def _minhash_shingles(spark, sf_dir) -> DataFrame:
     """Shared shingle explode (len 12, stride 5) for both minhash
     variants — factored (like winnow_fps) so census/stride fixes can't
-    silently desynchronize the oracle-checked and scale plans."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    silently desynchronize the oracle-checked and scale plans. _spread
+    lifts the scan's 1-split parallelism floor before the explode (the
+    md5-per-shingle work is the leg's entire compute)."""
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"),
+                f"{sf_dir}/documents")
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)),
                    F.lit(5))
@@ -744,14 +783,22 @@ def _simhash_pairs64(sigs: DataFrame) -> DataFrame:
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs vec_id=0, in double precision via
-    posexplode+join (identical relational shape to the oracle)."""
-    e = _emb(spark, sf_dir).select(
+    posexplode+join (identical relational shape to the oracle). _spread
+    (r9) lifts the corpus side off the scan's single input split before
+    the 64× posexplode; the 1-row probe side stays on the bare scan."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     ).withColumn("v", F.col("v").cast("double"))
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("i").alias("qi"), F.col("v").alias("qv")
     )
-    joined = e.filter(F.col("vec_id") != 0).join(
+    big = _spread(
+        emb.filter(F.col("vec_id") != 0), f"{sf_dir}/embeddings"
+    ).select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    joined = big.join(
         F.broadcast(q), F.col("i") == F.col("qi")
     )
     per = joined.groupBy("vec_id").agg(
@@ -1350,8 +1397,12 @@ def q_quality_heuristics(spark, sf_dir):
     )
     tox = toxicity_exprs(F.col("text"), n_words)
     toxic = tox["tox_score"] > F.lit(QUALITY["max_tox_score"])
+    # _spread (r9): the per-doc regex battery is the entire leg cost and
+    # ran on the scan's single input split; the groupBy's partial agg
+    # then parallelizes over the spread partitions.
     return (
-        _docs(spark, sf_dir)
+        _spread(_docs(spark, sf_dir).select("lang", "text"),
+                f"{sf_dir}/documents")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1662,7 +1713,7 @@ def q_scale_fast_variants(spark, sf_dir):
     for name, rel in (("minhash", mh_rel), ("winnow", wf_rel),
                       ("simhash", sh_rel)):
         path = f"{_ORACLE_ART}/fastvar_{name}.parquet"
-        rel.coalesce(1).write.mode("overwrite").parquet(path)
+        _write_oracle_parquet(rel, path)
         rels[name] = spark.read.parquet(path)
     mh = _minhash_band_census(rels["minhash"]).select(
         F.lit("minhash_xxh64").alias("variant"),
@@ -2001,7 +2052,7 @@ def q_pii_pipeline(spark, sf_dir):
         F.size("spans").alias("n_spans"),
     )
     path = f"{_ORACLE_ART}/pipeline_signals.parquet"
-    sig.coalesce(1).write.mode("overwrite").parquet(path)
+    _write_oracle_parquet(sig, path)
     return spark.read.parquet(path).select(
         "url", "keep", "drop_reason", "lang_pred", "ppl", "n_spans")
 
@@ -2016,6 +2067,43 @@ def q_pii_pipeline(spark, sf_dir):
 _ORACLE_ART = str(Path(__file__).resolve().parent / "artifacts" / "oracle")
 
 
+def _write_oracle_parquet(rel, path: str) -> None:
+    """coalesce(1) overwrite + STABLE filenames (r9, VERDICT r8 #2):
+    Spark's UUID-suffixed part names made every harness run dirty the
+    committed artifact tree even when the bytes were identical. After
+    the write, the single part file is renamed to ``data.parquet`` and
+    the crc/_SUCCESS markers are dropped, so identical relation content
+    means an identical (git-clean) tree."""
+    import glob as _glob
+    import os as _os
+
+    rel.coalesce(1).write.mode("overwrite").parquet(path)
+    for p in {*_glob.glob(f"{path}/.*.crc"),
+              *_glob.glob(f"{path}/_SUCCESS*")}:
+        _os.remove(p)
+    parts = sorted(_glob.glob(f"{path}/part-*"))
+    if len(parts) == 1:
+        _os.replace(parts[0], f"{path}/data.parquet")
+        # canonicalize bytes: (a) parquet-mr serializes the footer's
+        # encodings set in JVM-identity-hash order, which varies per
+        # process; (b) any upstream shuffle makes intra-partition row
+        # order depend on fetch arrival order. A pyarrow round-trip
+        # (deterministic writer, schema + key-value metadata preserved)
+        # with a total sort over all columns makes identical relation
+        # CONTENT → identical bytes, which is what keeps the committed
+        # artifact git-clean across harness runs. Every consumer of
+        # these artifacts is order-insensitive (aggregates / joins /
+        # order-insensitive driver compare), so the stored order is
+        # free to be canonical.
+        import pyarrow.parquet as _pq
+
+        f = f"{path}/data.parquet"
+        table = _pq.read_table(f)
+        table = table.sort_by([(c, "ascending")
+                               for c in table.column_names])
+        _pq.write_table(table, f, compression="snappy")
+
+
 def _materialize_entities(spark, truth, pred, name: str):
     from pii_spark.spark.metrics import entity_rows
 
@@ -2024,7 +2112,7 @@ def _materialize_entities(spark, truth, pred, name: str):
         .unionByName(entity_rows(pred).withColumn("src", F.lit("p")))
     )
     path = f"{_ORACLE_ART}/{name}.parquet"
-    rel.coalesce(1).write.mode("overwrite").parquet(path)
+    _write_oracle_parquet(rel, path)
     return spark.read.parquet(path)
 
 
@@ -2116,9 +2204,7 @@ def q_kmeans_clusters(spark, sf_dir):
     # tests/test_semdedup.py's equivalence fuzz)
     dec, cents = semdedup(aug, k=8, iters=5, tau=_SD_TAU, pairs="blas")
     path = f"{_ORACLE_ART}/kmeans_centroids.parquet"
-    cents.select("cluster", "i", "cv").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    _write_oracle_parquet(cents.select("cluster", "i", "cv"), path)
     rcents = spark.read.parquet(path)
     sq = (
         _explode(aug)
@@ -2198,7 +2284,7 @@ def q_media_features(spark, sf_dir):
         F.size("feat").alias("feat_dim"),
     )
     path = f"{_ORACLE_ART}/media_features.parquet"
-    rel.coalesce(1).write.mode("overwrite").parquet(path)
+    _write_oracle_parquet(rel, path)
     return spark.read.parquet(path).select(
         "doc_id", "decoder", "n_bytes", "sha", "mean_px", "feat_dim")
 
@@ -2219,7 +2305,7 @@ def q_synth_corpus(spark, sf_dir):
         F.size("spans").cast("long").alias("n_spans"),
     )
     path = f"{_ORACLE_ART}/synth_docs.parquet"
-    rel.coalesce(1).write.mode("overwrite").parquet(path)
+    _write_oracle_parquet(rel, path)
     return (
         spark.read.parquet(path)
         .groupBy("kind", "lang")

@@ -154,20 +154,38 @@ def _ctx_dist(
 
     for m in _CTX_EXACT[label].finditer(window):
         consider(m.start(), m.end() - m.start())
-    kws = _CTX_WORDS[label]
     for m in _WORD_RE.finditer(window):
         w = m.group()
-        if len(w) < 2:
-            continue
-        for kw in kws:
+        if len(w) >= 2 and _ctx_word_fuzzy(label, w):
+            consider(m.start(), len(w))
+    return best
+
+
+# r9: whether ANY keyword of `label` fuzzy-matches window word `w` is a
+# pure function of (label, w) — the window vocabulary repeats massively
+# across docs, so the per-word keyword×edit-1 scan collapses to a dict
+# hit (the scan ran ~150 _edit1 calls per doc before). `consider` still
+# runs per occurrence, so (side, distance) ranking is unchanged.
+_CTX_FUZZY_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _ctx_word_fuzzy(label: str, w: str) -> bool:
+    key = (label, w)
+    v = _CTX_FUZZY_CACHE.get(key)
+    if v is None:
+        v = False
+        for kw in _CTX_WORDS[label]:
             # 'ssn'/'age' are only 3 chars but too load-bearing to skip
             if len(w) >= 3 and len(kw) >= 4 and _edit1(w, kw):
-                consider(m.start(), len(w))
+                v = True
                 break
             if kw in ("ssn", "age") and _edit1(w, kw):
-                consider(m.start(), len(w))
+                v = True
                 break
-    return best
+        if len(_CTX_FUZZY_CACHE) > 300_000:
+            _CTX_FUZZY_CACHE.clear()
+        _CTX_FUZZY_CACHE[key] = v
+    return v
 
 
 def _ctx(text: str, start: int, end: int, label: str, width: int = 36) -> bool:
@@ -190,7 +208,7 @@ def _ctx_fuzzy2(text: str, start: int, end: int, label: str,
             continue
         for kw in kws:
             if abs(len(w) - len(kw)) <= 2 and (
-                _ratio(w, kw) >= 0.63
+                _ratio_ge(w, kw, 0.63)
             ):
                 return True
     return False
@@ -217,6 +235,35 @@ def _ratio(a: str, b: str) -> float:
             _RATIO_CACHE.clear()
         _RATIO_CACHE[key] = v
     return v
+
+
+def _ratio_ge(a: str, b: str, thr: float) -> bool:
+    """Exactly ``_ratio(a, b) >= thr``, with a sound cheap upper bound
+    tried first (r9): difflib's ratio is 2M/(|a|+|b|) where M is the
+    total length of its matching blocks; every matched char pair
+    consumes one char from each string, so M <= the character-multiset
+    intersection — when even that bound misses the threshold, the
+    SequenceMatcher run is skipped (most novel-word × keyword pairs)."""
+    key = (a, b)
+    v = _RATIO_CACHE.get(key)
+    if v is not None:
+        return v >= thr
+    la, lb = len(a), len(b)
+    denom = la + lb
+    if 2.0 * min(la, lb) / denom < thr:
+        return False
+    counts: dict[str, int] = {}
+    for ch in a:
+        counts[ch] = counts.get(ch, 0) + 1
+    common = 0
+    for ch in b:
+        c = counts.get(ch, 0)
+        if c:
+            common += 1
+            counts[ch] = c - 1
+    if 2.0 * common / denom < thr:
+        return False
+    return _ratio(a, b) >= thr
 
 
 def _label_word_vote(text: str, start: int) -> str | None:
@@ -411,6 +458,40 @@ def _in_long_alnum_token(text: str, start: int, end: int) -> bool:
 _PIECE_RE = re.compile(r"\d+|[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+")
 _EMAIL_GLUE_WORDS = ("email", "mail", "via", "phone", "reply", "contact")
 
+# r9: the glue-word fuzzy scans below are pure functions of the
+# lowercased atom and loop difflib/edit-1 over the fixed glue list —
+# memoized so novel atoms pay the scan once and Zipf-repeated ones hit
+# the dict (same pattern as _RATIO_CACHE; bounded by wholesale clear).
+_GLUE_RATIO_CACHE: dict[str, bool] = {}
+_GLUE_EDIT_CACHE: dict[str, bool] = {}
+
+
+def _glue_ratio_any(low: str) -> bool:
+    """len(low) >= 4 and any glue word within difflib ratio 0.7."""
+    v = _GLUE_RATIO_CACHE.get(low)
+    if v is None:
+        v = len(low) >= 4 and any(
+            _ratio_ge(low, w, 0.7) for w in _EMAIL_GLUE_WORDS
+        )
+        if len(_GLUE_RATIO_CACHE) > 100_000:
+            _GLUE_RATIO_CACHE.clear()
+        _GLUE_RATIO_CACHE[low] = v
+    return v
+
+
+def _glue_edit_any(low: str) -> bool:
+    """any glue word within edit-1 of low or low[:-1]."""
+    v = _GLUE_EDIT_CACHE.get(low)
+    if v is None:
+        v = any(
+            _edit1(low, w) or _edit1(low[:-1], w)
+            for w in _EMAIL_GLUE_WORDS
+        )
+        if len(_GLUE_EDIT_CACHE) > 100_000:
+            _GLUE_EDIT_CACHE.clear()
+        _GLUE_EDIT_CACHE[low] = v
+    return v
+
 
 def _trim_email_start(text: str, s: int, e: int) -> int:
     """Tight start for an email match: the local-atom regex greedily
@@ -445,20 +526,10 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
             # a single-piece atom that is itself a glue word followed by
             # a separator ('oemsil_AP…') — drop it and cross over
             low1 = pieces[0].lower()
-            import difflib as _dl
             if (
                 atom_end < e
                 and text[atom_end] in "_-"
-                and (
-                    low1 in _EMAIL_GLUE_WORDS
-                    or (
-                        len(low1) >= 4
-                        and any(
-                            _ratio(low1, w) >= 0.7
-                            for w in _EMAIL_GLUE_WORDS
-                        )
-                    )
-                )
+                and (low1 in _EMAIL_GLUE_WORDS or _glue_ratio_any(low1))
             ):
                 s = atom_end + 1
                 continue
@@ -485,17 +556,8 @@ def _trim_email_start(text: str, s: int, e: int) -> int:
             )
             glue_word = (
                 low in _EMAIL_GLUE_WORDS
-                or any(
-                    _edit1(low, w) or _edit1(low[:-1], w)
-                    for w in _EMAIL_GLUE_WORDS
-                )
-                or (
-                    len(low) >= 4
-                    and any(
-                        _ratio(low, w) >= 0.7
-                        for w in _EMAIL_GLUE_WORDS
-                    )
-                )
+                or _glue_edit_any(low)
+                or _glue_ratio_any(low)
             )
             droppable = (
                 head.isdigit()
@@ -732,7 +794,7 @@ def format_candidates(text: str) -> list[Candidate]:
         if "applied" in after or "appli" in after:
             return True
         return any(
-            _ratio(w, "applied") >= 0.65
+            _ratio_ge(w, "applied", 0.65)
             for w in _WORD_RE.findall(after)[:2]
             if len(w) >= 5
         )
@@ -922,7 +984,23 @@ _TEMPLATE_WORDS = frozenset(
 )
 
 
+_TEMPLATE_WORDISH_CACHE: dict[str, bool] = {}
+
+
 def _template_wordish(alpha: str) -> bool:
+    # pure function of alpha; the edit-1/ratio scan over the template
+    # vocabulary is the expensive part — memoized (r9)
+    v = _TEMPLATE_WORDISH_CACHE.get(alpha)
+    if v is not None:
+        return v
+    v = _template_wordish_uncached(alpha)
+    if len(_TEMPLATE_WORDISH_CACHE) > 100_000:
+        _TEMPLATE_WORDISH_CACHE.clear()
+    _TEMPLATE_WORDISH_CACHE[alpha] = v
+    return v
+
+
+def _template_wordish_uncached(alpha: str) -> bool:
     if alpha in _TEMPLATE_WORDS or alpha[:-1] in _TEMPLATE_WORDS or (
         len(alpha) >= 7 and alpha[:-2] in _TEMPLATE_WORDS
     ):
@@ -933,11 +1011,9 @@ def _template_wordish(alpha: str) -> bool:
             for w in _TEMPLATE_WORDS
         ):
             return True
-        import difflib
-
         return any(
             abs(len(alpha) - len(w)) <= 2
-            and _ratio(alpha, w) >= 0.8
+            and _ratio_ge(alpha, w, 0.8)
             for w in _TEMPLATE_WORDS
         )
     return False

@@ -145,8 +145,9 @@ _MISS_F = {
 
 
 def _hash_arr(strs: list[str]) -> np.ndarray:
-    return np.fromiter((_h(x) for x in strs), dtype=np.int32,
-                       count=len(strs))
+    # list-comp + np.array beats fromiter-over-genexpr for these short
+    # blocks (one C-level pass, no generator frame per element)
+    return np.array([_h(x) for x in strs], dtype=np.int32)
 
 
 def _self_feats(tok: str) -> np.ndarray:
@@ -234,39 +235,85 @@ def featurize_doc_flat(
     detector's BILOU overlay with '' where no candidate covers the
     token."""
     n = len(tokens)
-    lens = np.zeros(n, dtype=np.int64)
+    lens_l = [0] * n
     parts: list[np.ndarray] = []
+    # r9: the loop body is the serve path's hot inner loop — cache
+    # lookups are inlined (one dict.get instead of a function call per
+    # block; the miss path still routes through the builder functions,
+    # so feature content and ORDER are byte-identical to the original
+    # per-block construction)
+    ap = parts.append
+    selfc, ctxc, tailc = _SELF_F, _CTX_F, _TAIL_F
+    miss_pp, miss_p = _miss_feats("pp"), _miss_feats("p")
+    miss_n, miss_nn = _miss_feats("n"), _miss_feats("nn")
+    text_len = len(text)
     for i in range(n):
-        if offsets[i] == (0, 0):
+        s0, e0 = offsets[i]
+        if s0 == 0 and e0 == 0:
             continue
-        ln = 0
-        a = _self_feats(tokens[i])
-        parts.append(a)
-        ln += a.shape[0]
-        for d, tag in ((-2, "pp"), (-1, "p"), (1, "n"), (2, "nn")):
-            j = i + d
-            if 0 <= j < n:
-                a = _ctx_feats(tag, tokens[j], d in (-1, 1))
-            else:
-                a = _miss_feats(tag)
-            parts.append(a)
-            ln += a.shape[0]
+        tok = tokens[i]
+        a = selfc.get(tok)
+        if a is None:
+            a = _self_feats(tok)
+        ap(a)
+        ln = a.shape[0]
+        j = i - 2
+        if j >= 0:
+            t2 = tokens[j]
+            b = ctxc.get(("pp", t2))
+            if b is None:
+                b = _ctx_feats("pp", t2, False)
+        else:
+            b = miss_pp
+        ap(b)
+        ln += b.shape[0]
+        if i > 0:
+            t2 = tokens[i - 1]
+            b = ctxc.get(("p", t2))
+            if b is None:
+                b = _ctx_feats("p", t2, True)
+        else:
+            b = miss_p
+        ap(b)
+        ln += b.shape[0]
+        j = i + 1
+        if j < n:
+            t2 = tokens[j]
+            b = ctxc.get(("n", t2))
+            if b is None:
+                b = _ctx_feats("n", t2, True)
+        else:
+            b = miss_n
+        ap(b)
+        ln += b.shape[0]
+        j = i + 2
+        if j < n:
+            t2 = tokens[j]
+            b = ctxc.get(("nn", t2))
+            if b is None:
+                b = _ctx_feats("nn", t2, False)
+        else:
+            b = miss_nn
+        ap(b)
+        ln += b.shape[0]
         # adjacent raw chars (separator signals) + rule-candidate
         # overlay, as one memoized block (low-cardinality key)
-        s0, e0 = offsets[i]
-        a = _tail_feats(
+        key = (
             text[s0 - 1] if s0 > 0 else "^",
-            text[e0] if e0 < len(text) else "$",
+            text[e0] if e0 < text_len else "$",
             cand_tags[i],
             cand_confs[i] >= 0.8,
             cand_tags[i - 1] if i > 0 else "^",
             cand_tags[i + 1] if i + 1 < n else "$",
         )
-        parts.append(a)
-        lens[i] = ln + a.shape[0]
+        b = tailc.get(key)
+        if b is None:
+            b = _tail_feats(*key)
+        ap(b)
+        lens_l[i] = ln + b.shape[0]
     flat = (np.concatenate(parts) if parts
             else np.empty(0, dtype=np.int32))
-    return flat, lens
+    return flat, np.array(lens_l, dtype=np.int64)
 
 
 def featurize_doc(

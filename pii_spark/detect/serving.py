@@ -214,14 +214,15 @@ class _TokenIndex:
     __slots__ = ("real_idx", "ts", "te")
 
     def __init__(self, offsets: list[tuple[int, int]]):
-        real = [(t, ts, te) for t, (ts, te) in enumerate(offsets)
-                if not (ts == te == 0)]
-        self.real_idx = np.fromiter((r[0] for r in real), dtype=np.int64,
-                                    count=len(real))
-        self.ts = np.fromiter((r[1] for r in real), dtype=np.int64,
-                              count=len(real))
-        self.te = np.fromiter((r[2] for r in real), dtype=np.int64,
-                              count=len(real))
+        if offsets:
+            arr = np.array(offsets, dtype=np.int64)
+            real = (arr[:, 0] != 0) | (arr[:, 1] != 0)
+            self.real_idx = np.flatnonzero(real)
+            self.ts = arr[real, 0]
+            self.te = arr[real, 1]
+        else:
+            z = np.empty(0, dtype=np.int64)
+            self.real_idx = self.ts = self.te = z
 
     def overlapping(self, start: int, end: int) -> np.ndarray:
         """Token indices t with te > start and ts < end (the reference
@@ -241,8 +242,10 @@ def _logits_for_doc(
     logits = np.zeros((n, NUM_LABELS), dtype=np.float32)
     logits[:, LABEL2ID["O"]] = _conf_logit(0.985)
     spans = [{"start": c.start, "end": c.end, "label": c.label} for c in cands]
-    tags, _ = spans_to_token_labels(offsets, spans)
     tindex = tindex or _TokenIndex(offsets)
+    tags, _ = spans_to_token_labels(offsets, spans,
+                                    overlap=tindex.overlapping,
+                                    with_ids=False)
     # map each token back to its candidate to carry per-candidate conf
     for c in cands:
         logit = _conf_logit(c.conf)
@@ -254,7 +257,7 @@ def _logits_for_doc(
 
 
 def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
-    tokens, offsets, _ = tokenize_with_offsets(text)
+    tokens, offsets, _ = tokenize_with_offsets(text, with_ids=False)
     cands = detect_spans(text)
     ip_cands = [c for c in cands if c.label == "IP"]
     non_ip = [c for c in cands if c.label != "IP"]
@@ -270,7 +273,9 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
             {"start": c.start, "end": c.end, "label": c.label}
             for c in non_ip
         ]
-        cand_tags, _ = spans_to_token_labels(offsets, cand_spans)
+        cand_tags, _ = spans_to_token_labels(offsets, cand_spans,
+                                             overlap=tindex.overlapping,
+                                             with_ids=False)
         confs = [0.0] * len(tokens)
         for c in non_ip:
             for t in tindex.overlapping(c.start, c.end):
@@ -312,11 +317,13 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
     z = logits - logits.max(axis=1, keepdims=True)
     probs = np.exp(z)
     probs /= probs.sum(axis=1, keepdims=True)
-    logp = np.log(probs + 1e-9)
-    if len(logp) == 0:
+    if len(probs) == 0:
         pred = np.zeros(0, dtype=np.int32)
     else:
-        am = logp.argmax(axis=1).astype(np.int32)
+        # argmax over probs ≡ argmax over log(probs + 1e-9): the log is
+        # strictly monotonic, so order AND ties are preserved — the log
+        # itself (r9) is only materialized when the decode needs it
+        am = probs.argmax(axis=1).astype(np.int32)
         if not am.any():
             # every token's argmax is O: the all-O path is provably
             # Viterbi-optimal (emissions maximized per token; every
@@ -325,15 +332,15 @@ def serve_doc(text: str, scrub_ip: bool = True) -> DocResult:
             # ~50% of web docs carry no PII candidates at all.
             pred = am
         else:
-            pred = _viterbi(logp)
+            pred = _viterbi(np.log(probs + 1e-9))
     maxp = probs[np.arange(len(pred)), pred] if len(pred) else np.zeros(0)
     pred = np.where((maxp < CONFIDENCE_THRESHOLD) & (pred != 0), 0, pred)
 
-    tags = [ID2LABEL[int(p)] for p in pred]
-    # special tokens → O for decoding (offset (0,0), :275-281)
+    # id→label decode with the special-token override ((0,0) offsets →
+    # O, :275-281) fused into one pass
     tags = [
-        "O" if ts == te == 0 else tag
-        for tag, (ts, te) in zip(tags, offsets)
+        "O" if ts == te == 0 else ID2LABEL[p]
+        for p, (ts, te) in zip(pred.tolist(), offsets)
     ]
     # placeholder regions from a previous scrub pass stay O (idempotence)
     for m in _PLACEHOLDER_RE.finditer(text):

@@ -59,16 +59,27 @@ def _overlap_index(offsets: list[Offset]):
 
 
 def spans_to_token_labels(
-    offsets: list[Offset], spans: list[dict]
+    offsets: list[Offset], spans: list[dict], overlap=None,
+    with_ids: bool = True,
 ) -> tuple[list[str], list[int]]:
-    """Char spans → per-token BILOU tags + label ids (-100 for specials)."""
+    """Char spans → per-token BILOU tags + label ids (-100 for specials).
+
+    ``overlap`` (r9) lets a caller that already holds a sorted-interval
+    index over the SAME offsets (serving's _TokenIndex) inject it,
+    skipping the per-call index build; it must implement the reference
+    overlap rule (te > start and ts < end, real tokens only) and return
+    a position-sorted sequence of token indices — exactly what both
+    _overlap_index and _TokenIndex.overlapping produce.
+    ``with_ids=False`` skips the label-id column (returned as []) for
+    callers that only consume tags; tags are identical either way."""
     n = len(offsets)
     tags = ["O"] * n
-    overlap = _overlap_index(offsets) if spans else None
+    if overlap is None and spans:
+        overlap = _overlap_index(offsets)
     for ent in spans:
         e_start, e_end, ent_label = ent["start"], ent["end"], ent["label"]
         idxs = overlap(e_start, e_end)
-        if not idxs:
+        if len(idxs) == 0:
             continue
         if len(idxs) == 1:
             tags[idxs[0]] = f"U-{ent_label}"
@@ -77,6 +88,8 @@ def spans_to_token_labels(
             tags[idxs[-1]] = f"L-{ent_label}"
             for t in idxs[1:-1]:
                 tags[t] = f"I-{ent_label}"
+    if not with_ids:
+        return tags, []
     label_ids = [
         -100 if ts == te == 0 else LABEL2ID.get(tags[t], LABEL2ID["O"])
         for t, (ts, te) in enumerate(offsets)

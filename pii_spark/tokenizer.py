@@ -50,26 +50,43 @@ def token_id(tok: str) -> int:
 
 
 def tokenize_with_offsets(
-    text: str, max_tokens: int = MAX_TOKENS
+    text: str, max_tokens: int = MAX_TOKENS, with_ids: bool = True
 ) -> tuple[list[str], list[tuple[int, int]], list[int]]:
     """Return (tokens, offsets, input_ids); BOS/EOS carry offset (0, 0).
 
     Truncation keeps the first ``max_tokens - 2`` real tokens, mirroring
     the reference's max_length=512 + truncation=True cap
     (config_and_labels.py:18, build_datasets.py:41-46).
+
+    ``with_ids=False`` (r9) skips the hashed-vocab id column for callers
+    that only consume tokens/offsets (serving, metrics) — ids come back
+    as an empty list; tokens/offsets are byte-identical either way.
     """
     tokens: list[str] = ["<s>"]
     offsets: list[tuple[int, int]] = [(0, 0)]
-    ids: list[int] = [BOS_ID]
     budget = max_tokens - 2
-    for m in _TOKEN_RE.finditer(text):
-        if budget <= 0:
-            break
-        tokens.append(m.group())
-        offsets.append((m.start(), m.end()))
-        ids.append(token_id(m.group()))
-        budget -= 1
-    tokens.append("</s>")
-    offsets.append((0, 0))
-    ids.append(EOS_ID)
+    tok_append = tokens.append
+    off_append = offsets.append
+    if with_ids:
+        ids: list[int] = [BOS_ID]
+        id_append = ids.append
+        for m in _TOKEN_RE.finditer(text):
+            if budget <= 0:
+                break
+            g = m.group()
+            tok_append(g)
+            off_append(m.span())
+            id_append(token_id(g))
+            budget -= 1
+        id_append(EOS_ID)
+    else:
+        ids = []
+        for m in _TOKEN_RE.finditer(text):
+            if budget <= 0:
+                break
+            tok_append(m.group())
+            off_append(m.span())
+            budget -= 1
+    tok_append("</s>")
+    off_append((0, 0))
     return tokens, offsets, ids
