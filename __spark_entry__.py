@@ -43,22 +43,44 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on 1 of 32 cores. _spread() restores a parallelism floor exactly when
 # the scan is narrower than the session's core count (guide §2.5,
 # "input skew: one huge unsplittable file → repartition immediately
-# after the read"). At real scale the scan already has >= cores splits
-# and this is a no-op — no exchange is added. The probe result is
-# memoized per (table-key, parallelism): it is an environment fact
-# (file layout), never query state or results.
+# after the read"). At real scale the input is many splits and this is
+# a no-op — no exchange is added. Narrowness is estimated from the
+# file layout via os.stat (bytes / 128 MB split size, the same
+# arithmetic Spark's FilePartition packing uses), NOT df.rdd — the RDD
+# conversion costs a full analysis/planning pass inside the timed
+# query. The estimate is memoized per (path, parallelism): an
+# environment fact (file layout), never query state or results.
 _SCAN_NARROW_MEMO: dict[tuple[str, int], bool] = {}
+_SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    memo_key = (key, target)
+def _scan_is_narrow(path: str, target: int) -> bool:
+    import glob
+    import os
+
+    memo_key = (path, target)
     narrow = _SCAN_NARROW_MEMO.get(memo_key)
-    if narrow is None:
-        narrow = df.rdd.getNumPartitions() < target
-        _SCAN_NARROW_MEMO[memo_key] = narrow
-    return df.repartition(target) if narrow else df
+    if narrow is not None:
+        return narrow
+    if os.path.isdir(path):
+        files = [f for f in glob.glob(f"{path}/**", recursive=True)
+                 if os.path.isfile(f) and not f.endswith(".crc")
+                 and "_SUCCESS" not in f]
+    else:
+        files = [path] if os.path.isfile(path) else []
+    splits = sum(
+        max(1, -(-os.path.getsize(f) // _SPLIT_BYTES)) for f in files
+    )
+    narrow = splits < target
+    _SCAN_NARROW_MEMO[memo_key] = narrow
+    return narrow
+
+
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _scan_is_narrow(path, target):
+        return df.repartition(target)
+    return df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,7 +369,7 @@ def _minhash_shingles(spark, sf_dir) -> DataFrame:
     lifts the scan's 1-split parallelism floor before the explode (the
     md5-per-shingle work is the leg's entire compute)."""
     d = _spread(_docs(spark, sf_dir).select("doc_id", "text"),
-                f"{sf_dir}/documents")
+                f"{sf_dir}/documents.parquet")
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)),
                    F.lit(5))
@@ -794,7 +816,7 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("i").alias("qi"), F.col("v").alias("qv")
     )
     big = _spread(
-        emb.filter(F.col("vec_id") != 0), f"{sf_dir}/embeddings"
+        emb.filter(F.col("vec_id") != 0), f"{sf_dir}/embeddings.parquet"
     ).select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     ).withColumn("v", F.col("v").cast("double"))
@@ -1402,7 +1424,7 @@ def q_quality_heuristics(spark, sf_dir):
     # then parallelizes over the spread partitions.
     return (
         _spread(_docs(spark, sf_dir).select("lang", "text"),
-                f"{sf_dir}/documents")
+                f"{sf_dir}/documents.parquet")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

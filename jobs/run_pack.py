@@ -118,9 +118,15 @@ def main() -> None:
 
     out_dir = Path(args.output)
     meta_path = out_dir / "pack_meta.json"
+    # r9 (ADVICE r8 medium): route_weights / id_col / n_buckets are part
+    # of training-set membership identity — re-exporting with different
+    # weights (tail=0.0 -> 1.0) used to pass the guard and silently
+    # change membership, exactly the drift class the guard refuses.
     current = {"tokenizer": tok_id, "route_table": route_id,
                "benchmark": bench_id,
-               "seq_len": args.seq_len, "text_col": args.text_col}
+               "seq_len": args.seq_len, "text_col": args.text_col,
+               "route_weights": weights, "id_col": args.id_col,
+               "n_buckets": args.n_buckets}
     if meta_path.exists() and not args.force:
         prev = json.loads(meta_path.read_text())
         stale = {k: (prev.get(k), v) for k, v in current.items()
@@ -175,7 +181,16 @@ def main() -> None:
                 F.col("doc_id").alias(args.id_col)
             )
             n_contaminated = bad.count()
-            df = df.join(F.broadcast(bad), args.id_col, "left_anti")
+            # r9 (VERDICT r8 #3): contamination is rare by nature, but
+            # an adversarial benchmark overlapping most of the corpus
+            # would make this broadcast corpus-sized — match the repo's
+            # "bounded by construction or refuse" standard with a row
+            # bound, falling back to the shuffle anti-join (correct at
+            # any size, just one more exchange) past it.
+            if n_contaminated <= 5_000_000:
+                df = df.join(F.broadcast(bad), args.id_col, "left_anti")
+            else:
+                df = df.join(bad, args.id_col, "left_anti")
         merges, tok_meta = load_bpe_model(spark, args.tokenizer_model)
         tok = bpe_tokenize(df, merges, text_col=args.text_col)
         # deterministic shuffle order; collisions/dup urls refuse loudly
@@ -185,6 +200,13 @@ def main() -> None:
             tokens_col="bpe_tokens", n_buckets=args.n_buckets,
         )
         shards_path = str(out_dir / "shards.parquet")
+        # r9 (ADVICE r8 low): drop the old meta BEFORE overwriting the
+        # shards — a crash between shard overwrite and meta rewrite
+        # used to leave NEW shards beside a STALE meta describing the
+        # previous tokenizer/route/benchmark identities. A meta-less
+        # shard dir is detectably incomplete; a mismatched one lies.
+        if meta_path.exists():
+            meta_path.unlink()
         seqs.write.mode("overwrite").parquet(shards_path)
 
         stats = (

@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# cells cap for the pure-fit driver collect (r9): n*dim above this and
+# the fit stays distributed even under the row bound — 16M float64
+# cells ≈ 128 MB as an ndarray (a few hundred MB transiently as
+# collected rows), comfortably inside the default 8g driver
+_PURE_CELLS_BOUND = 16_000_000
+
+
 def _explode(df: DataFrame) -> DataFrame:
     return df.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
@@ -64,8 +71,23 @@ def kmeans_fit(
     """
     if init not in ("farthest", "hash"):
         raise ValueError(f"unknown init {init!r}: farthest|hash")
-    if driver_bound and df.count() <= driver_bound:
-        return _fit_pure(df, k, iters, init)
+    if driver_bound:
+        n = df.count()
+        if n <= driver_bound:
+            # r9 (ADVICE r8 high): the row-count bound alone ignored
+            # the vector width — n rows of a wide embedding can be a
+            # multi-GB driver collect even under the row bound. Gate
+            # the pure dispatch on total cells too; past it, the
+            # distributed loop (which never collects the vectors) runs
+            # instead. Either engine returns identical results
+            # (numpy-twin pinned).
+            head = df.select("embedding").head()
+            dim = len(head[0]) if head and head[0] is not None else 1
+            # the (n, k) distance matrix is the other pure-path
+            # allocation — bound it too (256M cells ≈ 2 GB float64)
+            if (n * max(dim, 1) <= _PURE_CELLS_BOUND
+                    and n * max(k, 1) <= 256_000_000):
+                return _fit_pure(df, k, iters, init)
     ex = _explode(df).cache()
     if init == "hash":
         chosen = [
@@ -104,6 +126,30 @@ def kmeans_fit(
     return _lloyd(df, ex, chosen, iters)
 
 
+def _pairwise_d2(v, cm, budget_cells: int = 32_000_000):
+    """((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2), computed in
+    row chunks (r9, ADVICE r8 high): the broadcast-subtract temporary
+    is (n, k, dim) float64 — ~13 GB per temp at the semantic stage's
+    advertised defaults (n=100k sample, k clamp 256, dim 64), a driver
+    MemoryError on the at-scale path. Chunking bounds the temp to
+    ~``budget_cells`` float64 cells (256 MB) while performing the
+    IDENTICAL per-element float ops in the identical order, so results
+    are bit-equal to the unchunked expression (the numpy-twin equality
+    with the distributed loop is untouched)."""
+    import numpy as np
+
+    n, dim = v.shape if v.ndim == 2 else (v.shape[0], 1)
+    k = cm.shape[0]
+    step = max(1, int(budget_cells // max(1, k * dim)))
+    if step >= n:
+        return ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    out = np.empty((n, k), dtype=np.float64)
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        out[s:e] = ((v[s:e, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    return out
+
+
 def _fit_pure(
     df: DataFrame, k: int, iters: int, init: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -114,7 +160,9 @@ def _fit_pure(
     converged centroids), collected once and run in numpy. Equality
     with the distributed path is pinned by the numpy-twin test (which
     forces driver_bound=0 on the distributed side) and the
-    dispatch-boundary test."""
+    dispatch-boundary test. All pairwise-distance steps go through the
+    chunked ``_pairwise_d2`` so peak memory is bounded regardless of
+    (n, k, dim)."""
     import numpy as np
 
     rows = df.select("vec_id", "embedding").collect()
@@ -135,24 +183,20 @@ def _fit_pure(
     else:
         seeds = [0]  # lowest vec_id (ids sorted ascending)
         for _ in range(1, min(k, max(len(ids), 1))):
-            d = np.min(
-                ((v[:, None, :] - v[seeds][None, :, :]) ** 2)
-                .sum(axis=2),
-                axis=1,
-            )
+            d = np.min(_pairwise_d2(v, v[seeds]), axis=1)
             # max min-distance, ties → lowest vec_id (first argmax)
             seeds.append(int(np.argmax(d)))
     cents = {c: v[s].copy() for c, s in enumerate(seeds)}
     for _ in range(iters):
         live = sorted(cents)
         cm = np.stack([cents[c] for c in live])
-        d2 = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        d2 = _pairwise_d2(v, cm)
         assign = np.array([live[j] for j in d2.argmin(axis=1)])
         cents = {c: v[assign == c].mean(axis=0)
                  for c in live if (assign == c).any()}
     live = sorted(cents)
     cm = np.stack([cents[c] for c in live])
-    d2 = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    d2 = _pairwise_d2(v, cm)
     j = d2.argmin(axis=1)
     spark = df.sparkSession
     assign_df = spark.createDataFrame(

