@@ -34,17 +34,41 @@ _EMB_SCHEMA = T.StructType([
 ])
 
 
+# r9: the blake2b digest (bucket int + sign) is a pure function of the
+# gram, and the 3-gram vocabulary is tiny vs its occurrence count —
+# memoize per gram (dim applied at use, so one cache serves every dim).
+_GRAM_DIGEST_CACHE: dict[str, tuple[int, float]] = {}
+
+
+def _gram_digest(g: str) -> tuple[int, float]:
+    t = _GRAM_DIGEST_CACHE.get(g)
+    if t is None:
+        h = hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
+        t = (int.from_bytes(h[:4], "big"), 1.0 if h[4] & 1 else -1.0)
+        if len(_GRAM_DIGEST_CACHE) > 500_000:
+            _GRAM_DIGEST_CACHE.clear()
+        _GRAM_DIGEST_CACHE[g] = t
+    return t
+
+
 def embed_text(text: str, dim: int = 64) -> np.ndarray:
     """One document → L2-normalized hashed-3-gram vector (pure
-    function; the per-row twin of the batched Spark path)."""
+    function; the per-row twin of the batched Spark path).
+
+    r9: grams are counted first and each DISTINCT gram contributes
+    count × sign in one update — bit-identical to the per-occurrence
+    loop because every bucket value is a sum of ±1 integers (exact in
+    float64 at any accumulation order), while hashing each distinct
+    gram once (memoized across docs — the gram vocabulary repeats
+    massively)."""
+    from collections import Counter
+
     v = np.zeros(dim, dtype=np.float64)
     s = (text or "").lower()
-    for i in range(max(len(s) - 2, 0)):
-        h = hashlib.blake2b(s[i:i + 3].encode("utf-8"),
-                            digest_size=8).digest()
-        idx = int.from_bytes(h[:4], "big") % dim
-        sign = 1.0 if h[4] & 1 else -1.0
-        v[idx] += sign
+    cnt = Counter(s[i:i + 3] for i in range(max(len(s) - 2, 0)))
+    for g, c in cnt.items():
+        bucket, sign = _gram_digest(g)
+        v[bucket % dim] += sign * c
     n = float(np.linalg.norm(v))
     return (v / n if n > 0 else v).astype(np.float32)
 
