@@ -68,9 +68,26 @@ def _scan_is_narrow(path: str, target: int) -> bool:
                  and "_SUCCESS" not in f]
     else:
         files = [path] if os.path.isfile(path) else []
-    splits = sum(
-        max(1, -(-os.path.getsize(f) // _SPLIT_BYTES)) for f in files
-    )
+    # per file: byte-range splits exist at size/128MB, but a row group's
+    # rows all land in the split holding its midpoint — so the EFFECTIVE
+    # parallelism per file is min(byte splits, row groups). A big
+    # single-row-group file (the pathological writer layout this guard
+    # exists for) is correctly seen as 1 effective split. Footer reads
+    # only — no Spark planning inside the timed query.
+    splits = 0
+    for f in files:
+        byte_splits = max(1, -(-os.path.getsize(f) // _SPLIT_BYTES))
+        if byte_splits > 1:
+            try:
+                import pyarrow.parquet as _pq
+
+                byte_splits = min(
+                    byte_splits, max(1, _pq.ParquetFile(f).metadata
+                                     .num_row_groups)
+                )
+            except Exception:  # noqa: BLE001 — non-parquet/odd file
+                pass
+        splits += byte_splits
     narrow = splits < target
     _SCAN_NARROW_MEMO[memo_key] = narrow
     return narrow
