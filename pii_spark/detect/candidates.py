@@ -633,20 +633,34 @@ _RX_TRUSTISH = re.compile(r"(?i)\s?\w{0,8}(trust|tryst|rust)")
 
 
 
+# every EMAIL pattern embeds the closed domain vocabulary (patterns._DOM
+# is a REQUIRED component of both EMAIL_CANON and EMAIL_OBF), so a text
+# without any domain stem cannot match either — a handful of C-level
+# substring probes replaces the backtracking-heavy EMAIL_OBF scan on the
+# (large) majority of docs that carry no email at all (r9; equivalence
+# pinned by tests/test_detect.py::test_email_domain_prefilter).
+# 'yaho' covers yahoo/yahooo; stems are lowercase, probed on a lowered
+# copy because the patterns compile IGNORECASE.
+_EMAIL_DOMAIN_STEMS = ("gmail", "gmial", "gmal", "yaho", "outlook",
+                       "hotmail", "aol", "protonmail", "icloud")
+
+
 def format_candidates(text: str) -> list[Candidate]:
     out: list[Candidate] = []
 
-    if "@" in text:  # canonical form requires a literal '@'
-        for m in P.EMAIL_CANON.finditer(text):
+    low = text.lower()
+    if any(d in low for d in _EMAIL_DOMAIN_STEMS):
+        if "@" in text:  # canonical form requires a literal '@'
+            for m in P.EMAIL_CANON.finditer(text):
+                out.append(
+                    Candidate(_trim_email_start(text, m.start(), m.end()),
+                              m.end(), "EMAIL", 0.98)
+                )
+        for m in P.EMAIL_OBF.finditer(text):
             out.append(
                 Candidate(_trim_email_start(text, m.start(), m.end()),
-                          m.end(), "EMAIL", 0.98)
+                          m.end(), "EMAIL", 0.96)
             )
-    for m in P.EMAIL_OBF.finditer(text):
-        out.append(
-            Candidate(_trim_email_start(text, m.start(), m.end()), m.end(),
-                      "EMAIL", 0.96)
-        )
 
     if _DIGIT_SEARCH(text) is None:
         # every remaining format family (SSN/PHONE/CC/DATE/AGE/IP/ZIP/

@@ -145,3 +145,28 @@ def test_digit_free_prefilter():
     text2 = "mail jane.doe2@gmail.com ssn 123-45-6789 on 01/02/1999"
     labs2 = {c.label for c in format_candidates(text2)}
     assert {"EMAIL", "SSN", "DATE"} <= labs2
+
+
+def test_email_domain_prefilter():
+    """r9: the EMAIL sections are gated by a closed-vocabulary domain
+    stem probe — every _DOM branch is reachable through a stem, so a
+    doc with any (possibly case-scrambled) domain still detects, and a
+    domain-free doc provably cannot match either EMAIL pattern."""
+    from pii_spark.detect.candidates import (
+        _EMAIL_DOMAIN_STEMS,
+        format_candidates,
+    )
+    from pii_spark.detect.patterns import _DOM
+
+    # soundness of the stem list: every _DOM alternative contains a stem
+    doms = _DOM.strip("(?:)").split("|")
+    for d in doms:
+        assert any(s in d for s in _EMAIL_DOMAIN_STEMS), d
+    # typo-chain + case-scrambled domains still detected
+    for t in ("write jane.doe@gmial.con please",
+              "reach bob dot smith at YAHOOO dot com now",
+              "x PROTONMAIL: amy_9@protonmail.com y"):
+        assert any(c.label == "EMAIL" for c in format_candidates(t)), t
+    # domain-free text with an '@' handle: no EMAIL (gate or not)
+    assert not any(c.label == "EMAIL"
+                   for c in format_candidates("ping @sara.henry today"))
