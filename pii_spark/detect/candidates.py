@@ -641,6 +641,15 @@ _RX_TRUSTISH = re.compile(r"(?i)\s?\w{0,8}(trust|tryst|rust)")
 # pinned by tests/test_detect.py::test_email_domain_prefilter).
 # 'yaho' covers yahoo/yahooo; stems are lowercase, probed on a lowered
 # copy because the patterns compile IGNORECASE.
+# every _MONTH alternative (full names AND 3-letter abbreviations,
+# patterns.py) starts with one of these stems — the DATE month gate's
+# soundness argument (see format_candidates)
+_MONTH_STEMS = ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+                "sep", "oct", "nov", "dec")
+_DATE_MONTH_RX = frozenset(
+    id(rx) for rx, _cf in P.DATE_PATTERNS if "january" in rx.pattern
+)
+
 _EMAIL_DOMAIN_STEMS = ("gmail", "gmial", "gmal", "yaho", "outlook",
                        "hotmail", "aol", "protonmail", "icloud")
 
@@ -743,7 +752,16 @@ def format_candidates(text: str) -> list[Candidate]:
                 else:
                     out.append(Candidate(s, e, "SSN", 0.89))
 
+    # month-led DATE scans (the 4 _MONTH patterns are the costliest
+    # scans in the battery: IGNORECASE word alternations defeat sre's
+    # first-char skip) only fire when a month surface form is present;
+    # every _MONTH alternative begins with one of the 12 three-letter
+    # stems, so a stem-free lowered text provably cannot match (r9;
+    # pinned by tests/test_detect.py::test_month_date_prefilter)
+    has_month = any(s in low for s in _MONTH_STEMS)
     for rx, conf in P.DATE_PATTERNS:
+        if not has_month and id(rx) in _DATE_MONTH_RX:
+            continue
         for m in rx.finditer(text):
             out.append(Candidate(m.start(), m.end(), "DATE", conf))
     for m in P.YEAR_RE.finditer(text):
@@ -1065,34 +1083,66 @@ _SEQ2_FIRSTS_ALL = frozenset(
 
 _TOK_MASK_CACHE: dict[str, int] = {}
 
+# r9: the seven per-gazetteer _gaz_span_rel probes in the mask builder
+# all enumerate the SAME substring space (full / prefix-cut / strip /
+# suffix-glue positions) — one word→gazetteer-bitmask dict turns them
+# into a single pass. The mask only needs EXISTENCE of a hit per
+# gazetteer (the tight span is resolved later by the gated section via
+# _gaz_span), and existence over a union of gazetteers distributes over
+# the shared probe set, so the resulting bits are identical to the
+# seven independent scans (pinned by test_tok_mask_bits_equivalence).
+_GAZ_BITS: dict[str, int] = {}
+for _gz, _bit in ((CITY_1, B_PLACE1), (COUNTRY_1, B_PLACE1),
+                  (STATE_1, B_PLACE1), (STREET_FIRSTS, B_STREET),
+                  (_UNIT_WORDS, B_UNIT), (LASTS, B_ORG),
+                  (FIRSTS, B_FIRSTS)):
+    for _w in _gz:
+        _GAZ_BITS[_w] = _GAZ_BITS.get(_w, 0) | _bit
+del _gz, _bit, _w
+_GAZ_ALL_BITS = B_PLACE1 | B_STREET | B_UNIT | B_ORG | B_FIRSTS
+
+
+def _gaz_bits(text: str, low: str) -> int:
+    """OR of _GAZ_BITS over every substring probe _gaz_span_rel would
+    try — same positional conditions, evaluated once for all
+    gazetteers."""
+    gb = _GAZ_BITS.get
+    ln = len(low)
+    acc = gb(low, 0) | gb(low[:-1], 0)
+    if ln >= 6:
+        acc |= gb(low[:-2], 0)
+    if ln >= 7:
+        acc |= gb(low[:-3], 0)
+    for k in range(1, min(13, ln - 2)):
+        if k <= 2 or text[k].isupper():
+            acc |= gb(low[k:], 0)
+            if acc == _GAZ_ALL_BITS:
+                return acc
+    for k in range(ln - 1, 3, -1):
+        if (
+            text[k].isupper()
+            or text[k].isdigit()
+            or any(c.isupper() or c.isdigit() for c in text[k + 1 : k + 3])
+        ):
+            acc |= gb(low[:k], 0)
+            if acc == _GAZ_ALL_BITS:
+                return acc
+    return acc
+
 
 def _tok_mask(text: str, low: str) -> int:
     m = _TOK_MASK_CACHE.get(text)
     if m is not None:
         return m
-    m = 0
+    m = _gaz_bits(text, low)
     if low in _SEQ2_FIRSTS_ALL:
         m |= B_SEQ2
-    if (
-        _gaz_span_rel(text, low, CITY_1)
-        or _gaz_span_rel(text, low, COUNTRY_1)
-        or _gaz_span_rel(text, low, STATE_1)
-    ):
-        m |= B_PLACE1
-    if _gaz_span_rel(text, low, STREET_FIRSTS):
-        m |= B_STREET
-    if _gaz_span_rel(text, low, _UNIT_WORDS):
-        m |= B_UNIT
     if _RX_ZIP5_PP.match(text):
         m |= B_ZIP
     if _RX_STATE_ABBR.match(text):
         m |= B_ABBR
-    if _org_anchor_rel(text, low) is not None or _gaz_span_rel(
-        text, low, LASTS
-    ):
+    if not m & B_ORG and _org_anchor_rel(text, low) is not None:
         m |= B_ORG
-    if _gaz_span_rel(text, low, FIRSTS):
-        m |= B_FIRSTS
     if _stem_rel(low) >= 0:
         m |= B_STEM
     if _ALNUM_RE.match(text) and len(text) <= 26:

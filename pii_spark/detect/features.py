@@ -146,8 +146,13 @@ _MISS_F = {
 
 def _hash_arr(strs: list[str]) -> np.ndarray:
     # list-comp + np.array beats fromiter-over-genexpr for these short
-    # blocks (one C-level pass, no generator frame per element)
-    return np.array([_h(x) for x in strs], dtype=np.int32)
+    # blocks (one C-level pass, no generator frame per element); the
+    # memo probe is inlined so cache hits skip the _h call frame
+    g = _H_CACHE.get
+    return np.array(
+        [v if (v := g(x)) is not None else _h(x) for x in strs],
+        dtype=np.int32,
+    )
 
 
 def _self_feats(tok: str) -> np.ndarray:
@@ -179,6 +184,50 @@ def _ctx_feats(tag: str, tok: str, with_gaz: bool) -> np.ndarray:
         if len(_CTX_F) > 400_000:
             _CTX_F.clear()
         _CTX_F[key] = v
+    return v
+
+
+# r9: all four context-tag arrays AND the self array of one token under
+# ONE string key — featurize's inner loop then pays a single cached-hash
+# str lookup per token instead of five tuple/str-keyed gets (tuple
+# hashes recompute on every call; str hashes are cached in the object).
+# The per-tag feature strings, their ORDER, and the hash values are
+# byte-identical to _ctx_feats/_self_feats: the builder shares
+# low/shape/gram-core/gaz work but emits the exact same f-strings per
+# block (pp/nn without gaz, p/n/self with — matching featurize's call
+# pattern).
+_CTX_TOK: dict[str, tuple] = {}
+
+
+def _ctx_blocks(tok: str) -> tuple:
+    low = tok.lower()
+    sh = _shape(tok)
+    s = f"^{low}$"
+    cores = [s[i:i + 3] for i in range(min(len(s) - 2, 12))]
+    gaz = _gaz_feats(low)
+    f: list[str] = []
+    cuts = []
+    for tag, with_gaz in (("pp", False), ("p", True),
+                          ("n", True), ("nn", False)):
+        f.append(f"{tag}={low}")
+        f.append(f"{tag}s={sh}")
+        f.extend(f"{tag}3={c}" for c in cores)
+        if with_gaz:
+            f.extend(f"{tag}{x}" for x in gaz)
+        cuts.append(len(f))
+    f.extend(("b", f"t={low}", f"s={sh}", f"tp={low[:4]}",
+              f"ts={low[-4:]}"))
+    f.extend(f"g3={c}" for c in cores)
+    f.extend(gaz)
+    # one hash pass + one ndarray for all five blocks, sliced at the
+    # block boundaries — the slices hold the exact same values in the
+    # exact same order as five per-block arrays would
+    arr = _hash_arr(f)
+    a, b, c, d = cuts
+    v = (arr[:a], arr[a:b], arr[b:c], arr[c:d], arr[d:])
+    if len(_CTX_TOK) > 150_000:
+        _CTX_TOK.clear()
+    _CTX_TOK[tok] = v
     return v
 
 
@@ -243,57 +292,36 @@ def featurize_doc_flat(
     # so feature content and ORDER are byte-identical to the original
     # per-block construction)
     ap = parts.append
-    selfc, ctxc, tailc = _SELF_F, _CTX_F, _TAIL_F
+    ctxc, tailc = _CTX_TOK, _TAIL_F
     miss_pp, miss_p = _miss_feats("pp"), _miss_feats("p")
     miss_n, miss_nn = _miss_feats("n"), _miss_feats("nn")
     text_len = len(text)
+    # one str-keyed get per token (cached str hash) replaces five
+    # tuple/str-keyed gets per center token; blocks[j] holds the
+    # (pp, p, n, nn, self) arrays of token j
+    blocks = [ctxc.get(t) for t in tokens]
+    for j, bl in enumerate(blocks):
+        if bl is None:
+            blocks[j] = _ctx_blocks(tokens[j])
     for i in range(n):
         s0, e0 = offsets[i]
         if s0 == 0 and e0 == 0:
             continue
-        tok = tokens[i]
-        a = selfc.get(tok)
-        if a is None:
-            a = _self_feats(tok)
+        a = blocks[i][4]
         ap(a)
         ln = a.shape[0]
-        j = i - 2
-        if j >= 0:
-            t2 = tokens[j]
-            b = ctxc.get(("pp", t2))
-            if b is None:
-                b = _ctx_feats("pp", t2, False)
-        else:
-            b = miss_pp
+        b = blocks[i - 2][0] if i >= 2 else miss_pp
         ap(b)
         ln += b.shape[0]
-        if i > 0:
-            t2 = tokens[i - 1]
-            b = ctxc.get(("p", t2))
-            if b is None:
-                b = _ctx_feats("p", t2, True)
-        else:
-            b = miss_p
+        b = blocks[i - 1][1] if i > 0 else miss_p
         ap(b)
         ln += b.shape[0]
         j = i + 1
-        if j < n:
-            t2 = tokens[j]
-            b = ctxc.get(("n", t2))
-            if b is None:
-                b = _ctx_feats("n", t2, True)
-        else:
-            b = miss_n
+        b = blocks[j][2] if j < n else miss_n
         ap(b)
         ln += b.shape[0]
         j = i + 2
-        if j < n:
-            t2 = tokens[j]
-            b = ctxc.get(("nn", t2))
-            if b is None:
-                b = _ctx_feats("nn", t2, False)
-        else:
-            b = miss_nn
+        b = blocks[j][3] if j < n else miss_nn
         ap(b)
         ln += b.shape[0]
         # adjacent raw chars (separator signals) + rule-candidate

@@ -170,3 +170,67 @@ def test_email_domain_prefilter():
     # domain-free text with an '@' handle: no EMAIL (gate or not)
     assert not any(c.label == "EMAIL"
                    for c in format_candidates("ping @sara.henry today"))
+
+
+def test_month_date_prefilter():
+    """r9: the _MONTH-led DATE scans are gated by a 12-stem month probe —
+    every _MONTH alternative starts with a stem, so a stem-free doc
+    provably cannot match, and month-bearing docs detect identically."""
+    import re
+
+    from pii_spark.detect.candidates import _DATE_MONTH_RX, _MONTH_STEMS
+    from pii_spark.detect.candidates import format_candidates
+    from pii_spark.detect.patterns import _MONTH, DATE_PATTERNS
+
+    # soundness: every _MONTH alternative begins with one of the stems
+    alts = _MONTH.strip("(?:)").split("|")
+    for a in alts:
+        assert any(a.startswith(s) for s in _MONTH_STEMS), a
+    # the gated set is exactly the patterns embedding _MONTH
+    month_led = {id(rx) for rx, _ in DATE_PATTERNS
+                 if re.search(r"january", rx.pattern)}
+    assert month_led == set(_DATE_MONTH_RX)
+    # month dates (full, abbreviated, case-scrambled) still detected
+    for t in ("born May 15th, 1990 ok", "due 23rd June 1958 x",
+              "seen SEPTEMBER/4 there", "paid jan 2021 already"):
+        assert any(c.label == "DATE" for c in format_candidates(t)), t
+    # stem-free docs keep their digit-led dates
+    t = "id 1999-07-23 and 12/05/1998 end"
+    assert sum(c.label == "DATE" for c in format_candidates(t)) >= 2
+
+
+def test_tok_mask_bits_equivalence():
+    """r9: _gaz_bits (one combined word->bitmask pass) must agree with
+    the seven independent _gaz_span_rel scans it replaced, for every
+    token of a generated corpus slice."""
+    import pii_spark.detect.candidates as C
+    from pii_spark.textgrammar.generator import build_example
+
+    def old_bits(text, low):
+        m = 0
+        if (C._gaz_span_rel(text, low, C.CITY_1)
+                or C._gaz_span_rel(text, low, C.COUNTRY_1)
+                or C._gaz_span_rel(text, low, C.STATE_1)):
+            m |= C.B_PLACE1
+        if C._gaz_span_rel(text, low, C.STREET_FIRSTS):
+            m |= C.B_STREET
+        if C._gaz_span_rel(text, low, C._UNIT_WORDS):
+            m |= C.B_UNIT
+        if (C._org_anchor_rel(text, low) is not None
+                or C._gaz_span_rel(text, low, C.LASTS)):
+            m |= C.B_ORG
+        if C._gaz_span_rel(text, low, C.FIRSTS):
+            m |= C.B_FIRSTS
+        return m
+
+    seen = set()
+    for i in range(800):
+        for tk in C._toks(build_example(7, 500_000 + i)["text"]):
+            if tk.text in seen:
+                continue
+            seen.add(tk.text)
+            new = C._gaz_bits(tk.text, tk.low)
+            if not new & C.B_ORG and C._org_anchor_rel(tk.text, tk.low) is not None:
+                new |= C.B_ORG
+            assert new == old_bits(tk.text, tk.low), tk.text
+    assert len(seen) > 3000
