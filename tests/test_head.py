@@ -46,3 +46,33 @@ def test_rule_fallback_without_artifact(monkeypatch):
     text = "Contact john.smith@gmail.com or 555-123-4567."
     res = serve_doc(text)
     assert {e[0] for e in res.entities} == {"EMAIL", "PHONE"}
+
+
+def test_ctx_blocks_match_per_block_builders():
+    """r9: the fused per-token block builder (_ctx_blocks, one hash pass
+    for all five feature blocks) must agree element-for-element with the
+    original per-block builders it replaced, over a generated-token
+    sample including novel noise-mutated words."""
+    import numpy as np
+
+    import pii_spark.detect.features as Fe
+    from pii_spark.textgrammar.generator import build_example
+
+    seen = set()
+    for i in range(300):
+        text = build_example(11, 700_000 + i)["text"]
+        for tok in text.split():
+            if tok in seen:
+                continue
+            seen.add(tok)
+            got = Fe._ctx_blocks(tok)
+            ref = (
+                Fe._ctx_feats("pp", tok, False),
+                Fe._ctx_feats("p", tok, True),
+                Fe._ctx_feats("n", tok, True),
+                Fe._ctx_feats("nn", tok, False),
+                Fe._self_feats(tok),
+            )
+            for g, r in zip(got, ref):
+                assert np.array_equal(g, r), tok
+    assert len(seen) > 1500
